@@ -1,0 +1,32 @@
+"""tensorflowraytrace_tpu: a TPU-native differentiable optical ray tracer.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+ecpoppenheimer/TensorFlowRayTrace (mounted read-only at /root/reference):
+differentiable 2D/3D ray tracing for designing lenses and light guides by
+gradient descent, redesigned for TPU hardware -- static shapes, lax.scan
+bounce loops, tiled Pallas intersection kernels, and ray-axis sharding over
+device meshes.
+
+Layer map (mirrors SURVEY.md section 1):
+  ops/        geometry + intersection kernels, materials, spectrum
+  models/     rays, surfaces, sources, distributions, boundaries, meshes
+  engine      the multi-bounce trace loop
+  operations  pluggable per-bounce reactions
+  optim       gradient processing + training routines
+  parallel/   multi-chip sharding (shard_map over a ray mesh)
+  analysis    imaging tests, histogram losses
+  drawing     matplotlib visualization
+  utils/      STL I/O, checkpointing, PRNG helpers
+"""
+
+from tensorflowraytrace_tpu import config
+from tensorflowraytrace_tpu.config import (
+    ACTIVE, DEAD, FINISHED, OPTICAL, STOP, STOPPED, TARGET,
+)
+from tensorflowraytrace_tpu.engine import TraceConfig, TraceResult, trace
+from tensorflowraytrace_tpu.models.rays import RaySet, concat_rays
+from tensorflowraytrace_tpu.models.surfaces import (
+    ArcSet, Scene2D, Scene3D, SegmentSet, TriangleSet,
+)
+
+__version__ = "0.1.0"

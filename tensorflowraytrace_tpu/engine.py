@@ -1,0 +1,331 @@
+"""The trace engine: multi-bounce optical ray tracing as a ``lax.scan``.
+
+Reference counterpart: ``OpticalEngine`` (/root/reference/tfrt/engine.py:1170-2331),
+whose ``ray_trace`` is a Python loop of ``single_pass`` calls, each of which
+intersects, classifies rays into four compacted lists with ``tf.boolean_mask``
+(dynamic shapes), runs RayOperation hooks, and amalgamates the children.
+
+TPU-native redesign:
+
+* **Fixed ray slots.** Rays never compact.  A ray's ``state`` code records
+  whether it is still bouncing (ACTIVE) or has terminated (FINISHED on a
+  target, STOPPED on a stop, DEAD on a miss) -- replacing the four history
+  lists (engine.py:1596-1677).  When an ACTIVE ray reacts with an OPTICAL
+  surface, the *child ray replaces the parent in its slot*, which makes the
+  reference's "simple ray inheritance" of extra fields (engine.py:2242-2281)
+  automatic.
+* **lax.scan over a fixed bounce budget** with optional per-bounce history
+  (stacked ys) for drawing / debugging -- replacing the Python loop + early
+  exit (engine.py:2311-2330).  All shapes static; XLA compiles one step.
+* **Reactions are pure functions** ``reaction(projection, ctx) -> (p0, p1)``
+  replacing the RayOperation main hook (operation.py:154-158).  The standard
+  Snell reaction and the GhostThrough test reaction are provided in
+  ``operations.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tensorflowraytrace_tpu.config import (
+    ACTIVE, DEAD, FINISHED, OPTICAL, STOP, STOPPED, TARGET, default_epsilon,
+)
+from tensorflowraytrace_tpu.models.rays import RaySet
+from tensorflowraytrace_tpu.models.surfaces import Scene2D, Scene3D
+from tensorflowraytrace_tpu.ops import intersect as isect
+from tensorflowraytrace_tpu.ops.geometry import snell_3d_vec, snells_law_2D
+from tensorflowraytrace_tpu.ops.materials import material_index_lookup
+
+
+@dataclass(frozen=True)
+class TraceConfig:
+    """Static trace configuration (the analog of the OpticalEngine compile
+    flags, engine.py:1216-1316).  Hashable -> safe as a jit static arg."""
+
+    max_bounces: int = 25
+    new_ray_length: float = 1.0
+    # None -> dead rays keep their direction-vector length; otherwise the
+    # reference's dead_ray_length stretch factor (engine.py:1611-1619)
+    dead_ray_length: Optional[float] = None
+    keep_history: bool = False
+    # "index": per-surface int indices into the material list (dispersion);
+    # "value": per-surface n_in / n_out floats in surface.fields
+    refractive_index_type: str = "index"
+    use_pallas: bool = False
+    surf_chunk: int = 128
+    ray_block: int = 32768
+    # None -> derived from dtype (config.default_epsilon)
+    intersect_epsilon: Optional[float] = None
+    size_epsilon: Optional[float] = None
+    ray_start_epsilon: Optional[float] = None
+
+    def epsilons(self, dtype):
+        e = default_epsilon(dtype)
+        return (
+            e if self.intersect_epsilon is None else self.intersect_epsilon,
+            e if self.size_epsilon is None else self.size_epsilon,
+            e if self.ray_start_epsilon is None else self.ray_start_epsilon,
+        )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["hit_valid", "point", "norm", "n_in", "n_out", "category",
+                 "surf_idx", "kind", "extras"],
+    meta_fields=["dim"],
+)
+@dataclass
+class Projection:
+    """Per-ray gathered hit data handed to reactions (the static-shape
+    equivalent of the reference's projection result dict,
+    engine.py:1544-1580)."""
+
+    hit_valid: jax.Array          # (N,) bool
+    point: jax.Array              # (N, dim) hit point (= projected ray end)
+    norm: jax.Array               # (N,) angle in 2D / (N, 3) vector in 3D
+    n_in: jax.Array               # (N,)
+    n_out: jax.Array              # (N,)
+    category: jax.Array           # (N,) OPTICAL / STOP / TARGET
+    surf_idx: jax.Array           # (N,) index into the merged surface set
+    kind: jax.Array               # (N,) 2D only: KIND_SEGMENT / KIND_ARC
+    extras: Dict[str, jax.Array]  # e.g. trig_u / trig_v / seg_u / arc_u
+    dim: int = 3
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["rays", "history_p0", "history_p1", "history_state",
+                 "history_alive"],
+    meta_fields=["n_bounces"],
+)
+@dataclass
+class TraceResult:
+    """Final ray slots + optional per-bounce history.
+
+    ``history_*`` (if kept) have leading axis = bounce index; ``history_alive``
+    marks slots that were still bouncing when that entry was recorded, so a
+    ray appears "live" exactly once per bounce until it terminates --
+    reconstructing the reference's ray-history lists (engine.py:1379-1403).
+    """
+
+    rays: RaySet
+    history_p0: Optional[jax.Array]
+    history_p1: Optional[jax.Array]
+    history_state: Optional[jax.Array]
+    history_alive: Optional[jax.Array]
+    n_bounces: int = 0
+
+    @property
+    def finished_rays(self):
+        return self.rays.finished
+
+    @property
+    def active_rays(self):
+        return self.rays.active
+
+    @property
+    def stopped_rays(self):
+        return self.rays.stopped
+
+    @property
+    def dead_rays(self):
+        return self.rays.dead
+
+
+def _surface_n(surface, idx, wavelength, materials, mode):
+    """Per-ray (n_in, n_out) for the hit surfaces.
+
+    "index" mode evaluates every material's dispersion curve at the ray
+    wavelengths and gathers (operation.py:260-272); "value" mode reads
+    per-surface floats (operation.py:273-275).
+    """
+    if mode == "value":
+        n_in = surface.fields["n_in"][idx]
+        n_out = surface.fields["n_out"][idx]
+    else:
+        if not materials:
+            raise ValueError("trace: refractive_index_type='index' needs materials")
+        mat_in = surface.mat_in[idx]
+        mat_out = surface.mat_out[idx]
+        n_in = material_index_lookup(materials, wavelength, mat_in)
+        n_out = material_index_lookup(materials, wavelength, mat_out)
+    return n_in, n_out
+
+
+# ======================================================================
+# 3D
+# ======================================================================
+
+def project_3d(rays: RaySet, scene: Scene3D, materials, cfg: TraceConfig) -> Projection:
+    """One intersection + gather pass (the analog of process_projection_3D,
+    engine.py:1988-2191, without the boolean_mask compaction)."""
+    i_eps, s_eps, r_eps = cfg.epsilons(rays.p0.dtype)
+    tri = scene.triangles
+    hit = isect.nearest_hit_triangles(
+        rays.p0, rays.p1, tri, i_eps, s_eps, r_eps,
+        surf_chunk=cfg.surf_chunk, ray_block=cfg.ray_block,
+        use_pallas=cfg.use_pallas,
+    )
+    point, ray_u, tu, tv = isect.refine_triangle_hit(
+        rays.p0, rays.p1, tri, hit.idx, i_eps
+    )
+    norm = tri.norm[hit.idx]
+    n_in, n_out = _surface_n(tri, hit.idx, rays.wavelength, materials,
+                             cfg.refractive_index_type)
+    category = tri.category[hit.idx]
+    return Projection(
+        hit_valid=hit.valid, point=point, norm=norm, n_in=n_in, n_out=n_out,
+        category=category, surf_idx=hit.idx, kind=hit.kind,
+        extras={"ray_u": ray_u, "trig_u": tu, "trig_v": tv}, dim=3,
+    )
+
+
+# ======================================================================
+# 2D
+# ======================================================================
+
+def project_2d(rays: RaySet, scene: Scene2D, materials, cfg: TraceConfig) -> Projection:
+    """One 2D intersection + gather pass (process_projection_2D,
+    engine.py:1544-1986); segment-vs-arc resolution happens inside
+    ``nearest_hit_2d``."""
+    i_eps, s_eps, r_eps = cfg.epsilons(rays.p0.dtype)
+    hit = isect.nearest_hit_2d(
+        rays.p0, rays.p1, scene, i_eps, s_eps, r_eps,
+        surf_chunk=cfg.surf_chunk, ray_block=cfg.ray_block,
+        use_pallas=cfg.use_pallas,
+    )
+
+    n = rays.n_rays
+    dtype = rays.p0.dtype
+    point = rays.p1
+    norm = jnp.zeros((n,), dtype=dtype)
+    n_in = jnp.zeros((n,), dtype=dtype)
+    n_out = jnp.ones((n,), dtype=dtype)
+    category = jnp.zeros((n,), dtype=jnp.int32)
+    extras = {"ray_u": hit.ray_u}
+
+    if scene.segments is not None:
+        s_point, _, seg_u, s_norm = isect.refine_segment_hit(
+            rays.p0, rays.p1, scene.segments, hit.idx, i_eps
+        )
+        s_nin, s_nout = _surface_n(scene.segments, hit.idx, rays.wavelength,
+                                   materials, cfg.refractive_index_type)
+        is_seg = (hit.kind == isect.KIND_SEGMENT)
+        point = jnp.where(is_seg[:, None], s_point, point)
+        norm = jnp.where(is_seg, s_norm, norm)
+        n_in = jnp.where(is_seg, s_nin, n_in)
+        n_out = jnp.where(is_seg, s_nout, n_out)
+        category = jnp.where(is_seg, scene.segments.category[hit.idx], category)
+        extras["seg_u"] = seg_u
+
+    if scene.arcs is not None:
+        a_point, _, arc_u, a_norm = isect.refine_arc_hit(
+            rays.p0, rays.p1, scene.arcs, hit.idx, hit.branch, i_eps
+        )
+        a_nin, a_nout = _surface_n(scene.arcs, hit.idx, rays.wavelength,
+                                   materials, cfg.refractive_index_type)
+        is_arc = (hit.kind == isect.KIND_ARC)
+        point = jnp.where(is_arc[:, None], a_point, point)
+        norm = jnp.where(is_arc, a_norm, norm)
+        n_in = jnp.where(is_arc, a_nin, n_in)
+        n_out = jnp.where(is_arc, a_nout, n_out)
+        category = jnp.where(is_arc, scene.arcs.category[hit.idx], category)
+        extras["arc_u"] = arc_u
+
+    return Projection(
+        hit_valid=hit.valid, point=point, norm=norm, n_in=n_in, n_out=n_out,
+        category=category, surf_idx=hit.idx, kind=hit.kind, extras=extras, dim=2,
+    )
+
+
+# ======================================================================
+# the bounce step + trace loop
+# ======================================================================
+
+def default_reaction(proj: Projection, rays: RaySet, cfg: TraceConfig):
+    """StandardReaction: Snell's law refraction / reflection / TIR
+    (operation.py:200-307)."""
+    length = jnp.asarray(cfg.new_ray_length, dtype=rays.p0.dtype)
+    if proj.dim == 3:
+        return snell_3d_vec(rays.p0, proj.point, proj.norm, proj.n_in,
+                            proj.n_out, length)
+    xs, ys, xe, ye = snells_law_2D(
+        rays.p0[:, 0], rays.p0[:, 1], proj.point[:, 0], proj.point[:, 1],
+        proj.norm, proj.n_in, proj.n_out, length,
+    )
+    return jnp.stack([xs, ys], axis=1), jnp.stack([xe, ye], axis=1)
+
+
+def single_pass(rays: RaySet, scene, materials, cfg: TraceConfig,
+                reaction: Callable = default_reaction):
+    """One bounce: project, classify, react.  Returns (new_rays, record)
+    where record = (p0, p1_projected, state, alive) describes the parent rays
+    as they ended this pass (for history)."""
+    if isinstance(scene, Scene3D):
+        proj = project_3d(rays, scene, materials, cfg)
+    else:
+        proj = project_2d(rays, scene, materials, cfg)
+
+    active = rays.state == ACTIVE
+    valid_hit = active & proj.hit_valid
+
+    # project endpoints onto the hit (engine.py:2052-2060)
+    p1 = jnp.where(valid_hit[:, None], proj.point, rays.p1)
+
+    # classify (engine.py:2068-2111)
+    hit_state = jnp.where(
+        proj.category == OPTICAL, ACTIVE,
+        jnp.where(proj.category == STOP, STOPPED, FINISHED),
+    )
+    new_state = jnp.where(
+        active, jnp.where(proj.hit_valid, hit_state, DEAD), rays.state
+    )
+
+    # dead-ray visualization stretch (engine.py:2036-2046)
+    if cfg.dead_ray_length is not None:
+        became_dead = active & ~proj.hit_valid
+        stretch = rays.p0 + cfg.dead_ray_length * (p1 - rays.p0)
+        p1 = jnp.where(became_dead[:, None], stretch, p1)
+
+    # reaction: child replaces parent in-slot where the ray keeps bouncing
+    child_p0, child_p1 = reaction(proj, dataclasses.replace(rays, p1=p1), cfg)
+    reacts = valid_hit & (proj.category == OPTICAL)
+    out_p0 = jnp.where(reacts[:, None], child_p0, rays.p0)
+    out_p1 = jnp.where(reacts[:, None], child_p1, p1)
+
+    new_rays = dataclasses.replace(rays, p0=out_p0, p1=out_p1, state=new_state)
+    record = (rays.p0, p1, new_state, active)
+    return new_rays, record
+
+
+def trace(rays: RaySet, scene, materials=None, cfg: TraceConfig = TraceConfig(),
+          reaction: Callable = default_reaction) -> TraceResult:
+    """Multi-bounce trace (ray_trace, engine.py:2311-2330) as a lax.scan.
+
+    jit-friendly: wrap as ``jax.jit(trace, static_argnames=('cfg',))`` or
+    close over cfg.  Differentiable end-to-end w.r.t. scene geometry and ray
+    starts.
+    """
+    materials = tuple(materials or ())
+
+    def body(carry, _):
+        new_rays, record = single_pass(carry, scene, materials, cfg, reaction)
+        ys = record if cfg.keep_history else None
+        return new_rays, ys
+
+    final, ys = lax.scan(body, rays, xs=None, length=cfg.max_bounces)
+    if cfg.keep_history:
+        h_p0, h_p1, h_state, h_alive = ys
+    else:
+        h_p0 = h_p1 = h_state = h_alive = None
+    return TraceResult(
+        rays=final, history_p0=h_p0, history_p1=h_p1, history_state=h_state,
+        history_alive=h_alive, n_bounces=cfg.max_bounces,
+    )

@@ -1,0 +1,89 @@
+"""Optical material dispersion models: callables wavelength[nm] -> n.
+
+Port-parity with /root/reference/tfrt/materials.py (Sellmeier / polynomial
+curves from refractiveindex.info; same coefficients, same nm convention).
+``reflective`` returns n = 0, the mirror sentinel consumed by Snell's law
+(geometry.py:574-576 in the reference; ops/geometry.py here).
+
+A material is any callable ``n(wavelength)``; the trace engine evaluates the
+whole material list against every ray's wavelength and gathers by per-surface
+material index (reference operation.py:260-272).  ``material_index_lookup``
+implements that gather as a single stacked take, which XLA fuses.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def build_constant_material(n):
+    """Material with a constant refractive index (materials.py:25-46)."""
+    return lambda x: n * jnp.ones_like(x)
+
+
+def acrylic(x):
+    return jnp.sqrt(
+        2.1778
+        + 6.1209e-9 * x ** 2
+        - 1.5004e-15 * x ** 4
+        + 2.3678e4 * x ** -2
+        - 4.2137e9 * x ** -4
+        + 7.3417e14 * x ** -6
+        - 4.5042e19 * x ** -8
+    )
+
+
+def crown_glass(x):
+    return jnp.sqrt(
+        1
+        + 1.1273555e0 * x ** 2 / (x ** 2 - 7.20341707e3)
+        + 1.24412303e-1 * x ** 2 / (x ** 2 - 2.69835916e4)
+        + 8.27100531e-1 * x ** 2 / (x ** 2 - 1.00384588e8)
+    )
+
+
+def flint_glass(x):
+    return jnp.sqrt(
+        1
+        + 1.34533359e0 * x ** 2 / (x ** 2 - 9.97743871e3)
+        + 2.09073176e-1 * x ** 2 / (x ** 2 - 4.70450767e4)
+        + 9.37357162e-1 * x ** 2 / (x ** 2 - 1.11886764e8)
+    )
+
+
+def fused_silica(x):
+    return jnp.sqrt(
+        1
+        + 6.961663e-1 * x ** 2 / (x ** 2 - 4.679148e3)
+        + 4.079426e-1 * x ** 2 / (x ** 2 - 1.3512063e4)
+        + 8.974794e-1 * x ** 2 / (x ** 2 - 9.7934002538e7)
+    )
+
+
+def polycarbonate(x):
+    return jnp.sqrt(1 + 1.4182e0 * x ** 2 / (x ** 2 - 2.1304e4))
+
+
+def reflective(x):
+    """Mirror sentinel: n = 0 selects the reflection branch in Snell's law."""
+    return jnp.zeros_like(x)
+
+
+def soda_lime(x):
+    return 1.5130e0 - 3.169e-9 * x ** 2 + 3.962e3 * x ** -2
+
+
+def vacuum(x):
+    return jnp.ones_like(x)
+
+
+def material_index_lookup(materials, wavelength, mat_idx):
+    """Per-ray refractive index from a material list and per-ray indices.
+
+    ``materials`` is a Python list of K callables (static); ``wavelength`` is
+    ``(N,)``; ``mat_idx`` is ``(N,)`` int.  Evaluates all K curves on the
+    wavelengths (K is tiny: <10) and gathers -- the TPU-native equivalent of
+    the reference's stack + gather_nd (operation.py:265-272).
+    """
+    n_stack = jnp.stack([m(wavelength) for m in materials], axis=0)  # (K, N)
+    return jnp.take_along_axis(n_stack, mat_idx[None, :], axis=0)[0]
