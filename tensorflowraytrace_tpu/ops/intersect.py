@@ -114,7 +114,7 @@ def _chunked_search(p0, p1, surf_arrays, chunk_fn, n_surf, surf_chunk, ray_block
             rows = jnp.arange(b)
             c_u = u[rows, c_arg]
             c_extra = extra[rows, c_arg] if extra is not None else None
-            c_idx = chunk_i * surf_chunk + c_arg
+            c_idx = (chunk_i * surf_chunk + c_arg).astype(jnp.int32)
             better = c_u < best_u
             best_u = jnp.where(better, c_u, best_u)
             best_idx = jnp.where(better, c_idx, best_idx)

@@ -1,0 +1,320 @@
+"""Trace-engine tests: the golden-value and E2E coverage the reference never
+had (SURVEY.md section 4 'rebuild consequence')."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflowraytrace_tpu import (
+    ACTIVE, DEAD, FINISHED, STOPPED,
+    ArcSet, RaySet, Scene2D, Scene3D, SegmentSet, TraceConfig, TriangleSet, trace,
+)
+from tensorflowraytrace_tpu.engine import project_2d, project_3d, single_pass
+from tensorflowraytrace_tpu.operations import annotate_oldest_ancestor, ghost_through
+from tensorflowraytrace_tpu.ops import materials as mats
+
+PI = math.pi
+F64 = jnp.float64
+
+
+def make_rays_2d(starts, ends, wavelength=500.0, **kw):
+    return RaySet.make(jnp.asarray(starts, F64), jnp.asarray(ends, F64),
+                       wavelength, dtype=F64, **kw)
+
+
+# ----------------------------------------------------------------------
+# 2D: segments only
+# ----------------------------------------------------------------------
+
+def two_mirror_scene():
+    """Vertical mirror at x=1 (optical, reflective), target plane at x=-1."""
+    mirror = SegmentSet.make([[1.0, -5.0]], [[1.0, 5.0]], mat_in=1, mat_out=0,
+                             dtype=F64)
+    target = SegmentSet.make([[-1.0, -5.0]], [[-1.0, 5.0]], dtype=F64)
+    return Scene2D.build(optical_segments=[mirror], target_segments=[target])
+
+
+def test_2d_mirror_bounce_to_target():
+    scene = two_mirror_scene()
+    rays = make_rays_2d([[0.0, 0.0]], [[1.0, 0.5]])  # toward mirror, upward
+    materials = [mats.vacuum, mats.reflective]
+    cfg = TraceConfig(max_bounces=3, new_ray_length=1.0)
+    res = trace(rays, scene, materials, cfg)
+    assert int(res.rays.state[0]) == FINISHED
+    # hit mirror at (1, 0.5), reflect to -x, hit target at (-1, 1.5)
+    np.testing.assert_allclose(np.asarray(res.rays.p0[0]), [1.0, 0.5], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(res.rays.p1[0]), [-1.0, 1.5], atol=1e-9)
+
+
+def test_2d_miss_goes_dead_with_stretch():
+    scene = two_mirror_scene()
+    rays = make_rays_2d([[0.0, 0.0]], [[0.0, 1.0]])  # straight up, misses all
+    cfg = TraceConfig(max_bounces=2, dead_ray_length=10.0,
+                      refractive_index_type="value")
+    scene2 = Scene2D(
+        segments=SegmentSet.make(
+            scene.segments.p0, scene.segments.p1,
+            category=scene.segments.category,
+            fields={"n_in": jnp.zeros(2, F64), "n_out": jnp.ones(2, F64)},
+            dtype=F64,
+        ),
+        arcs=None,
+    )
+    res = trace(rays, scene2, None, cfg)
+    assert int(res.rays.state[0]) == DEAD
+    np.testing.assert_allclose(np.asarray(res.rays.p1[0]), [0.0, 10.0], atol=1e-9)
+
+
+def test_2d_stop_surface():
+    mirror = SegmentSet.make([[1.0, -5.0]], [[1.0, 5.0]], mat_in=1, mat_out=0,
+                             dtype=F64)
+    stop = SegmentSet.make([[0.5, -5.0]], [[0.5, 5.0]], dtype=F64)
+    scene = Scene2D.build(optical_segments=[mirror], stop_segments=[stop])
+    rays = make_rays_2d([[0.0, 0.0]], [[1.0, 0.0]])
+    res = trace(rays, scene, [mats.vacuum, mats.reflective], TraceConfig(max_bounces=2))
+    assert int(res.rays.state[0]) == STOPPED
+    np.testing.assert_allclose(np.asarray(res.rays.p1[0]), [0.5, 0.0], atol=1e-9)
+
+
+def test_2d_nearest_hit_chooses_closer_segment():
+    """Two parallel optical mirrors; the ray must hit the nearer one."""
+    near = SegmentSet.make([[0.6, -5.0]], [[0.6, 5.0]], mat_in=1, dtype=F64)
+    far = SegmentSet.make([[2.0, -5.0]], [[2.0, 5.0]], mat_in=1, dtype=F64)
+    scene = Scene2D.build(optical_segments=[far, near])  # order shuffled on purpose
+    rays = make_rays_2d([[0.0, 0.0]], [[1.0, 0.0]])
+    proj = project_2d(rays, scene, [mats.vacuum, mats.reflective],
+                      TraceConfig())
+    assert bool(proj.hit_valid[0])
+    np.testing.assert_allclose(float(proj.point[0, 0]), 0.6, atol=1e-9)
+
+
+# ----------------------------------------------------------------------
+# 2D: arcs & refraction
+# ----------------------------------------------------------------------
+
+def test_2d_arc_intersection_and_norm():
+    """Ray hits a full-circle arc; hit point on circle, norm radial."""
+    arc = ArcSet.make([[2.0, 0.0]], -PI, PI, 1.0, mat_in=1, mat_out=0, dtype=F64)
+    scene = Scene2D.build(optical_arcs=[arc])
+    rays = make_rays_2d([[0.0, 0.0]], [[1.0, 0.0]])
+    proj = project_2d(rays, scene, [mats.vacuum, mats.build_constant_material(1.5)],
+                      TraceConfig())
+    assert bool(proj.hit_valid[0])
+    # nearest intersection with the circle is at x=1 (left rim)
+    np.testing.assert_allclose(np.asarray(proj.point[0]), [1.0, 0.0], atol=1e-9)
+    # norm at angle pi (pointing toward -x)
+    np.testing.assert_allclose(abs(float(proj.norm[0])), PI, atol=1e-9)
+
+
+def test_2d_arc_angular_window_excludes():
+    """Arc spanning only the right half of the circle: a ray aimed at the
+    left rim passes through the gap and hits the right rim from inside."""
+    arc = ArcSet.make([[2.0, 0.0]], -PI / 2, PI / 2, 1.0, mat_in=1, dtype=F64)
+    scene = Scene2D.build(optical_arcs=[arc])
+    rays = make_rays_2d([[0.0, 0.0]], [[1.0, 0.0]])
+    proj = project_2d(rays, scene, [mats.vacuum, mats.reflective], TraceConfig())
+    assert bool(proj.hit_valid[0])
+    np.testing.assert_allclose(np.asarray(proj.point[0]), [3.0, 0.0], atol=1e-9)
+
+
+def test_2d_refraction_through_arc_snell():
+    """Plano lens surface: refraction angle obeys Snell at an arc."""
+    # circle centered at origin radius 1, glass inside (n_in behind norm)
+    arc = ArcSet.make([[0.0, 0.0]], -PI, PI, 1.0, mat_in=1, mat_out=0, dtype=F64)
+    target = SegmentSet.make([[-10.0, -50.0]], [[-10.0, 50.0]], dtype=F64)
+    scene = Scene2D.build(optical_arcs=[arc], target_segments=[target])
+    # ray hits the circle at 30 degrees off-axis
+    t = PI / 6
+    start = jnp.asarray([[2.0, math.sin(t)]], F64)
+    end = jnp.asarray([[0.0, math.sin(t)]], F64)
+    rays = RaySet.make(start, end, 500.0, dtype=F64)
+    n_glass = 1.5
+    res = trace(rays, scene, [mats.vacuum, mats.build_constant_material(n_glass)],
+                TraceConfig(max_bounces=1))
+    # after 1 bounce the ray is refracted inside the glass
+    d = np.array(res.rays.p1[0] - res.rays.p0[0])
+    # incidence angle at the hit: surface normal is radial
+    hit = np.asarray(res.rays.p0[0])
+    norm = hit / np.linalg.norm(hit)
+    cos_t2 = abs(d @ norm) / np.linalg.norm(d)
+    sin_t1 = abs((-1.0) * norm[1] - 0.0 * norm[0])  # 2D cross product z-component
+    sin_t2 = math.sqrt(1 - cos_t2 ** 2)
+    np.testing.assert_allclose(1.0 * sin_t1, n_glass * sin_t2, atol=1e-9)
+
+
+def test_2d_seg_or_arc_resolution():
+    """A segment in front of an arc: the segment must win."""
+    seg = SegmentSet.make([[0.5, -5.0]], [[0.5, 5.0]], mat_in=1, dtype=F64)
+    arc = ArcSet.make([[2.0, 0.0]], -PI, PI, 1.0, mat_in=1, dtype=F64)
+    scene = Scene2D.build(optical_segments=[seg], optical_arcs=[arc])
+    rays = make_rays_2d([[0.0, 0.0]], [[1.0, 0.0]])
+    proj = project_2d(rays, scene, [mats.vacuum, mats.reflective], TraceConfig())
+    np.testing.assert_allclose(float(proj.point[0, 0]), 0.5, atol=1e-9)
+
+
+# ----------------------------------------------------------------------
+# 3D
+# ----------------------------------------------------------------------
+
+def quad(x, half, **kw):
+    """Two triangles forming a square of half-size `half` in the y-z plane at x."""
+    vp = [[x, -half, -half], [x, half, half]]
+    v1 = [[x, half, -half], [x, -half, half]]
+    v2 = [[x, half, half], [x, -half, -half]]
+    return TriangleSet.make(jnp.asarray(vp, F64), jnp.asarray(v1, F64),
+                            jnp.asarray(v2, F64), dtype=F64, **kw)
+
+
+def test_3d_mirror_bounce_to_target():
+    mirror = quad(1.0, 5.0, mat_in=1, mat_out=0)
+    target = quad(-1.0, 50.0)
+    scene = Scene3D.build(optical=[mirror], targets=[target])
+    rays = RaySet.make(jnp.asarray([[0.0, 0.0, 0.0]], F64),
+                       jnp.asarray([[1.0, 0.3, 0.2]], F64), 500.0, dtype=F64)
+    res = trace(rays, scene, [mats.vacuum, mats.reflective],
+                TraceConfig(max_bounces=3))
+    assert int(res.rays.state[0]) == FINISHED
+    np.testing.assert_allclose(np.asarray(res.rays.p0[0]), [1.0, 0.3, 0.2], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(res.rays.p1[0]), [-1.0, 0.9, 0.6], atol=1e-9)
+
+
+def test_3d_nearest_of_many(rng):
+    """Stack of parallel quads; every ray must hit the closest one."""
+    quads = [quad(float(x), 5.0, mat_in=1) for x in [3.0, 1.0, 2.0, 1.5]]
+    scene = Scene3D.build(optical=quads)
+    n = 33  # deliberately not a multiple of the surface chunk
+    starts = np.zeros((n, 3))
+    starts[:, 1] = rng.uniform(-1, 1, n)
+    ends = starts + np.array([1.0, 0.0, 0.0])
+    rays = RaySet.make(jnp.asarray(starts, F64), jnp.asarray(ends, F64),
+                       500.0, dtype=F64)
+    proj = project_3d(rays, scene, [mats.vacuum, mats.reflective],
+                      TraceConfig(surf_chunk=3))
+    assert bool(jnp.all(proj.hit_valid))
+    np.testing.assert_allclose(np.asarray(proj.point[:, 0]), 1.0, atol=1e-9)
+
+
+def test_3d_refraction_snells_law():
+    """Flat glass interface: vector Snell through the full engine."""
+    glass = quad(1.0, 50.0, mat_in=1, mat_out=0)  # face normal +x (glass behind)
+    target = quad(-5.0, 500.0)
+    scene = Scene3D.build(optical=[glass], targets=[target])
+    t1 = PI / 6
+    # ray arrives from the normal side (vacuum), external incidence t1
+    rays = RaySet.make(
+        jnp.asarray([[1.0 + math.cos(t1), -math.sin(t1), 0.0]], F64),
+        jnp.asarray([[1.0, 0.0, 0.0]], F64), 500.0, dtype=F64)
+    n_glass = 1.5
+    res = trace(rays, scene, [mats.vacuum, mats.build_constant_material(n_glass)],
+                TraceConfig(max_bounces=1))
+    d = np.array(res.rays.p1[0] - res.rays.p0[0])
+    d /= np.linalg.norm(d)
+    sin_t2 = math.hypot(d[1], d[2])
+    np.testing.assert_allclose(math.sin(t1), n_glass * sin_t2, atol=1e-9)
+
+
+def test_ghost_through_reaction():
+    glass = quad(1.0, 50.0, mat_in=1, mat_out=0)
+    target = quad(3.0, 500.0)
+    scene = Scene3D.build(optical=[glass], targets=[target])
+    rays = RaySet.make(jnp.asarray([[0.0, 0.5, 0.5]], F64),
+                       jnp.asarray([[1.0, 1.0, 1.0]], F64), 500.0, dtype=F64)
+    res = trace(rays, scene, [mats.vacuum, mats.vacuum],
+                TraceConfig(max_bounces=2), reaction=ghost_through)
+    assert int(res.rays.state[0]) == FINISHED
+    # direction never changed
+    d = np.array(res.rays.p1[0] - res.rays.p0[0])
+    d /= np.linalg.norm(d)
+    expected = np.array([1.0, 0.5, 0.5])
+    expected /= np.linalg.norm(expected)
+    np.testing.assert_allclose(d, expected, atol=1e-9)
+
+
+# ----------------------------------------------------------------------
+# slot semantics: inheritance, history, gradients
+# ----------------------------------------------------------------------
+
+def test_field_inheritance_rides_slot():
+    scene = two_mirror_scene()
+    rays = make_rays_2d([[0.0, 0.0], [0.0, 1.0]], [[1.0, 0.5], [1.0, 1.5]],
+                        fields={"rank": jnp.asarray([0.25, 0.75], F64)})
+    rays = annotate_oldest_ancestor(rays)
+    res = trace(rays, scene, [mats.vacuum, mats.reflective], TraceConfig(max_bounces=3))
+    np.testing.assert_allclose(np.asarray(res.rays.fields["rank"]), [0.25, 0.75])
+    np.testing.assert_array_equal(np.asarray(res.rays.fields["oldest_ancestor"]), [0, 1])
+    assert int(res.rays.state[0]) == FINISHED
+
+
+def test_history_reconstructs_path():
+    scene = two_mirror_scene()
+    rays = make_rays_2d([[0.0, 0.0]], [[1.0, 0.5]])
+    res = trace(rays, scene, [mats.vacuum, mats.reflective],
+                TraceConfig(max_bounces=3, keep_history=True))
+    assert res.history_p0.shape == (3, 1, 2)
+    # bounce 0: source ray projected onto the mirror, still active
+    np.testing.assert_allclose(np.asarray(res.history_p0[0, 0]), [0.0, 0.0])
+    np.testing.assert_allclose(np.asarray(res.history_p1[0, 0]), [1.0, 0.5])
+    assert int(res.history_state[0, 0]) == ACTIVE
+    assert bool(res.history_alive[0, 0])
+    # bounce 1: reflected ray lands on the target, finished
+    np.testing.assert_allclose(np.asarray(res.history_p0[1, 0]), [1.0, 0.5])
+    np.testing.assert_allclose(np.asarray(res.history_p1[1, 0]), [-1.0, 1.5])
+    assert int(res.history_state[1, 0]) == FINISHED
+    # bounce 2: slot frozen, not alive
+    assert not bool(res.history_alive[2, 0])
+
+
+def test_trace_is_jittable_and_differentiable():
+    """Gradient of a landing-position loss w.r.t. mirror position is correct:
+    moving the mirror at x=m moves the landing y by 2*dm*slope."""
+    materials = (mats.vacuum, mats.reflective)
+    cfg = TraceConfig(max_bounces=3)
+
+    def loss(mirror_x):
+        mirror = SegmentSet.make(
+            jnp.stack([jnp.stack([mirror_x, jnp.asarray(-5.0, F64)])]),
+            jnp.stack([jnp.stack([mirror_x, jnp.asarray(5.0, F64)])]),
+            mat_in=1, dtype=F64)
+        target = SegmentSet.make([[-1.0, -50.0]], [[-1.0, 50.0]], dtype=F64)
+        scene = Scene2D.build(optical_segments=[mirror], target_segments=[target])
+        rays = make_rays_2d([[0.0, 0.0]], [[1.0, 0.5]])
+        res = trace(rays, scene, materials, cfg)
+        return res.rays.p1[0, 1]  # landing y on the target
+
+    loss_j = jax.jit(loss)
+    m = jnp.asarray(1.0, F64)
+    y0 = float(loss_j(m))
+    # geometry: y_land = slope * (2m + 1) with slope 0.5
+    np.testing.assert_allclose(y0, 1.5, atol=1e-9)
+    g = jax.grad(loss)(m)
+    np.testing.assert_allclose(float(g), 1.0, atol=1e-8)  # d/dm [0.5(2m+1)] = 1
+
+
+def test_trace_3d_gradient_through_vertices():
+    """Finite-difference check of d(landing)/d(mirror tilt) in 3D."""
+    materials = (mats.vacuum, mats.reflective)
+    cfg = TraceConfig(max_bounces=2)
+
+    def loss(tilt):
+        # mirror quad at x=1 tilted by `tilt` around the y axis
+        vp = jnp.asarray([[1.0, -5.0, -5.0], [1.0, 5.0, 5.0]], F64)
+        v1 = jnp.asarray([[1.0, 5.0, -5.0], [1.0, -5.0, 5.0]], F64)
+        v2 = jnp.asarray([[1.0, 5.0, 5.0], [1.0, -5.0, -5.0]], F64)
+        shift = jnp.stack([tilt * vp[:, 2], jnp.zeros(2, F64), jnp.zeros(2, F64)], axis=1)
+        mirror = TriangleSet.make(vp + shift, v1 + jnp.stack(
+            [tilt * v1[:, 2], jnp.zeros(2, F64), jnp.zeros(2, F64)], axis=1),
+            v2 + jnp.stack([tilt * v2[:, 2], jnp.zeros(2, F64), jnp.zeros(2, F64)],
+                           axis=1), mat_in=1, dtype=F64)
+        target = quad(-1.0, 500.0)
+        scene = Scene3D.build(optical=[mirror], targets=[target])
+        rays = RaySet.make(jnp.asarray([[0.0, 0.0, 0.1]], F64),
+                           jnp.asarray([[1.0, 0.0, 0.1]], F64), 500.0, dtype=F64)
+        res = trace(rays, scene, materials, cfg)
+        return res.rays.p1[0, 2]  # landing z
+
+    g = float(jax.grad(loss)(jnp.asarray(0.0, F64)))
+    eps = 1e-6
+    fd = (float(loss(jnp.asarray(eps, F64))) - float(loss(jnp.asarray(-eps, F64)))) / (2 * eps)
+    np.testing.assert_allclose(g, fd, rtol=1e-5)
