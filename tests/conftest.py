@@ -9,7 +9,9 @@ placement.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The image's axon sitecustomize exports JAX_PLATFORMS=axon (TPU tunnel);
+# tests must run locally on CPU, so override rather than setdefault.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +20,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize re-registers the TPU platform no matter what the env
+# says; pin the runtime platform list to cpu post-import as well.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
