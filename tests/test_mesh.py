@@ -1,0 +1,213 @@
+"""Mesh-layer tests: generators, graph tools, STL I/O."""
+
+import math
+
+import numpy as np
+import pytest
+
+from tensorflowraytrace_tpu.models import mesh as mt
+
+PI = math.pi
+
+
+def euler_characteristic(m: mt.TriMesh) -> int:
+    return m.n_points - len(m.unique_edges()) + m.n_faces
+
+
+# ----------------------------------------------------------------------
+# generators
+# ----------------------------------------------------------------------
+
+def test_circular_mesh_disk_topology():
+    m = mt.circular_mesh(1.0, 0.25)
+    # disk: V - E + F = 1
+    assert euler_characteristic(m) == 1
+    r = np.linalg.norm(m.points[:, :2], axis=1)
+    assert r.max() == pytest.approx(1.0)
+    # all normals +z
+    assert (m.face_normals()[:, 2] > 0).all()
+
+
+def test_circular_mesh_wedge():
+    m = mt.circular_mesh(1.0, 0.2, theta_start=0.0, theta_end=PI / 3)
+    assert euler_characteristic(m) == 1
+    angles = np.arctan2(m.points[:, 1], m.points[:, 0])
+    interior = np.linalg.norm(m.points[:, :2], axis=1) > 1e-9
+    assert angles[interior].min() >= -1e-9
+    assert angles[interior].max() <= PI / 3 + 1e-9
+    assert (m.face_normals()[:, 2] > 0).all()
+
+
+def test_circular_mesh_annulus():
+    m = mt.circular_mesh(2.0, 0.3, starting_radius=1.0)
+    # annulus: V - E + F = 0
+    assert euler_characteristic(m) == 0
+    r = np.linalg.norm(m.points[:, :2], axis=1)
+    assert r.min() == pytest.approx(1.0)
+    assert (m.face_normals()[:, 2] > 0).all()
+
+
+def test_circular_mesh_edge_uniformity():
+    """Triangle edges should be near the target size (quality target of
+    mesh_tools.circular_mesh)."""
+    m = mt.circular_mesh(1.0, 0.2)
+    e = m.unique_edges()
+    lengths = np.linalg.norm(m.points[e[:, 0]] - m.points[e[:, 1]], axis=1)
+    assert 0.08 < lengths.min() and lengths.max() < 0.35
+
+
+def test_hexagonal_mesh_equilateral():
+    m = mt.hexagonal_mesh(radius=1.0, step_count=4)
+    assert euler_characteristic(m) == 1
+    assert m.n_points == 1 + 6 * (1 + 2 + 3 + 4)
+    assert m.n_faces == 6 * 4 ** 2
+    e = m.unique_edges()
+    lengths = np.linalg.norm(m.points[e[:, 0]] - m.points[e[:, 1]], axis=1)
+    np.testing.assert_allclose(lengths, 0.25, atol=1e-9)
+    assert (m.face_normals()[:, 2] > 0).all()
+
+
+def test_cylindrical_mesh_closed():
+    m = mt.cylindrical_mesh((0, 0, 0), (0, 0, 3), radius=0.5, theta_res=8,
+                            z_res=5)
+    # closed surface (sphere topology): V - E + F = 2
+    assert euler_characteristic(m) == 2
+    # normals point outward
+    centers = m.points[m.faces].mean(axis=1)
+    radial = centers - np.array([0.0, 0.0, 1.0]) * np.clip(centers[:, 2:], 0, 3)
+    side = np.abs(centers[:, 2] - 1.5) < 1.4
+    n = m.face_normals()
+    outward = (n[side] * radial[side]).sum(axis=1)
+    assert (outward > 0).all()
+
+
+def test_cylindrical_mesh_open_and_twist():
+    m = mt.cylindrical_mesh((0, 0, 0), (0, 0, 1), radius=1.0, theta_res=6,
+                            z_res=4, start_cap=False, end_cap=False,
+                            use_twist=True)
+    # open tube: V - E + F = 0
+    assert euler_characteristic(m) == 0
+    assert m.n_points == 6 * 4
+
+
+# ----------------------------------------------------------------------
+# graph tools
+# ----------------------------------------------------------------------
+
+def test_find_generations_cover_and_order():
+    m = mt.hexagonal_mesh(1.0, 3)
+    top = mt.get_closest_point(m, (0, 0, 0))
+    gens = mt.find_generations(m, top)
+    all_v = set()
+    for g in gens:
+        assert not (g & all_v)
+        all_v |= g
+    assert all_v == set(range(m.n_points))
+    assert gens[0] == {top}
+    # hexagonal rings: generation k has 6k vertices
+    assert [len(g) for g in gens] == [1, 6, 12, 18]
+
+
+def test_parametrization_tools_properties():
+    m = mt.hexagonal_mesh(1.0, 3)
+    top = mt.get_closest_point(m, (0, 0, 0))
+    update_map, acc = mt.mesh_parametrization_tools(m, top)
+    assert update_map.shape == (m.n_faces, 3)
+    assert update_map.dtype == bool
+    # every face may move at least one vertex
+    assert update_map.any(axis=1).all()
+    # accumulator: square, diagonal >= 1, non-negative
+    assert acc.shape == (m.n_points, m.n_points)
+    assert (np.diag(acc) >= 1).all()
+    assert (acc >= 0).all()
+    # the top parent is an ancestor of everything: its column is positive
+    # for all connected vertices (plus itself)
+    assert (acc[:, top] > 0).sum() == m.n_points
+    # moving only the top parent's gradient drags every vertex
+    g = np.zeros(m.n_points)
+    g[top] = 1.0
+    assert (acc @ g > 0).all()
+
+
+def test_parametrization_active_vertices_subset():
+    m = mt.hexagonal_mesh(1.0, 2)
+    top = mt.get_closest_point(m, (0, 0, 0))
+    active = list(range(0, m.n_points, 2))
+    _, acc = mt.mesh_parametrization_tools(m, top, active_vertices=active)
+    assert acc.shape == (len(active), len(active))
+
+
+def test_smoothing_tool_rows_normalized():
+    m = mt.hexagonal_mesh(1.0, 3)
+    w = mt.gaussian_weights(1.0, 3)
+    s = mt.mesh_smoothing_tool(m, w)
+    np.testing.assert_allclose(s.sum(axis=1), 1.0, atol=1e-12)
+    # smoothing a constant field is the identity on it
+    np.testing.assert_allclose(s @ np.ones(m.n_points), 1.0, atol=1e-12)
+    # smoothing reduces variance of a random field
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=m.n_points)
+    assert np.var(s @ x) < np.var(x)
+
+
+def test_get_flat_initial():
+    m = mt.hexagonal_mesh(1.0, 2)
+    m.points[:, 2] = np.arange(m.n_points, dtype=np.float64)
+    init = mt.get_flat_initial(m, axis=2)
+    np.testing.assert_allclose(m.points[:, 2], 0.0)
+    np.testing.assert_allclose(init, np.arange(m.n_points))
+
+
+# ----------------------------------------------------------------------
+# clean / remesh / io
+# ----------------------------------------------------------------------
+
+def test_clean_mesh_dedups():
+    pts = np.asarray([
+        [0, 0, 0], [1, 0, 0], [0, 1, 0],
+        [1e-9, 0, 0],          # duplicate of vertex 0
+        [1, 1, 0],
+    ], dtype=np.float64)
+    faces = np.asarray([
+        [0, 1, 2],
+        [3, 1, 2],   # duplicate face via duplicated vertex
+        [1, 1, 4],   # degenerate
+        [1, 4, 2],
+    ])
+    m = mt.clean_mesh(mt.TriMesh(pts, faces))
+    assert m.n_points == 4
+    assert m.n_faces == 2
+
+
+def test_planar_remesh_recovers_heights():
+    base = mt.hexagonal_mesh(1.0, 5)
+    bumpy = mt.hexagonal_mesh(1.0, 7)
+    bumpy.points[:, 2] = bumpy.points[:, 0] ** 2 + 0.5 * bumpy.points[:, 1]
+    flat, heights = mt.planar_interpolated_remesh(bumpy, base)
+    np.testing.assert_allclose(flat.points[:, 2], 0.0)
+    expected = base.points[:, 0] ** 2 + 0.5 * base.points[:, 1]
+    np.testing.assert_allclose(heights, expected, atol=0.03)
+
+
+def test_stl_roundtrip(tmp_path):
+    m = mt.hexagonal_mesh(1.0, 3)
+    m.points[:, 2] = 0.1 * m.points[:, 0]
+    path = str(tmp_path / "mesh.stl")
+    m.save(path)
+    m2 = mt.TriMesh.read(path)
+    assert m2.n_faces == m.n_faces
+    # vertex sets coincide (order may differ)
+    a = np.asarray(sorted(map(tuple, np.round(m.points, 6))))
+    b = np.asarray(sorted(map(tuple, np.round(m2.points, 6))))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    # face normal sets agree
+    na = np.sort(np.round(m.face_normals(), 4), axis=0)
+    nb = np.sort(np.round(m2.face_normals(), 4), axis=0)
+    np.testing.assert_allclose(na, nb, atol=1e-3)
+
+
+def test_pack_unpack_faces():
+    faces = np.asarray([[0, 1, 2], [2, 3, 0]])
+    packed = mt.pack_faces(faces)
+    np.testing.assert_array_equal(packed, [3, 0, 1, 2, 3, 2, 3, 0])
+    np.testing.assert_array_equal(mt.unpack_faces(packed), faces)
