@@ -1,0 +1,287 @@
+"""Pallas TPU kernels for the N x M nearest-hit search.
+
+This is the hand-written replacement for the reference's dense meshgrid +
+argmin pipeline (engine.py:687-749 / 1102-1166), which materializes
+~10 N x M float tensors in memory -- its memory wall (SURVEY.md section 5,
+"N x M memory wall").  The kernel tiles rays (lanes) x surfaces (sublanes),
+keeps the running (min ray_u, argmin index, any_valid) per ray in the output
+block in VMEM, and never writes an N x M intermediate anywhere.
+
+Contract (same as the XLA search phase in ops/intersect.py):
+    (valid (N,), idx (N,) int32, ray_u (N,)) with idx = nearest surface per
+    ray under the reference's validity pruning.  Non-differentiable by
+    design -- gradients flow through the O(N) refine step instead
+    (ops/intersect.py:refine_*), so no custom VJP is needed.
+
+Grid: (ray_blocks, tri_blocks); the surface dimension iterates fastest and
+accumulates into the same output block (revisited across j), initialized at
+j == 0.  Epsilons are baked in as compile-time constants.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend is optional at import time (CPU tests use interpret)
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+# Ray block on lanes, triangle block on sublanes.
+DEFAULT_RAY_BLOCK = 512
+DEFAULT_TRI_BLOCK = 128
+
+_BIG = 3.0e38  # effectively-inf sentinel that survives float32
+
+
+def _auto_interpret():
+    plat = jax.devices()[0].platform
+    return plat not in ("tpu", "axon")
+
+
+def _vmem_spec(block, index_map):
+    if _HAS_PLTPU:
+        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+    return pl.BlockSpec(block, index_map)
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad == 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad)
+    return jnp.pad(x, cfg)
+
+
+def _triangle_kernel(i_eps, s_eps, r_eps, rays_ref, tris_ref,
+                     u_ref, idx_ref, valid_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        u_ref[...] = jnp.full(u_ref.shape, _BIG, u_ref.dtype)
+        idx_ref[...] = jnp.zeros(idx_ref.shape, idx_ref.dtype)
+        valid_ref[...] = jnp.zeros(valid_ref.shape, valid_ref.dtype)
+
+    r = rays_ref[...]          # (8, BN): rx1 ry1 rz1 rx2 ry2 rz2 pad pad
+    t = tris_ref[...]          # (16, BM): xp yp zp x1 y1 z1 x2 y2 z2 pad...
+
+    # ray rows broadcast over sublanes (1, BN); triangle cols (BM, 1)
+    rx1 = r[0][None, :]
+    ry1 = r[1][None, :]
+    rz1 = r[2][None, :]
+    a = (r[0] - r[3])[None, :]
+    d = (r[1] - r[4])[None, :]
+    h = (r[2] - r[5])[None, :]
+
+    xp = t[0][:, None]
+    yp = t[1][:, None]
+    zp = t[2][:, None]
+    b = (t[3] - t[0])[:, None]
+    f = (t[4] - t[1])[:, None]
+    k = (t[5] - t[2])[:, None]
+    c = (t[6] - t[0])[:, None]
+    g = (t[7] - t[1])[:, None]
+    l = (t[8] - t[2])[:, None]
+
+    q = rx1 - xp
+    rr = ry1 - yp
+    s = rz1 - zp
+
+    # Cramer's-rule solve (same algebra as ops/geometry.py
+    # raw_line_triangle_intersect, reference geometry.py:300-311)
+    den = a * g * k + b * d * l + c * f * h - a * f * l - b * g * h - c * d * k
+    nu = b * l * rr + c * f * s + g * k * q - b * g * s - c * k * rr - f * l * q
+    ntu = a * g * s + c * h * rr + d * l * q - a * l * rr - c * d * s - g * h * q
+    ntv = a * k * rr + b * d * s + f * h * q - a * f * s - b * h * rr - d * k * q
+
+    ok = jnp.abs(den) >= i_eps
+    inv = 1.0 / jnp.where(ok, den, jnp.ones_like(den))
+    ray_u = nu * inv
+    tu = ntu * inv
+    tv = ntv * inv
+
+    ok = ok & (tu >= -s_eps) & (tv >= -s_eps)
+    ok = ok & (tu + tv <= 1 + s_eps) & (ray_u >= r_eps)
+
+    u = jnp.where(ok, ray_u, _BIG)
+    bu = jnp.min(u, axis=0)                          # (BN,)
+    barg = jnp.argmin(u, axis=0).astype(jnp.int32)   # (BN,)
+    gidx = j * tris_ref.shape[1] + barg
+
+    better = bu < u_ref[0]
+    u_ref[0] = jnp.where(better, bu, u_ref[0])
+    idx_ref[0] = jnp.where(better, gidx, idx_ref[0])
+    valid_ref[0] = valid_ref[0] | jnp.any(ok, axis=0).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("i_eps", "s_eps", "r_eps",
+                                             "ray_block", "tri_block",
+                                             "interpret"))
+def _nearest_hit_triangles_impl(rays8, tris16, i_eps, s_eps, r_eps,
+                                ray_block, tri_block, interpret):
+    n = rays8.shape[1]
+    m = tris16.shape[1]
+    n_pad = -(-n // ray_block) * ray_block
+    m_pad = -(-m // tri_block) * tri_block
+    rays8 = _pad_to(rays8, n_pad, 1)
+    tris16 = _pad_to(tris16, m_pad, 1)
+    grid = (n_pad // ray_block, m_pad // tri_block)
+
+    kernel = functools.partial(_triangle_kernel, i_eps, s_eps, r_eps)
+    u, idx, valid = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            _vmem_spec((8, ray_block), lambda i, j: (0, i)),
+            _vmem_spec((16, tri_block), lambda i, j: (0, j)),
+        ],
+        out_specs=[
+            _vmem_spec((1, ray_block), lambda i, j: (0, i)),
+            _vmem_spec((1, ray_block), lambda i, j: (0, i)),
+            _vmem_spec((1, ray_block), lambda i, j: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), rays8.dtype),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(rays8, tris16)
+    return valid[0, :n] > 0, idx[0, :n], u[0, :n]
+
+
+def nearest_hit_triangles_pallas(p0, p1, tri, intersect_eps, size_eps,
+                                 ray_start_eps, ray_block=DEFAULT_RAY_BLOCK,
+                                 tri_block=DEFAULT_TRI_BLOCK, interpret=None):
+    """Tiled nearest ray-triangle hit.  Returns (valid, idx, ray_u)."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    p0 = jax.lax.stop_gradient(p0)
+    p1 = jax.lax.stop_gradient(p1)
+    dtype = p0.dtype
+    n = p0.shape[0]
+    rays8 = jnp.zeros((8, n), dtype=dtype)
+    rays8 = rays8.at[0:3].set(p0.T).at[3:6].set(p1.T)
+    m = tri.n_surfaces
+    tris16 = jnp.zeros((16, m), dtype=dtype)
+    tris16 = (tris16.at[0:3].set(jax.lax.stop_gradient(tri.vp).T)
+              .at[3:6].set(jax.lax.stop_gradient(tri.v1).T)
+              .at[6:9].set(jax.lax.stop_gradient(tri.v2).T))
+    return _nearest_hit_triangles_impl(
+        rays8, tris16, float(intersect_eps), float(size_eps),
+        float(ray_start_eps), int(ray_block), int(tri_block), bool(interpret),
+    )
+
+
+# ======================================================================
+# 2D segments
+# ======================================================================
+
+def _segment_kernel(i_eps, s_eps, r_eps, rays_ref, segs_ref,
+                    u_ref, idx_ref, valid_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        u_ref[...] = jnp.full(u_ref.shape, _BIG, u_ref.dtype)
+        idx_ref[...] = jnp.zeros(idx_ref.shape, idx_ref.dtype)
+        valid_ref[...] = jnp.zeros(valid_ref.shape, valid_ref.dtype)
+
+    r = rays_ref[...]          # (8, BN): x1s y1s x1e y1e
+    t = segs_ref[...]          # (8, BM): x2s y2s x2e y2e
+
+    x1s = r[0][None, :]
+    y1s = r[1][None, :]
+    dx1 = (r[2] - r[0])[None, :]
+    dy1 = (r[3] - r[1])[None, :]
+
+    x2s = t[0][:, None]
+    y2s = t[1][:, None]
+    dx2 = (t[2] - t[0])[:, None]
+    dy2 = (t[3] - t[1])[:, None]
+
+    den = dx1 * dy2 - dy1 * dx2
+    ok = jnp.abs(den) >= i_eps
+    inv = 1.0 / jnp.where(ok, den, jnp.ones_like(den))
+    ray_u = (dx2 * (y1s - y2s) - dy2 * (x1s - x2s)) * inv
+    seg_u = (dy1 * (x2s - x1s) - dx1 * (y2s - y1s)) * inv
+
+    ok = ok & (seg_u >= -s_eps) & (seg_u <= 1 + s_eps) & (ray_u >= r_eps)
+
+    u = jnp.where(ok, ray_u, _BIG)
+    bu = jnp.min(u, axis=0)
+    barg = jnp.argmin(u, axis=0).astype(jnp.int32)
+    gidx = j * segs_ref.shape[1] + barg
+
+    better = bu < u_ref[0]
+    u_ref[0] = jnp.where(better, bu, u_ref[0])
+    idx_ref[0] = jnp.where(better, gidx, idx_ref[0])
+    valid_ref[0] = valid_ref[0] | jnp.any(ok, axis=0).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("i_eps", "s_eps", "r_eps",
+                                             "ray_block", "seg_block",
+                                             "interpret"))
+def _nearest_hit_segments_impl(rays8, segs8, i_eps, s_eps, r_eps,
+                               ray_block, seg_block, interpret):
+    n = rays8.shape[1]
+    m = segs8.shape[1]
+    n_pad = -(-n // ray_block) * ray_block
+    m_pad = -(-m // seg_block) * seg_block
+    rays8 = _pad_to(rays8, n_pad, 1)
+    segs8 = _pad_to(segs8, m_pad, 1)
+    grid = (n_pad // ray_block, m_pad // seg_block)
+
+    kernel = functools.partial(_segment_kernel, i_eps, s_eps, r_eps)
+    u, idx, valid = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            _vmem_spec((8, ray_block), lambda i, j: (0, i)),
+            _vmem_spec((8, seg_block), lambda i, j: (0, j)),
+        ],
+        out_specs=[
+            _vmem_spec((1, ray_block), lambda i, j: (0, i)),
+            _vmem_spec((1, ray_block), lambda i, j: (0, i)),
+            _vmem_spec((1, ray_block), lambda i, j: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), rays8.dtype),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(rays8, segs8)
+    return valid[0, :n] > 0, idx[0, :n], u[0, :n]
+
+
+def nearest_hit_segments_pallas(p0, p1, seg, intersect_eps, size_eps,
+                                ray_start_eps, ray_block=DEFAULT_RAY_BLOCK,
+                                seg_block=DEFAULT_TRI_BLOCK, interpret=None):
+    """Tiled nearest ray-segment hit.  Returns (valid, idx, ray_u)."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    p0 = jax.lax.stop_gradient(p0)
+    p1 = jax.lax.stop_gradient(p1)
+    dtype = p0.dtype
+    n = p0.shape[0]
+    rays8 = jnp.zeros((8, n), dtype=dtype)
+    rays8 = rays8.at[0:2].set(p0.T).at[2:4].set(p1.T)
+    m = seg.n_surfaces
+    segs8 = jnp.zeros((8, m), dtype=dtype)
+    segs8 = (segs8.at[0:2].set(jax.lax.stop_gradient(seg.p0).T)
+             .at[2:4].set(jax.lax.stop_gradient(seg.p1).T))
+    return _nearest_hit_segments_impl(
+        rays8, segs8, float(intersect_eps), float(size_eps),
+        float(ray_start_eps), int(ray_block), int(seg_block), bool(interpret),
+    )

@@ -1,0 +1,165 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh (the TPU analog
+of multi-node testing without a cluster, SURVEY.md section 4)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorflowraytrace_tpu import (
+    FINISHED, RaySet, Scene3D, TraceConfig, TriangleSet, trace,
+)
+from tensorflowraytrace_tpu.models import boundaries as bd
+from tensorflowraytrace_tpu.models import distributions as dist
+from tensorflowraytrace_tpu.models import mesh as mt
+from tensorflowraytrace_tpu.models import sources as src
+from tensorflowraytrace_tpu.ops import materials as mats
+from tensorflowraytrace_tpu.parallel import sharding as par
+
+PI = math.pi
+F64 = jnp.float64
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def make_scene_and_rays(n):
+    half = 5.0
+    mirror = TriangleSet.make(
+        [[1.0, -half, -half], [1.0, half, half]],
+        [[1.0, half, -half], [1.0, -half, half]],
+        [[1.0, half, half], [1.0, -half, -half]],
+        mat_in=1, dtype=F64)
+    target = TriangleSet.make(
+        [[-1.0, -half * 9, -half * 9], [-1.0, half * 9, half * 9]],
+        [[-1.0, half * 9, -half * 9], [-1.0, -half * 9, half * 9]],
+        [[-1.0, half * 9, half * 9], [-1.0, -half * 9, -half * 9]],
+        dtype=F64)
+    scene = Scene3D.build(optical=[mirror], targets=[target])
+    rng = np.random.default_rng(0)
+    starts = np.zeros((n, 3))
+    starts[:, 1:] = rng.uniform(-1, 1, (n, 2))
+    ends = starts + np.asarray([1.0, 0.1, 0.0])
+    rays = RaySet.make(jnp.asarray(starts, F64), jnp.asarray(ends, F64),
+                       500.0, dtype=F64)
+    return scene, rays
+
+
+def test_parallel_trace_matches_single_device():
+    mesh = par.ray_mesh(8)
+    scene, rays = make_scene_and_rays(16 * 8)
+    materials = (mats.vacuum, mats.reflective)
+    cfg = TraceConfig(max_bounces=3)
+
+    res1 = trace(rays, scene, materials, cfg)
+    rays_sharded = par.shard_rays(rays, mesh)
+    scene_rep = par.replicate(scene, mesh)
+    res8 = par.parallel_trace(rays_sharded, scene_rep, materials, cfg, mesh)
+
+    np.testing.assert_array_equal(np.asarray(res1.rays.state),
+                                  np.asarray(res8.rays.state))
+    np.testing.assert_allclose(np.asarray(res1.rays.p1),
+                               np.asarray(res8.rays.p1), atol=1e-12)
+
+
+def test_parallel_trace_with_history():
+    mesh = par.ray_mesh(8)
+    scene, rays = make_scene_and_rays(8 * 8)
+    materials = (mats.vacuum, mats.reflective)
+    cfg = TraceConfig(max_bounces=2, keep_history=True)
+    res1 = trace(rays, scene, materials, cfg)
+    res8 = par.parallel_trace(par.shard_rays(rays, mesh),
+                              par.replicate(scene, mesh), materials, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(res1.history_p1),
+                               np.asarray(res8.history_p1), atol=1e-12)
+
+
+def test_parallel_value_and_grad_sums_shards():
+    """The sharded loss/grad must equal the single-device computation on the
+    concatenation of all per-device samples."""
+    mesh = par.ray_mesh(8)
+    scene, _ = make_scene_and_rays(8)
+    materials = (mats.vacuum, mats.reflective)
+    cfg = TraceConfig(max_bounces=3)
+
+    def local_loss(params, key):
+        shift = params[0]
+        n = 32
+        p0 = jax.random.uniform(key, (n, 3), F64, -1.0, 1.0) * jnp.asarray(
+            [0.0, 1.0, 1.0], F64)
+        p1 = p0 + jnp.asarray([1.0, 0.0, 0.0], F64)
+        rays = RaySet.make(p0, p1 + shift, 500.0, dtype=F64)
+        res = trace(rays, scene, materials, cfg)
+        fin = res.rays.state == FINISHED
+        return jnp.sum(jnp.where(fin, res.rays.p1[:, 1] ** 2, 0.0))
+
+    params = [jnp.zeros((3,), F64)]
+    key = jax.random.PRNGKey(5)
+    keys = par.split_keys(key, mesh)
+
+    f = par.parallel_value_and_grad(local_loss, mesh)
+    loss8, grads8 = f(params, keys)
+
+    # single-device equivalent: sum over the 8 per-device keys
+    all_keys = jax.random.split(key, 8)
+    loss1 = 0.0
+    grads1 = jnp.zeros((3,), F64)
+    for k in all_keys:
+        l, g = jax.value_and_grad(local_loss)(params, k)
+        loss1 += float(l)
+        grads1 = grads1 + g[0]
+
+    np.testing.assert_allclose(float(loss8), loss1, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(grads8[0]), np.asarray(grads1),
+                               rtol=1e-10)
+
+
+def test_parallel_train_step_runs_and_improves():
+    """Full sharded training step on the simple_3d_optimize problem shape."""
+    mesh = par.ray_mesh(8)
+    sd, mag, osz = 4.0, 2.0, 0.2
+    bp = 4
+    rc = bp * bp
+    base_points = dist.RandomUniformSquare(osz, bp)
+    angles = dist.RandomUniformSphere(PI / 16.0, rc)
+    source = src.AngularSource(3, (-sd, 0.0, 0.0), (1.0, 0.0, 0.0), angles,
+                               base_points, [575.0] * rc, dense=False)
+    zero_mesh = mt.hexagonal_mesh(1.2, 3)
+    pts = zero_mesh.points.copy()
+    zero_mesh.points = np.stack([pts[:, 2], pts[:, 0], pts[:, 1]], axis=1)
+    lens = bd.ParametricMultiTriangleBoundary(
+        zero_mesh, bd.FromVectorVG((1.0, 0.0, 0.0)),
+        [bd.ThicknessConstraint(0.0, "min"), bd.ThicknessConstraint(0.2, "min")],
+        [True, False], material_list=[{"mat_in": 1, "mat_out": 0}] * 2,
+        dtype=F64)
+    half = 50.0
+    target = TriangleSet.make(
+        [[8.0, -half, -half], [8.0, half, half]],
+        [[8.0, half, -half], [8.0, -half, half]],
+        [[8.0, half, half], [8.0, -half, -half]], dtype=F64)
+    materials = (mats.vacuum, mats.acrylic)
+    cfg = TraceConfig(max_bounces=3)
+
+    def local_loss(params, key):
+        surfaces = lens.build(params)
+        scene = Scene3D.build(optical=surfaces, targets=[target])
+        rays = source.sample(key, dtype=F64)
+        res = trace(rays, scene, materials, cfg)
+        fin = res.rays.state == FINISHED
+        out = res.rays.p1[:, 1:]
+        goal = res.rays.fields["rank"] * (-(mag * osz))
+        return jnp.sum(jnp.where(fin, jnp.sum((out - goal) ** 2, axis=1), 0.0))
+
+    step = par.parallel_train_step(local_loss, mesh, learning_rate=2e-4,
+                                   grad_clip=1e-3, momentum=0.8)
+    params = lens.init_params()
+    velocity = [jnp.zeros_like(p) for p in params]
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        params, velocity, loss = step(params, velocity, par.split_keys(sub, mesh))
+        losses.append(float(loss))
+    assert losses[-1] < 0.7 * max(losses[:5]), losses[:5] + losses[-3:]
