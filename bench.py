@@ -1,0 +1,110 @@
+"""Benchmark: ray-surface intersection throughput of the full trace engine.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md); the driver-set north star
+is 1e8 ray-triangle intersections/s/chip (BASELINE.json:5).  vs_baseline is
+value / 1e8.
+
+Workload: the light-guide-scale trace (BASELINE.json config 5 shape): 2^20
+rays x 4096 triangles x 8 bounces through the full engine (Pallas nearest-hit
+search + differentiable refine + vector Snell) in one jit, so tunnel/dispatch
+latency is amortized inside the device program.  Diagnostics go to stderr;
+stdout carries exactly the one JSON line.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_RAYS = 1 << 20
+N_TRIS = 4096
+BOUNCES = 8
+BASELINE = 1.0e8  # north-star: 1e8 ray-triangle intersections/s/chip
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_workload(dtype):
+    from tensorflowraytrace_tpu import RaySet, Scene3D, TraceConfig, TriangleSet
+    from tensorflowraytrace_tpu.ops import materials as mats
+
+    rng = np.random.default_rng(0)
+
+    # a closed-ish box of reflective triangles around the origin plus a
+    # distant target plane: rays bounce many times (light-guide style)
+    center = rng.uniform(-3, 3, (N_TRIS - 2, 3))
+    vp = center + rng.normal(0, 0.5, center.shape)
+    v1 = center + rng.normal(0, 0.5, center.shape)
+    v2 = center + rng.normal(0, 0.5, center.shape)
+    guide = TriangleSet.make(vp.astype(np.float32), v1.astype(np.float32),
+                             v2.astype(np.float32), mat_in=1, mat_out=0,
+                             dtype=dtype)
+    half = 500.0
+    target = TriangleSet.make(
+        [[50.0, -half, -half], [50.0, half, half]],
+        [[50.0, half, -half], [50.0, -half, half]],
+        [[50.0, half, half], [50.0, -half, -half]], dtype=dtype)
+    scene = Scene3D.build(optical=[guide], targets=[target])
+
+    p0 = rng.uniform(-4, 4, (N_RAYS, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (N_RAYS, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = RaySet.make(jnp.asarray(p0), jnp.asarray(p0 + d), 575.0, dtype=dtype)
+
+    materials = (mats.vacuum, mats.reflective)
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    cfg = TraceConfig(max_bounces=BOUNCES, use_pallas=on_tpu)
+    return rays, scene, materials, cfg
+
+
+def main():
+    from tensorflowraytrace_tpu import trace
+
+    dtype = jnp.float32
+    dev = jax.devices()[0]
+    log(f"device: {dev} platform={dev.platform}")
+
+    rays, scene, materials, cfg = build_workload(dtype)
+
+    @jax.jit
+    def run(rays, scene):
+        res = trace(rays, scene, materials, cfg)
+        # reduce to a scalar so only one value crosses the wire
+        return jnp.sum(res.rays.p1) + jnp.sum(res.rays.state)
+
+    t0 = time.time()
+    out = run(rays, scene)
+    out.block_until_ready()
+    float(out)
+    compile_and_first = time.time() - t0
+    log(f"first call (compile+run): {compile_and_first:.2f}s")
+
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        out = run(rays, scene)
+        float(out)  # host sync each rep (includes tunnel RTT)
+    per_call = (time.time() - t0) / reps
+    intersections = N_RAYS * N_TRIS * BOUNCES
+    rate = intersections / per_call
+    log(f"{per_call * 1e3:.1f} ms per {BOUNCES}-bounce trace of "
+        f"{N_RAYS} rays x {N_TRIS} tris -> {rate / 1e9:.2f} G intersections/s")
+
+    print(json.dumps({
+        "metric": "ray_triangle_intersections_per_sec_per_chip",
+        "value": rate,
+        "unit": "intersections/s",
+        "vs_baseline": rate / BASELINE,
+    }))
+
+
+if __name__ == "__main__":
+    main()
