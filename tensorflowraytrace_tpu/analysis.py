@@ -1,0 +1,190 @@
+"""Analysis / goal utilities: imaging tests and histogram losses.
+
+Reference counterpart: /root/reference/tfrt/analyze.py.
+
+* ``histogram2d`` replaces the reference's tf.map_fn-over-rows histogram
+  (analyze.py:94-130) with a single scatter-add -- one pass, TPU-friendly.
+  Convention kept: y is the first index of the output, x the second
+  (analyze.py:103-106), and out-of-range points clamp into the edge bins
+  (tf.histogram_fixed_width semantics).
+* ``soft_histogram2d`` is a rebuild addition: bilinear-splat binning that is
+  differentiable, so distribution-matching losses can drive gradient descent
+  directly (the reference's hard histogram only works for gradient-free
+  optimization).
+* ``imaging_test`` (analyze.py:9-76) batches trace calls host-side.
+* ``DistributionDifferential`` (analyze.py:134-291) compares a traced point
+  cloud to a goal density, with the same out-of-bounds penalty option.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def histogram2d(x, y, value_range, x_bins=100, y_bins=None, dtype=None,
+                weights=None):
+    """2D histogram by scatter-add.  Returns (y_bins, x_bins) counts with y
+    on axis 0 (reference convention, analyze.py:103-106).  Out-of-range
+    points are clamped into the edge bins (tf.histogram_fixed_width
+    semantics); pass ``weights`` to exclude/weight points."""
+    y_bins = y_bins or x_bins
+    dtype = dtype or jnp.float32
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    (x0, x1), (y0, y1) = value_range
+    xi = jnp.clip(((x - x0) / (x1 - x0) * x_bins).astype(jnp.int32), 0, x_bins - 1)
+    yi = jnp.clip(((y - y0) / (y1 - y0) * y_bins).astype(jnp.int32), 0, y_bins - 1)
+    flat = yi * x_bins + xi
+    w = jnp.ones_like(x, dtype=dtype) if weights is None else weights.astype(dtype)
+    counts = jnp.zeros((y_bins * x_bins,), dtype=dtype).at[flat].add(w)
+    return counts.reshape(y_bins, x_bins)
+
+
+def soft_histogram2d(x, y, value_range, x_bins=100, y_bins=None, weights=None):
+    """Differentiable 2D histogram: each point splats bilinearly onto its 4
+    neighboring bin centers, so d(hist)/d(points) is well-defined.  Use for
+    distribution-matching losses under jax.grad."""
+    y_bins = y_bins or x_bins
+    (x0, x1), (y0, y1) = value_range
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    if weights is None:
+        weights = jnp.ones_like(x)
+
+    # continuous bin coordinates of each point (bin centers at .5 offsets)
+    fx = jnp.clip((x - x0) / (x1 - x0) * x_bins - 0.5, 0.0, x_bins - 1.0)
+    fy = jnp.clip((y - y0) / (y1 - y0) * y_bins - 0.5, 0.0, y_bins - 1.0)
+    ix = jnp.floor(fx).astype(jnp.int32)
+    iy = jnp.floor(fy).astype(jnp.int32)
+    wx = fx - ix
+    wy = fy - iy
+    ix1 = jnp.minimum(ix + 1, x_bins - 1)
+    iy1 = jnp.minimum(iy + 1, y_bins - 1)
+
+    h = jnp.zeros((y_bins * x_bins,), dtype=x.dtype)
+    h = h.at[iy * x_bins + ix].add(weights * (1 - wx) * (1 - wy))
+    h = h.at[iy * x_bins + ix1].add(weights * wx * (1 - wy))
+    h = h.at[iy1 * x_bins + ix].add(weights * (1 - wx) * wy)
+    h = h.at[iy1 * x_bins + ix1].add(weights * wx * wy)
+    return h.reshape(y_bins, x_bins)
+
+
+def inner_product(first, second):
+    """Normalized inner product between two images (analyze.py:80-90)."""
+    first = np.asarray(first, dtype=np.float64)
+    second = np.asarray(second, dtype=np.float64)
+    first = first / np.linalg.norm(first)
+    second = second / np.linalg.norm(second)
+    return float(np.sum(first * second))
+
+
+def imaging_test(get_samples, image_range, batch_count=50, bins=128,
+                 verbose=True, display=False):
+    """Trace many batches of rays and histogram where they land
+    (analyze.py:9-76).  ``get_samples()`` returns (n, 2) landing points;
+    typically it samples a fresh key, traces, and returns the finished rays'
+    (y, z).  Returns (h, xedges, yedges, image)."""
+    image_samples = []
+    for i in range(batch_count):
+        image_samples.append(np.asarray(get_samples()))
+        if verbose:
+            print(f"Sampling step {i}/{batch_count}-{100 * i / batch_count:.2f}%.")
+    samples = np.concatenate(image_samples)
+    if verbose:
+        print(f"final sample shape: {samples.shape}")
+        print(f"total rays traced: {samples.shape[0]}")
+
+    image = None
+    if display:
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(1, 1, figsize=(9, 9))
+        ax.set_aspect("equal")
+        h, xedges, yedges, image = ax.hist2d(
+            samples[:, 0], samples[:, 1], bins=bins, range=image_range
+        )
+        plt.show()
+    else:
+        h, xedges, yedges = np.histogram2d(
+            samples[:, 0], samples[:, 1], bins=bins, range=image_range
+        )
+    return h, xedges, yedges, image
+
+
+class DistributionDifferential:
+    """Squared-difference between a traced point distribution and a goal
+    density (analyze.py:134-291).  Suited to gradient-free optimization with
+    the hard histogram (``soft=False``) or gradient descent with the
+    differentiable splat histogram (``soft=True``, rebuild addition).
+
+    ``oob_penalty``: optional callable distances -> penalties for points
+    outside the domain (same contract as the reference's, analyze.py:146-157).
+    """
+
+    def __init__(self, goal, domain, x_bins=50, y_bins=None, oob_penalty=None,
+                 soft=False):
+        self._x_bins = x_bins
+        self._y_bins = y_bins or x_bins
+        self.soft = soft
+        try:
+            (self._x_start, self._x_end), (self._y_start, self._y_end) = domain
+        except (TypeError, ValueError) as e:
+            raise ValueError(
+                "DistributionDifferential: domain must have shape (2, 2)."
+            ) from e
+        self._domain = ((self._x_start, self._x_end),
+                        (self._y_start, self._y_end))
+
+        if callable(goal):
+            gx = np.linspace(self._x_start, self._x_end, self._x_bins + 1)
+            gy = np.linspace(self._y_start, self._y_end, self._y_bins + 1)
+            gx = (gx[:-1] + gx[1:]) / 2.0
+            gy = (gy[:-1] + gy[1:]) / 2.0
+            gxx, gyy = np.meshgrid(gx, gy)
+            goal = goal(gxx, gyy)
+        goal = jnp.asarray(goal)
+        if goal.ndim != 2:
+            raise ValueError("DistributionDifferential: goal must be 2D.")
+        self._x_bins = goal.shape[1]
+        self._y_bins = goal.shape[0]
+        self._goal = goal / jnp.linalg.norm(goal)
+
+        self._oob_penalty = oob_penalty
+        if oob_penalty is not None:
+            oob_penalty(jnp.zeros(5))  # contract check
+
+    def _distance(self, x, y):
+        cx = (self._x_start + self._x_end) / 2.0
+        cy = (self._y_start + self._y_end) / 2.0
+        return jnp.sqrt((x - cx) ** 2 + (y - cy) ** 2)
+
+    def __call__(self, x, y):
+        x = jnp.asarray(x)
+        y = jnp.asarray(y)
+        penalty = 0.0
+        weights = None
+        if self._oob_penalty is not None:
+            oob = ((x < self._x_start) | (x > self._x_end)
+                   | (y < self._y_start) | (y > self._y_end))
+            d = self._distance(x, y)
+            pen = self._oob_penalty(jnp.where(oob, d, jnp.zeros_like(d)))
+            pen = jnp.where(oob, pen, jnp.zeros_like(pen))
+            n_oob = jnp.maximum(jnp.sum(oob), 1)
+            penalty = jnp.sum(pen) / n_oob
+            # oob points are excluded from the histogram (analyze.py:278-279)
+            weights = (~oob).astype(x.dtype)
+
+        if self.soft:
+            histo = soft_histogram2d(x, y, self._domain, x_bins=self._x_bins,
+                                     y_bins=self._y_bins, weights=weights)
+        else:
+            histo = histogram2d(x, y, self._domain, x_bins=self._x_bins,
+                                y_bins=self._y_bins, weights=weights)
+        histo = histo / jnp.maximum(jnp.linalg.norm(histo), 1e-30)
+        self.saved_histo = histo
+        quality = jnp.sum((histo - self._goal.astype(histo.dtype)) ** 2)
+        return quality + penalty

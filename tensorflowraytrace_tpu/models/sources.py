@@ -317,6 +317,85 @@ class AperatureSource(SourceBase):
         return expanded["start_point"], expanded["end_point"]
 
 
+class PrecompiledSource(SourceBase):
+    """A fully-annotated ray cache with per-step random downsampling and
+    endpoint perturbation (sources.py:1099-1358).
+
+    Build it from a traced/sampled RaySet (``from_rays``), another source, or
+    a pickle file; each ``sample(key)`` draws ``sample_count`` rays with
+    replacement and optionally jitters the start/end points with Gaussian
+    noise -- the reference's scale-by-sampling workflow (SURVEY.md 3.4).
+    """
+
+    def __init__(self, dimension, arg=None, sample_count=100,
+                 do_downsample=True, start_perturbation=None,
+                 end_perturbation=None):
+        super().__init__(dimension, dense=False)
+        import pickle as _pickle
+
+        self.sample_count = sample_count
+        self.do_downsample = do_downsample
+        self.start_perturbation = start_perturbation
+        self.end_perturbation = end_perturbation
+        self._data = None
+        if isinstance(arg, str):
+            with open(arg, "rb") as f:
+                self._data = _pickle.load(f)
+        elif isinstance(arg, RaySet):
+            self.from_rays(arg)
+        elif arg is not None and hasattr(arg, "sample"):
+            self.from_rays(arg.sample(jax.random.PRNGKey(0)))
+
+    def from_rays(self, rays: RaySet):
+        """Ingest a ray set (e.g. re-ingest trace output, the reference's
+        ``from_samples``, sources.py:1174-1181)."""
+        import numpy as np
+
+        self._data = {
+            "p0": np.asarray(rays.p0),
+            "p1": np.asarray(rays.p1),
+            "wavelength": np.asarray(rays.wavelength),
+            "fields": {k: np.asarray(v) for k, v in rays.fields.items()},
+        }
+        return self
+
+    def save(self, filename):
+        import pickle as _pickle
+
+        with open(filename, "wb") as f:
+            _pickle.dump(self._data, f, _pickle.HIGHEST_PROTOCOL)
+
+    def sample(self, key=None, dtype=None) -> RaySet:
+        dtype = resolve_dtype(dtype)
+        if self._data is None:
+            raise ValueError("PrecompiledSource: no ray data loaded")
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        p0 = jnp.asarray(self._data["p0"], dtype=dtype)
+        p1 = jnp.asarray(self._data["p1"], dtype=dtype)
+        wl = jnp.asarray(self._data["wavelength"], dtype=dtype)
+        fields = {k: jnp.asarray(v) for k, v in self._data["fields"].items()}
+
+        k_idx, k_s, k_e = jax.random.split(key, 3)
+        if self.do_downsample:
+            idx = jax.random.randint(k_idx, (self.sample_count,), 0, p0.shape[0])
+            p0 = jnp.take(p0, idx, axis=0)
+            p1 = jnp.take(p1, idx, axis=0)
+            wl = jnp.take(wl, idx, axis=0)
+            fields = {k: jnp.take(v, idx, axis=0) for k, v in fields.items()}
+        if self.start_perturbation is not None:
+            dev = jnp.broadcast_to(
+                jnp.asarray(self.start_perturbation, dtype=dtype),
+                (p0.shape[1],))
+            p0 = p0 + jax.random.normal(k_s, p0.shape, dtype=dtype) * dev
+        if self.end_perturbation is not None:
+            dev = jnp.broadcast_to(
+                jnp.asarray(self.end_perturbation, dtype=dtype),
+                (p1.shape[1],))
+            p1 = p1 + jax.random.normal(k_e, p1.shape, dtype=dtype) * dev
+        return RaySet.make(p0, p1, wl, fields=fields, dtype=dtype)
+
+
 class ManualSource(SourceBase):
     """A do-nothing source filled with explicit ray data
     (sources.py:363-382)."""

@@ -1,0 +1,103 @@
+"""Analysis module tests: histograms, imaging test, distribution differential."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflowraytrace_tpu import analysis
+
+F64 = jnp.float64
+
+
+def test_histogram2d_matches_numpy():
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, 5000)
+    y = rng.uniform(-2, 2, 5000)
+    h = analysis.histogram2d(jnp.asarray(x), jnp.asarray(y),
+                             ((-1, 1), (-2, 2)), x_bins=16, y_bins=8)
+    h_np, _, _ = np.histogram2d(y, x, bins=(8, 16), range=((-2, 2), (-1, 1)))
+    np.testing.assert_allclose(np.asarray(h), h_np)
+
+
+def test_histogram2d_clamps_out_of_range():
+    h = analysis.histogram2d(jnp.asarray([-5.0, 5.0]), jnp.asarray([0.0, 0.0]),
+                             ((-1, 1), (-1, 1)), x_bins=4, y_bins=4)
+    assert float(h[2, 0]) == 1.0  # clamped into left edge bin
+    assert float(h[2, 3]) == 1.0  # clamped into right edge bin
+
+
+def test_soft_histogram_conserves_mass_and_differentiates():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(-0.9, 0.9, 300), F64)
+    y = jnp.asarray(rng.uniform(-0.9, 0.9, 300), F64)
+    h = analysis.soft_histogram2d(x, y, ((-1, 1), (-1, 1)), x_bins=8)
+    np.testing.assert_allclose(float(jnp.sum(h)), 300.0, rtol=1e-12)
+
+    def f(x):
+        h = analysis.soft_histogram2d(x, y, ((-1, 1), (-1, 1)), x_bins=8)
+        return jnp.sum(h[:, :4])  # mass in the left half
+
+    g = jax.grad(f)(x)
+    assert np.any(np.asarray(g) != 0)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_inner_product_normalized():
+    a = np.ones((4, 4))
+    assert analysis.inner_product(a, a) == 1.0
+    b = np.zeros((4, 4))
+    b[0, 0] = 1.0
+    assert 0 < analysis.inner_product(a, b) < 1.0
+
+
+def test_imaging_test_batches():
+    rng = np.random.default_rng(2)
+
+    def get_samples():
+        return rng.normal(0, 0.3, (100, 2))
+
+    h, xe, ye, img = analysis.imaging_test(
+        get_samples, ((-1, 1), (-1, 1)), batch_count=5, bins=16,
+        verbose=False, display=False)
+    assert h.shape == (16, 16)
+    assert h.sum() > 400  # most of the 500 points are in range
+    assert img is None
+
+
+def test_distribution_differential_prefers_matching_cloud():
+    goal = lambda x, y: np.exp(-(x ** 2 + y ** 2) / 0.1)
+    dd = analysis.DistributionDifferential(goal, ((-1.0, 1.0), (-1.0, 1.0)),
+                                           x_bins=16)
+    rng = np.random.default_rng(3)
+    matching = rng.normal(0, 0.22, (4000, 2)).clip(-0.99, 0.99)
+    uniform = rng.uniform(-1, 1, (4000, 2))
+    q_match = float(dd(jnp.asarray(matching[:, 0]), jnp.asarray(matching[:, 1])))
+    q_unif = float(dd(jnp.asarray(uniform[:, 0]), jnp.asarray(uniform[:, 1])))
+    assert q_match < q_unif
+
+
+def test_distribution_differential_oob_penalty():
+    goal = np.ones((8, 8))
+    pen = lambda d: 10.0 * d * d
+    dd = analysis.DistributionDifferential(goal, ((-1.0, 1.0), (-1.0, 1.0)),
+                                           oob_penalty=pen)
+    inside = jnp.asarray(np.random.default_rng(4).uniform(-0.9, 0.9, (100,)))
+    q_in = float(dd(inside, inside))
+    outside = jnp.concatenate([inside, jnp.asarray([5.0, -5.0])])
+    q_out = float(dd(outside, outside))
+    assert q_out > q_in
+
+
+def test_distribution_differential_soft_gradient():
+    goal = lambda x, y: np.exp(-(x ** 2 + y ** 2) / 0.1)
+    dd = analysis.DistributionDifferential(goal, ((-1.0, 1.0), (-1.0, 1.0)),
+                                           x_bins=8, soft=True)
+
+    def f(shift):
+        rng_pts = jnp.asarray(
+            np.random.default_rng(5).normal(0, 0.3, (500, 2)), F64)
+        pts = rng_pts + shift
+        return dd(pts[:, 0], pts[:, 1])
+
+    g = float(jax.grad(f)(jnp.asarray(0.3, F64)))
+    assert np.isfinite(g) and g != 0.0
