@@ -1,0 +1,121 @@
+"""Headless drawing tests (reference style: real mpl artists, no display --
+tests/drawing/conftest.py:7-12)."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import math
+
+import jax.numpy as jnp
+import matplotlib.pyplot as plt
+import numpy as np
+import pytest
+
+from tensorflowraytrace_tpu import RaySet, Scene2D, SegmentSet, TraceConfig, trace
+from tensorflowraytrace_tpu import drawing
+from tensorflowraytrace_tpu.models.mesh import hexagonal_mesh
+from tensorflowraytrace_tpu.models.surfaces import ArcSet, TriangleSet
+from tensorflowraytrace_tpu.ops import materials as mats
+
+F64 = jnp.float64
+PI = math.pi
+
+
+@pytest.fixture
+def ax():
+    fig, ax = plt.subplots()
+    yield ax
+    plt.close(fig)
+
+
+@pytest.fixture
+def ax3d():
+    fig = plt.figure()
+    ax = fig.add_subplot(projection="3d")
+    yield ax
+    plt.close(fig)
+
+
+def test_ray_drawer_2d(ax):
+    rays = RaySet.make([[0.0, 0.0], [1.0, 1.0]], [[1.0, 0.0], [2.0, 2.0]],
+                       [500.0, 600.0], dtype=F64)
+    d = drawing.RayDrawer2D(ax, rays)
+    d.draw()
+    assert len(d._line_collection.get_segments()) == 2
+
+
+def test_ray_drawer_2d_empty(ax):
+    d = drawing.RayDrawer2D(ax, None)
+    d.draw()
+    assert len(d._line_collection.get_segments()) == 0
+
+
+def test_ray_drawer_2d_bad_units(ax):
+    with pytest.raises(ValueError):
+        drawing.RayDrawer2D(ax, None, units="parsec")
+
+
+def test_segment_drawer_with_norms(ax):
+    segs = SegmentSet.make([[0.0, 0.0]], [[1.0, 0.0]], dtype=F64)
+    d = drawing.SegmentDrawer(ax, segs, draw_norm_arrows=True)
+    d.draw()
+    assert len(d._line_collection.get_segments()) == 1
+    assert len(d._arrows) == 1
+
+
+def test_arc_drawer(ax):
+    arcs = ArcSet.make([[0.0, 0.0]], -PI / 2, PI / 2, 1.0, dtype=F64)
+    d = drawing.ArcDrawer(ax, arcs, draw_norm_arrows=True, norm_arrow_count=3)
+    d.draw()
+    assert len(d._patches) == 1
+    assert len(d._arrows) == 3
+    d.draw()  # redraw clears + rebuilds
+    assert len(d._patches) == 1
+
+
+def test_ray_drawer_3d(ax3d):
+    rays = RaySet.make([[0.0, 0.0, 0.0]], [[1.0, 1.0, 1.0]], 500.0, dtype=F64)
+    d = drawing.RayDrawer3D(ax3d, rays)
+    d.draw()
+    assert len(d._collection.get_segments()) == 1
+
+
+def test_triangle_drawer_from_mesh_and_set(ax3d):
+    mesh = hexagonal_mesh(1.0, 2)
+    d = drawing.TriangleDrawer(ax3d, mesh, draw_norm_arrows=True)
+    d.draw()
+    assert d._poly is not None
+
+    ts = TriangleSet.from_vertices_faces(mesh.points, mesh.faces, dtype=F64)
+    d2 = drawing.TriangleDrawer(ax3d, ts)
+    d2.draw()
+    assert d2._poly is not None
+
+
+def test_goal_drawer(ax3d):
+    d = drawing.GoalDrawer3D(ax3d)
+    d.output = np.zeros((5, 3))
+    d.goal = np.ones((5, 3))
+    d.draw()
+    assert d._quiver is not None
+
+
+def test_history_rays_flatten(ax):
+    mirror = SegmentSet.make([[1.0, -5.0]], [[1.0, 5.0]], mat_in=1, dtype=F64)
+    target = SegmentSet.make([[-1.0, -5.0]], [[-1.0, 5.0]], dtype=F64)
+    scene = Scene2D.build(optical_segments=[mirror], target_segments=[target])
+    rays = RaySet.make([[0.0, 0.0]], [[1.0, 0.5]], 500.0, dtype=F64)
+    res = trace(rays, scene, (mats.vacuum, mats.reflective),
+                TraceConfig(max_bounces=3, keep_history=True))
+    flat = drawing.history_rays(res)
+    # the single ray was alive for 2 bounces -> 2 drawable segments
+    assert flat["x_start"].shape == (2,)
+    d = drawing.RayDrawer2D(ax, flat)
+    d.draw()
+    assert len(d._line_collection.get_segments()) == 2
+
+
+def test_disable_key_commands():
+    drawing.disable_figure_key_commands()
+    assert plt.rcParams["keymap.save"] == []
