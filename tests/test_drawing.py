@@ -78,7 +78,8 @@ def test_ray_drawer_3d(ax3d):
     rays = RaySet.make([[0.0, 0.0, 0.0]], [[1.0, 1.0, 1.0]], 500.0, dtype=F64)
     d = drawing.RayDrawer3D(ax3d, rays)
     d.draw()
-    assert len(d._collection.get_segments()) == 1
+    assert np.asarray(d._collection._segments3d).shape == (1, 2, 3)
+    ax3d.figure.canvas.draw()  # renders without error
 
 
 def test_triangle_drawer_from_mesh_and_set(ax3d):
