@@ -1,0 +1,526 @@
+"""Stateful compatibility layer: OpticalSystem2D/3D + OpticalEngine.
+
+Reference counterpart: /root/reference/tfrt/engine.py's object API
+(OpticalSystemBase:146, OpticalSystem2D:254, OpticalSystem3D:871,
+OpticalEngine:1170).  The compute core of this rebuild is functional
+(models/surfaces.py + engine.py); this module wraps it in the reference's
+stateful idiom so existing scripts translate almost one-to-one::
+
+    system = OpticalSystem2D()
+    system.optical_arcs = [my_parametric_arc_or_ArcSet]
+    system.sources = [my_source]
+    system.target_segments = [target_set]
+    system.materials = [{"n": materials.vacuum}, {"n": materials.acrylic}]
+
+    engine = OpticalEngine(2, simple_ray_inheritance={"wavelength"})
+    engine.optical_system = system
+    system.update()
+    engine.validate_system()
+    engine.ray_trace(max_iterations=6)
+    engine.finished_rays  # compacted RaySet
+
+Differences from the reference, by design:
+* Boundary entries may be raw surface sets (SegmentSet/ArcSet/TriangleSet),
+  parametric builders from models/boundaries.py (their ``parameters``
+  attribute is mutable state here, rebuilt on update()), or callables
+  returning a surface set.
+* update() re-samples random sources with a fresh key from the system's
+  internal PRNG stream (replacing TF-eager global randomness).
+* ray_trace runs the static-shape lax.scan trace with history; the
+  active/finished/stopped/dead ray properties (engine.py:1379-1403) are
+  recovered from slot states + history.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflowraytrace_tpu.config import (
+    ACTIVE, DEAD, FINISHED, OPTICAL, STOP, STOPPED, TARGET, resolve_dtype,
+)
+from tensorflowraytrace_tpu.engine import TraceConfig, default_reaction, trace
+from tensorflowraytrace_tpu.models.rays import RaySet, concat_rays
+from tensorflowraytrace_tpu.models.surfaces import (
+    ArcSet, Scene2D, Scene3D, SegmentSet, TriangleSet,
+    concat_arcs, concat_segments, concat_triangles,
+)
+from tensorflowraytrace_tpu.update import RecursivelyUpdatable
+
+
+class ReadOnlySet:
+    """Read-only dict-like view of a field set (engine.py:27-47)."""
+
+    def __init__(self, fields):
+        self._fields = fields
+
+    def __getitem__(self, key):
+        try:
+            return self._fields[key]
+        except KeyError as e:
+            raise KeyError(f"key {key} not in the signature of this set.") from e
+
+    def __bool__(self):
+        return bool(self._fields)
+
+    def keys(self):
+        return self._fields.keys()
+
+
+def amalgamate(stuff, signature=None):
+    """Join a list of indexable field sets into one dict by concatenation on
+    the common (or given) signature (engine.py:50-76)."""
+    processed = [item for item in stuff if bool(item)]
+    if not processed:
+        return {}
+    if not signature:
+        signature = None
+        for item in processed:
+            keys = set(item.keys())
+            signature = keys if signature is None else signature & keys
+    return {
+        field: jnp.concatenate([jnp.asarray(item[field]) for item in processed], 0)
+        for field in signature
+    }
+
+
+def recursive_dict_key_print(dict_in, spacer=""):
+    """Debug printer for nested result dicts (engine.py:80-99)."""
+    if not isinstance(dict_in, dict):
+        return
+    next_spacer = spacer + "    "
+    for key, value in dict_in.items():
+        try:
+            print(spacer, f"{key} : {value.shape}")
+        except AttributeError:
+            print(spacer, key)
+        recursive_dict_key_print(value, next_spacer)
+
+
+def annotation_helper(parent, field, value, valid_shape_field, dtype=None):
+    """Keep ``parent[field]`` annotated with ``value`` broadcast to the shape
+    of ``parent[valid_shape_field]``, re-applied on every update
+    (engine.py:103-142).  ``parent`` must support item assignment and have a
+    ``post_update_handles`` list (e.g. a _BoundaryEntry below)."""
+    if callable(value):
+        def f():
+            shape = jnp.shape(parent[valid_shape_field])
+            parent[field] = value(shape, dtype)
+    else:
+        def f():
+            shape = jnp.shape(parent[valid_shape_field])
+            v = jnp.asarray(value, dtype=dtype) if dtype else jnp.asarray(value)
+            parent[field] = jnp.broadcast_to(v, shape)
+    parent.post_update_handles.append(f)
+    f()
+
+
+class _BoundaryEntry(RecursivelyUpdatable):
+    """Adapter wrapping any boundary flavor into an updatable surface-set
+    holder with extra-field annotation support."""
+
+    def __init__(self, obj, dtype):
+        self._obj = obj
+        self._dtype = dtype
+        self._extra = {}           # extra per-surface fields
+        self._mat_overrides = {}   # mat_in / mat_out reassignments
+        self._set = None
+        super().__init__()
+        self._update()
+
+    def _update(self):
+        import dataclasses
+
+        obj = self._obj
+        if isinstance(obj, (SegmentSet, ArcSet, TriangleSet)):
+            self._set = obj
+        elif hasattr(obj, "build") and hasattr(obj, "init_params"):
+            # parametric builder: attach mutable parameters state
+            if not hasattr(obj, "parameters") or obj.parameters is None:
+                obj.parameters = obj.init_params()
+            self._set = obj.build(obj.parameters)
+        elif callable(obj):
+            self._set = obj()
+        else:
+            raise TypeError(f"cannot interpret boundary object {obj!r}")
+        if isinstance(self._set, list):
+            # multi-boundaries build a list of surface sets; merge them
+            first = self._set[0]
+            if isinstance(first, SegmentSet):
+                self._set = concat_segments(self._set)
+            elif isinstance(first, ArcSet):
+                self._set = concat_arcs(self._set)
+            else:
+                self._set = concat_triangles(self._set)
+        replacements = {}
+        if self._mat_overrides:
+            n = self._set.n_surfaces
+            for key, value in self._mat_overrides.items():
+                replacements[key] = jnp.broadcast_to(
+                    jnp.asarray(value, dtype=jnp.int32), (n,))
+        if self._extra:
+            fields = dict(self._set.fields)
+            fields.update(self._extra)
+            replacements["fields"] = fields
+        if replacements:
+            self._set = dataclasses.replace(self._set, **replacements)
+
+    @property
+    def surface_set(self):
+        return self._set
+
+    def __getitem__(self, key):
+        return self._set[key]
+
+    def __setitem__(self, key, value):
+        import dataclasses
+
+        value = jnp.asarray(value)
+        if key in ("mat_in", "mat_out"):
+            self._mat_overrides[key] = value
+            n = self._set.n_surfaces
+            self._set = dataclasses.replace(
+                self._set,
+                **{key: jnp.broadcast_to(value.astype(jnp.int32), (n,))})
+            return
+        self._extra[key] = value
+        fields = dict(self._set.fields)
+        fields[key] = value
+        self._set = dataclasses.replace(self._set, fields=fields)
+
+
+class _SourceEntry(RecursivelyUpdatable):
+    """Adapter wrapping a source (sample(key)->RaySet) or a RaySet."""
+
+    def __init__(self, obj, system):
+        self._obj = obj
+        self._system = system
+        self._rays = None
+        super().__init__()
+        self._update()
+
+    def _update(self):
+        obj = self._obj
+        if isinstance(obj, RaySet):
+            self._rays = obj
+        elif hasattr(obj, "sample"):
+            self._rays = obj.sample(self._system.next_key(),
+                                    dtype=self._system.dtype)
+        elif callable(obj):
+            self._rays = obj()
+        else:
+            raise TypeError(f"cannot interpret source object {obj!r}")
+
+    @property
+    def rays(self):
+        return self._rays
+
+
+class OpticalSystemBase(RecursivelyUpdatable):
+    """Holds sources, boundaries, materials, and the trace epsilons
+    (engine.py:146-250)."""
+
+    def __init__(self, intersect_epsilion=None, size_epsilion=None,
+                 ray_start_epsilion=None, dtype=None, seed=0, **kwargs):
+        self.dtype = resolve_dtype(dtype)
+        self.intersect_epsilion = intersect_epsilion
+        self.size_epsilion = size_epsilion
+        self.ray_start_epsilion = ray_start_epsilion
+        self.materials = []
+        self._key = jax.random.PRNGKey(seed)
+        self._source_entries: List[_SourceEntry] = []
+        super().__init__(**kwargs)
+
+    def next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    @property
+    def sources(self):
+        if not self._source_entries:
+            return None
+        return concat_rays([e.rays for e in self._source_entries])
+
+    @sources.setter
+    def sources(self, new):
+        self._source_entries = [_SourceEntry(s, self) for s in new]
+
+    @property
+    def materials(self):
+        return self._materials
+
+    @materials.setter
+    def materials(self, val):
+        if not isinstance(val, list):
+            raise TypeError("materials must be a list")
+        self._materials = val
+
+    def material_callables(self):
+        out = []
+        for m in self._materials:
+            out.append(m["n"] if isinstance(m, dict) else m)
+        return tuple(out)
+
+    def _entries(self, objs):
+        return [_BoundaryEntry(o, self.dtype) for o in objs]
+
+    def _update_entries(self):
+        for e in self._all_entries():
+            e.update()
+        for e in self._source_entries:
+            e.update()
+
+    def _all_entries(self):
+        raise NotImplementedError
+
+
+def _boundary_list_property(name):
+    """Generate a boundary-list property (optical_segments, stop_arcs, ...)."""
+
+    def getter(self):
+        return getattr(self, "_" + name)
+
+    def setter(self, objs):
+        setattr(self, "_" + name, self._entries(objs))
+
+    return property(getter, setter)
+
+
+class OpticalSystem2D(OpticalSystemBase):
+    """Six boundary lists (optical/stop/target x segment/arc) merged into a
+    Scene2D (engine.py:254-866)."""
+
+    optical_segments = _boundary_list_property("optical_segments")
+    stop_segments = _boundary_list_property("stop_segments")
+    target_segments = _boundary_list_property("target_segments")
+    optical_arcs = _boundary_list_property("optical_arcs")
+    stop_arcs = _boundary_list_property("stop_arcs")
+    target_arcs = _boundary_list_property("target_arcs")
+
+    def __init__(self, **kwargs):
+        for name in ("optical_segments", "stop_segments", "target_segments",
+                     "optical_arcs", "stop_arcs", "target_arcs"):
+            setattr(self, "_" + name, [])
+        self._scene = None
+        super().__init__(**kwargs)
+
+    @property
+    def dimension(self):
+        return 2
+
+    def _all_entries(self):
+        return (self._optical_segments + self._stop_segments
+                + self._target_segments + self._optical_arcs
+                + self._stop_arcs + self._target_arcs)
+
+    def _update(self):
+        self._update_entries()
+        self._scene = Scene2D.build(
+            optical_segments=[e.surface_set for e in self._optical_segments],
+            stop_segments=[e.surface_set for e in self._stop_segments],
+            target_segments=[e.surface_set for e in self._target_segments],
+            optical_arcs=[e.surface_set for e in self._optical_arcs],
+            stop_arcs=[e.surface_set for e in self._stop_arcs],
+            target_arcs=[e.surface_set for e in self._target_arcs],
+        )
+
+    @property
+    def scene(self):
+        if self._scene is None:
+            self.update()
+        return self._scene
+
+
+class OpticalSystem3D(OpticalSystemBase):
+    """Three triangle lists merged into a Scene3D (engine.py:871-1018)."""
+
+    optical = _boundary_list_property("optical")
+    stops = _boundary_list_property("stops")
+    targets = _boundary_list_property("targets")
+
+    def __init__(self, **kwargs):
+        self._optical = []
+        self._stops = []
+        self._targets = []
+        self._scene = None
+        super().__init__(**kwargs)
+
+    @property
+    def dimension(self):
+        return 3
+
+    def _all_entries(self):
+        return self._optical + self._stops + self._targets
+
+    def _update(self):
+        self._update_entries()
+        self._scene = Scene3D.build(
+            optical=[e.surface_set for e in self._optical],
+            stops=[e.surface_set for e in self._stops],
+            targets=[e.surface_set for e in self._targets],
+        )
+
+    @property
+    def scene(self):
+        if self._scene is None:
+            self.update()
+        return self._scene
+
+
+class OpticalEngine:
+    """Stateful trace driver over the functional engine
+    (engine.py:1170-2331)."""
+
+    def __init__(self, dimension, operations=(), optical_system=None,
+                 compile_stopped_rays=True, compile_dead_rays=True,
+                 compile_finished_rays=True, compile_active_rays=True,
+                 dead_ray_length=None, new_ray_length=1.0,
+                 simple_ray_inheritance=("wavelength",), reaction=None):
+        if dimension not in (2, 3):
+            raise ValueError(
+                f"OpticalEngine: dimension must be 2 or 3, got {dimension}")
+        self.dimension = dimension
+        self.operations = list(operations)
+        self.optical_system = optical_system
+        self.dead_ray_length = dead_ray_length
+        self.new_ray_length = new_ray_length
+        # slot-stable rays make inheritance automatic; kept for API parity
+        self.simple_ray_inheritance = set(simple_ray_inheritance)
+        self.compile_stopped_rays = compile_stopped_rays
+        self.compile_dead_rays = compile_dead_rays
+        self.compile_finished_rays = compile_finished_rays
+        self.compile_active_rays = compile_active_rays
+        self._reaction = reaction
+        self._result = None
+
+    @property
+    def optical_system(self):
+        return self._optical_system
+
+    @optical_system.setter
+    def optical_system(self, val):
+        if val is not None and val.dimension != self.dimension:
+            raise ValueError(
+                f"OpticalEngine: optical system dimension {val.dimension} != "
+                f"engine dimension {self.dimension}")
+        self._optical_system = val
+
+    def update(self):
+        if self.optical_system is not None:
+            self.optical_system.update()
+
+    def annotate(self, op_list=None):
+        """Run operation annotations (engine.py:1348-1361).  With slot-stable
+        rays most annotations are plain source fields; hooks with an
+        ``annotate(engine)`` method are invoked for compatibility."""
+        for op in (op_list if op_list is not None else self.operations):
+            annotate = getattr(op, "annotate", None)
+            if annotate is not None:
+                annotate(self)
+
+    def validate_system(self):
+        """Signature audit (engine.py:1416-1522): every optical surface must
+        carry material references resolvable against the material list, and
+        index-mode tracing needs ray wavelengths."""
+        system = self.optical_system
+        if system is None:
+            raise RuntimeError("validate_system: no optical system attached")
+        scene = system.scene
+        mats = system.material_callables()
+        sets = []
+        if isinstance(scene, Scene2D):
+            if scene.segments is not None:
+                sets.append(scene.segments)
+            if scene.arcs is not None:
+                sets.append(scene.arcs)
+        else:
+            sets.append(scene.triangles)
+        for s in sets:
+            if mats:
+                hi = int(jnp.max(s.mat_in)) if s.n_surfaces else 0
+                lo = int(jnp.max(s.mat_out)) if s.n_surfaces else 0
+                if max(hi, lo) >= len(mats):
+                    raise ValueError(
+                        f"validate_system: material index {max(hi, lo)} out of "
+                        f"range for {len(mats)} materials")
+            elif "n_in" not in s.fields or "n_out" not in s.fields:
+                raise ValueError(
+                    "validate_system: no materials list and no n_in/n_out "
+                    "fields on the optical surfaces")
+        if system.sources is None:
+            raise ValueError("validate_system: system has no sources")
+
+    def trace_config(self, max_iterations):
+        sys_ = self.optical_system
+        mode = "index" if sys_.material_callables() else "value"
+        return TraceConfig(
+            max_bounces=max_iterations,
+            new_ray_length=self.new_ray_length,
+            dead_ray_length=self.dead_ray_length,
+            keep_history=True,
+            refractive_index_type=mode,
+            intersect_epsilon=sys_.intersect_epsilion,
+            size_epsilon=sys_.size_epsilion,
+            ray_start_epsilon=sys_.ray_start_epsilion,
+        )
+
+    def ray_trace(self, max_iterations=25):
+        """Trace the system (engine.py:2311-2330); stores the TraceResult."""
+        system = self.optical_system
+        if system is None:
+            return None
+        rays = system.sources
+        if rays is None:
+            return None
+        reaction = self._reaction or default_reaction
+        self._result = trace(rays, system.scene, system.material_callables(),
+                             self.trace_config(max_iterations), reaction)
+        return self._result
+
+    def clear_ray_history(self):
+        self._result = None
+
+    @property
+    def result(self):
+        return self._result
+
+    # ---- ray-history properties (engine.py:1379-1403) ----
+
+    def _require_result(self):
+        if self._result is None:
+            raise RuntimeError("no trace has been run yet")
+        return self._result
+
+    @property
+    def finished_rays(self):
+        return self._require_result().rays.finished
+
+    @property
+    def stopped_rays(self):
+        return self._require_result().rays.stopped
+
+    @property
+    def dead_rays(self):
+        return self._require_result().rays.dead
+
+    @property
+    def active_rays(self):
+        return self._require_result().rays.active
+
+    @property
+    def all_rays(self):
+        """Every ray segment ever traced, flattened from the per-bounce
+        history (the reference's concatenated history lists)."""
+        from tensorflowraytrace_tpu.drawing import history_rays
+
+        return history_rays(self._require_result())
+
+    @property
+    def unfinished_rays(self):
+        res = self._require_result()
+        mask = np.asarray(res.rays.state) == ACTIVE
+        return res.rays.select(mask)

@@ -1,0 +1,156 @@
+"""Stateful facade tests: OpticalSystem2D/3D + OpticalEngine driving the
+functional core with the reference's object API."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorflowraytrace_tpu import FINISHED, SegmentSet, TriangleSet
+from tensorflowraytrace_tpu.models import boundaries as bd
+from tensorflowraytrace_tpu.models import distributions as dist
+from tensorflowraytrace_tpu.models import mesh as mt
+from tensorflowraytrace_tpu.models import sources as src
+from tensorflowraytrace_tpu.models.boundaries import manual_arc_boundary
+from tensorflowraytrace_tpu.ops import materials as mats
+from tensorflowraytrace_tpu.system import (
+    OpticalEngine, OpticalSystem2D, OpticalSystem3D, amalgamate,
+    annotation_helper,
+)
+
+PI = math.pi
+F64 = jnp.float64
+
+
+def build_single_arc_system():
+    """The optimize_single_arc setup in facade style
+    (dev/optimize_single_arc.py:72-118)."""
+    arc = manual_arc_boundary(
+        x_center=[5.0], y_center=[0.0], angle_start=[3 * PI / 4],
+        angle_end=[5 * PI / 4], radius=[5.0], mat_in=1, mat_out=0, dtype=F64)
+    target = SegmentSet.make([[10.0, -5.0]], [[10.0, 5.0]], dtype=F64)
+
+    beam = dist.StaticUniformBeam(-1.5, 1.5, 10)
+    angles = dist.StaticUniformAngularDistribution(0.0, 0.0, 1)
+    source = src.AngularSource(2, (-1.0, 0.0), 0.0, angles, beam,
+                               [680.0, 620.0, 575.0, 510.0, 450.0, 400.0])
+
+    system = OpticalSystem2D(dtype=F64)
+    system.optical_arcs = [arc]
+    system.sources = [source]
+    system.target_segments = [target]
+    system.materials = [{"n": mats.vacuum}, {"n": mats.acrylic}]
+    return system
+
+
+def test_2d_system_trace_via_engine():
+    system = build_single_arc_system()
+    engine = OpticalEngine(2, simple_ray_inheritance={"wavelength"})
+    engine.optical_system = system
+    system.update()
+    engine.validate_system()
+    engine.ray_trace(2)
+    finished = engine.finished_rays
+    assert finished.n_rays == 60  # all 10 beams x 6 wavelengths reach x=10
+    np.testing.assert_allclose(np.asarray(finished.p1[:, 0]), 10.0, atol=1e-9)
+
+
+def test_engine_all_rays_history():
+    system = build_single_arc_system()
+    engine = OpticalEngine(2)
+    engine.optical_system = system
+    system.update()
+    engine.ray_trace(2)
+    rays = engine.all_rays
+    # each of the 60 rays appears twice (source->arc, arc->target)
+    assert rays["x_start"].shape == (120,)
+
+
+def test_annotation_helper_reapplies_on_update():
+    arc = manual_arc_boundary(
+        x_center=[5.0], y_center=[0.0], angle_start=[3 * PI / 4],
+        angle_end=[5 * PI / 4], radius=[5.0], dtype=F64)
+    system = build_single_arc_system()
+    system.optical_arcs = [arc]
+    entry = system.optical_arcs[0]
+    annotation_helper(entry, "mat_in", 1, "x_center", dtype=jnp.int32)
+    annotation_helper(entry, "mat_out", 0, "x_center", dtype=jnp.int32)
+    system.update()
+    assert int(system.optical_arcs[0].surface_set.mat_in[0]) == 1
+    engine = OpticalEngine(2)
+    engine.optical_system = system
+    engine.ray_trace(2)
+    assert engine.finished_rays.n_rays == 60
+
+
+def test_validate_system_catches_bad_material_index():
+    system = build_single_arc_system()
+    system.materials = [{"n": mats.vacuum}]  # mat_in=1 now out of range
+    engine = OpticalEngine(2)
+    engine.optical_system = system
+    system.update()
+    with pytest.raises(ValueError, match="material index"):
+        engine.validate_system()
+
+
+def test_engine_dimension_mismatch():
+    system = build_single_arc_system()
+    engine = OpticalEngine(3)
+    with pytest.raises(ValueError):
+        engine.optical_system = system
+
+
+def test_3d_system_with_parametric_lens():
+    zero_mesh = mt.hexagonal_mesh(1.2, 3)
+    pts = zero_mesh.points.copy()
+    zero_mesh.points = np.stack([pts[:, 2], pts[:, 0], pts[:, 1]], axis=1)
+    lens = bd.ParametricMultiTriangleBoundary(
+        zero_mesh, bd.FromVectorVG((1.0, 0.0, 0.0)),
+        [bd.ThicknessConstraint(0.0, "min"), bd.ThicknessConstraint(0.2, "min")],
+        [True, False], material_list=[{"mat_in": 1, "mat_out": 0}] * 2,
+        dtype=F64)
+    half = 50.0
+    target = TriangleSet.make(
+        [[8.0, -half, -half], [8.0, half, half]],
+        [[8.0, half, -half], [8.0, -half, half]],
+        [[8.0, half, half], [8.0, -half, -half]], dtype=F64)
+
+    rc = 16
+    source = src.AngularSource(
+        3, (-4.0, 0.0, 0.0), (1.0, 0.0, 0.0),
+        dist.RandomUniformSphere(PI / 16.0, rc),
+        dist.RandomUniformSquare(0.2, 4), [575.0] * rc, dense=False)
+
+    system = OpticalSystem3D(dtype=F64)
+    system.optical = [lens]
+    system.targets = [target]
+    system.sources = [source]
+    system.materials = [{"n": mats.vacuum}, {"n": mats.acrylic}]
+    system.update()
+
+    engine = OpticalEngine(3)
+    engine.optical_system = system
+    engine.validate_system()
+    engine.ray_trace(3)
+    assert engine.finished_rays.n_rays == rc
+
+    # mutate the lens parameters; update() rebuilds the scene from them
+    lens.parameters = [p + 0.1 for p in lens.parameters]
+    system.update()
+    engine.ray_trace(3)
+    assert engine.finished_rays.n_rays == rc
+
+    # random source resamples on update
+    r1 = np.asarray(system.sources.p0)
+    system.update()
+    r2 = np.asarray(system.sources.p0)
+    assert not np.allclose(r1, r2)
+
+
+def test_amalgamate_field_dicts():
+    a = {"x": jnp.asarray([1.0, 2.0]), "y": jnp.asarray([0.0, 0.0])}
+    b = {"x": jnp.asarray([3.0]), "y": jnp.asarray([1.0]), "z": jnp.asarray([9.0])}
+    out = amalgamate([a, b])
+    assert set(out.keys()) == {"x", "y"}
+    np.testing.assert_allclose(np.asarray(out["x"]), [1.0, 2.0, 3.0])
