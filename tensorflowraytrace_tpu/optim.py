@@ -239,3 +239,76 @@ class Optimizer:
             print(f"Steps took an average of {total / max(total_iterations, 1)}"
                   " seconds per step.")
         return errors
+
+
+class CanyonOptimizer:
+    """Adaptive-step momentum descent with undo-on-regression.
+
+    Modern port of the reference's legacy CanyonOptimizer
+    (/root/reference/tfrt/old/CanyonOptimizer.py:14-21): built for "canyon"
+    loss landscapes (steep walls, shallow floor).  Each successful step grows
+    the step size; a step that increases the error is UNDONE, the velocity is
+    zeroed, and the step size shrinks.
+
+    ``loss_fn(params, key) -> scalar`` as with Optimizer (pass_key=True).
+    """
+
+    def __init__(self, loss_fn, parameters, base_step_size=1.0, momentum=0.95,
+                 growth_factor=1.1, shrink_factor=0.5, pass_key=True, key=None):
+        if not isinstance(parameters, (list, tuple)):
+            raise ValueError("CanyonOptimizer: parameters must be a list")
+        self.loss_fn = loss_fn
+        self.parameters = [jnp.asarray(p) for p in parameters]
+        self.step_size = base_step_size
+        self.momentum = momentum
+        self.growth_factor = growth_factor
+        self.shrink_factor = shrink_factor
+        self.pass_key = pass_key
+        self.key = key if key is not None else jax.random.PRNGKey(0)
+        self._velocity = [jnp.zeros_like(p) for p in self.parameters]
+        self._prev_error = None
+        self._prev_params = None
+        self.iterations = 0
+
+        if pass_key:
+            self._vag = jax.jit(jax.value_and_grad(loss_fn))
+        else:
+            self._vag = jax.jit(jax.value_and_grad(lambda p, k: loss_fn(p)))
+
+    def single_step(self, verbose=False):
+        self.key, sub = jax.random.split(self.key)
+        error, grads = self._vag(self.parameters, sub)
+        error = float(error)
+
+        if self._prev_error is not None and error > self._prev_error:
+            # regression: undo, kill velocity, shrink (CanyonOptimizer.py:16-19)
+            self.parameters = self._prev_params
+            self._velocity = [jnp.zeros_like(p) for p in self.parameters]
+            self.step_size *= self.shrink_factor
+            if verbose:
+                print(f"step {self.iterations}: regression "
+                      f"({self._prev_error:.4g} -> {error:.4g}); undo, "
+                      f"step_size={self.step_size:.3g}")
+            self.iterations += 1
+            return self._prev_error
+
+        self._prev_params = list(self.parameters)
+        new_params = []
+        new_velocity = []
+        for p, g, v in zip(self.parameters, grads, self._velocity):
+            g = jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g))
+            v = self.momentum * v + g
+            new_params.append(p - self.step_size * v)
+            new_velocity.append(v)
+        self.parameters = new_params
+        self._velocity = new_velocity
+        self._prev_error = error
+        self.step_size *= self.growth_factor
+        self.iterations += 1
+        if verbose:
+            print(f"step {self.iterations} error: {error:.4g} "
+                  f"step_size={self.step_size:.3g}")
+        return error
+
+    def run(self, steps, verbose=False):
+        return [self.single_step(verbose=verbose) for _ in range(steps)]

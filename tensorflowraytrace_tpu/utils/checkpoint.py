@@ -1,0 +1,88 @@
+"""Checkpoint / resume for optimization runs.
+
+The reference has only ad-hoc pickles of raw parameter lists and STL exports
+(SURVEY.md section 5 "checkpoint/resume": dev/simple_3d_optimize.py:285-323,
+boundaries.py:872-874) with no optimizer-state or RNG-state capture.  This
+rebuild checkpoints the full training state -- parameters, Nesterov momentum
+buffers, PRNG key, iteration count -- through orbax when available, with an
+.npz fallback, plus STL export for interchange.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def state_dict(optimizer):
+    """Capture an optim.Optimizer's full training state."""
+    return {
+        "parameters": [np.asarray(p) for p in optimizer.parameters],
+        "velocity": [np.asarray(v) for v in optimizer._velocity],
+        "key": np.asarray(jax.random.key_data(optimizer.key)),
+        "iterations": np.asarray(optimizer.iterations),
+    }
+
+
+def restore_into(optimizer, state):
+    """Restore a captured state into an optim.Optimizer."""
+    optimizer.parameters = [jnp.asarray(p) for p in state["parameters"]]
+    optimizer._velocity = [jnp.asarray(v) for v in state["velocity"]]
+    optimizer.key = jax.random.wrap_key_data(jnp.asarray(state["key"]))
+    optimizer.iterations = int(state["iterations"])
+    return optimizer
+
+
+def save_checkpoint(path, optimizer):
+    """Save training state.  Uses orbax if importable, else .npz."""
+    state = state_dict(optimizer)
+    try:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path, state, force=True)
+        return path
+    except Exception:
+        if not path.endswith(".npz"):
+            path = path + ".npz"
+        flat = {"iterations": state["iterations"], "key": state["key"]}
+        for i, p in enumerate(state["parameters"]):
+            flat[f"param_{i}"] = p
+        for i, v in enumerate(state["velocity"]):
+            flat[f"vel_{i}"] = v
+        np.savez(path, **flat)
+        return path
+
+
+def load_checkpoint(path, optimizer):
+    """Load training state saved by save_checkpoint into the optimizer."""
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        state = ckptr.restore(os.path.abspath(path))
+        return restore_into(optimizer, state)
+    if not path.endswith(".npz") and os.path.exists(path + ".npz"):
+        path = path + ".npz"
+    data = np.load(path)
+    n = len([k for k in data.files if k.startswith("param_")])
+    state = {
+        "parameters": [data[f"param_{i}"] for i in range(n)],
+        "velocity": [data[f"vel_{i}"] for i in range(n)],
+        "key": data["key"],
+        "iterations": data["iterations"],
+    }
+    return restore_into(optimizer, state)
+
+
+def export_boundary_stl(boundary, params, filename):
+    """Export a parametric boundary's current surface to STL
+    (the reference's boundary.save(), boundaries.py:872-874)."""
+    mesh = boundary.updated_mesh(params)
+    mesh.save(filename)
+    return filename

@@ -1,0 +1,60 @@
+"""Checkpoint/resume + CanyonOptimizer tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflowraytrace_tpu.models import boundaries as bd
+from tensorflowraytrace_tpu.models import mesh as mt
+from tensorflowraytrace_tpu.optim import CanyonOptimizer, Optimizer
+from tensorflowraytrace_tpu.utils import checkpoint as ckpt
+
+F64 = jnp.float64
+
+
+def quadratic_loss(params, key):
+    return jnp.sum((params[0] - 3.0) ** 2) + jnp.sum((params[1] + 1.0) ** 2)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    opt = Optimizer(quadratic_loss, [jnp.zeros(4, F64), jnp.zeros(2, F64)],
+                    learning_rate=0.1)
+    for _ in range(5):
+        opt.single_step(None, momentum=0.5)
+    path = str(tmp_path / "ckpt")
+    ckpt.save_checkpoint(path, opt)
+
+    opt2 = Optimizer(quadratic_loss, [jnp.ones(4, F64), jnp.ones(2, F64)],
+                     learning_rate=0.1)
+    ckpt.load_checkpoint(path, opt2)
+    for a, b in zip(opt.parameters, opt2.parameters):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    for a, b in zip(opt._velocity, opt2._velocity):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert opt2.iterations == opt.iterations
+    # resumed run continues identically
+    e1 = opt.single_step(None, momentum=0.5)
+    e2 = opt2.single_step(None, momentum=0.5)
+    np.testing.assert_allclose(e1, e2, rtol=1e-12)
+
+
+def test_export_boundary_stl(tmp_path):
+    mesh = mt.hexagonal_mesh(1.0, 3)
+    b = bd.ParametricTriangleBoundary(mesh, bd.FromVectorVG((0.0, 0.0, 1.0)),
+                                      dtype=F64)
+    p = b.init_params() + 0.3
+    path = str(tmp_path / "surface.stl")
+    ckpt.export_boundary_stl(b, p, path)
+    loaded = mt.TriMesh.read(path)
+    assert loaded.n_faces == mesh.n_faces
+    np.testing.assert_allclose(loaded.points[:, 2].max(), 0.3, atol=1e-5)
+
+
+def test_canyon_optimizer_converges_and_undoes():
+    opt = CanyonOptimizer(quadratic_loss,
+                          [jnp.zeros(3, F64), jnp.zeros(3, F64)],
+                          base_step_size=0.05, momentum=0.9)
+    errors = opt.run(60)
+    assert errors[-1] < 0.05 * errors[0]
+    # adaptive behavior engaged: step size changed from its base
+    assert opt.step_size != 0.05
