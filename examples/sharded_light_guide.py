@@ -1,0 +1,91 @@
+"""Multi-chip light-guide optimization: 10M+ rays/step sharded over the
+device mesh with psum gradient accumulation (BASELINE.json config 5).
+
+On a single real chip this still runs (mesh of 1); on CPU run with
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python examples/sharded_light_guide.py --rays 80000
+to exercise the 8-way sharding.
+
+The guide is a parametric cylinder (rotationally symmetric radius profile);
+the loss asks rays entering one end to exit through a target disk at the far
+end.
+
+Run:  python examples/sharded_light_guide.py [--rays N] [--steps N]
+"""
+
+import argparse
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflowraytrace_tpu import FINISHED, Scene3D, TraceConfig, TriangleSet, trace
+from tensorflowraytrace_tpu.models import boundaries as bd
+from tensorflowraytrace_tpu.models import distributions as dist
+from tensorflowraytrace_tpu.models import sources as src
+from tensorflowraytrace_tpu.ops import materials as mats
+from tensorflowraytrace_tpu.parallel import sharding as par
+
+PI = math.pi
+
+
+def main(rays=1 << 20, steps=10, bounces=12):
+    n_dev = len(jax.devices())
+    mesh = par.ray_mesh()
+    local_rays = max(rays // n_dev, 1)
+    print(f"{n_dev} devices x {local_rays} rays/device = "
+          f"{n_dev * local_rays} rays/step, {bounces} bounces")
+
+    guide = bd.ParametricCylindricalGuide(
+        (0.0, 0.0, 0.0), (0.0, 0.0, 6.0), minimum_radius=0.3, theta_res=12,
+        z_res=10, rotationally_symmetric=True, initial_taper=(0.7, 0.0),
+        mat_in=1, mat_out=0)
+    half = 0.35
+    target = TriangleSet.make(
+        [[-half, -half, 6.05], [half, half, 6.05]],
+        [[half, -half, 6.05], [-half, half, 6.05]],
+        [[half, half, 6.05], [-half, -half, 6.05]])
+
+    materials = (mats.vacuum, mats.acrylic)
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    cfg = TraceConfig(max_bounces=bounces, use_pallas=on_tpu)
+
+    sphere = dist.RandomLambertianSphere(PI / 2.001, local_rays)
+    source = src.PointSource(3, (0.0, 0.0, 0.05), (0.0, 0.0, 1.0), sphere,
+                             [575.0] * local_rays, dense=False)
+
+    def local_loss(params, key):
+        scene = Scene3D.build(optical=[guide.build(params[0])],
+                              targets=[target])
+        res = trace(source.sample(key), scene, materials, cfg)
+        finished = res.rays.state == FINISHED
+        # maximize flux through the exit disk: penalize non-finished rays
+        return jnp.sum(jnp.where(finished, 0.0, 1.0)) / local_rays
+
+    step = par.parallel_train_step(local_loss, mesh, learning_rate=3e-3,
+                                   grad_clip=0.05, momentum=0.8)
+    params = [guide.init_params()]
+    velocity = [jnp.zeros_like(p) for p in params]
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        params, velocity, loss = step(params, velocity, par.split_keys(sub, mesh))
+        print(f"step {i}: lost-flux fraction (mean over devices) = "
+              f"{float(loss) / n_dev:.4f}")
+    dt = time.time() - t0
+    n_tris = guide.mesh.n_faces + 2
+    inter = n_dev * local_rays * n_tris * bounces * steps
+    print(f"{dt:.1f}s wall for {steps} sharded steps -> "
+          f"{inter / dt / 1e9:.2f} G forward intersections/s aggregate")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rays", type=int, default=1 << 20)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--bounces", type=int, default=12)
+    a = ap.parse_args()
+    main(rays=a.rays, steps=a.steps, bounces=a.bounces)

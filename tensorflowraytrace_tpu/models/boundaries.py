@@ -202,11 +202,11 @@ class FromAxisVG(VectorGeneratorBase):
     (boundaries.py:353-383); zero for points on the axis."""
 
     def __init__(self, first, point=None, direction=None):
-        self.axis_point = jnp.asarray(first, dtype=jnp.float64)
+        self.axis_point = jnp.asarray(first, dtype=float)
         if point is not None:
-            axis = jnp.asarray(point, dtype=jnp.float64) - self.axis_point
+            axis = jnp.asarray(point, dtype=float) - self.axis_point
         elif direction is not None:
-            axis = jnp.asarray(direction, dtype=jnp.float64)
+            axis = jnp.asarray(direction, dtype=float)
         else:
             raise ValueError("FromAxisVG: provide 'point' or 'direction'")
         self.axis = axis / jnp.linalg.norm(axis)
