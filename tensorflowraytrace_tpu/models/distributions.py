@@ -489,6 +489,19 @@ class RandomLambertianSphere(_SphereBase):
 # transformations
 # ======================================================================
 
+def __getattr__(name):
+    """Re-export the goal-building distributions (ArbitraryDistribution,
+    ArbitraryBasePoints, ImageBasePoints, PrecompiledBasePoints,
+    SquareRankLambertianSphere, CumulativeDensityFunction,
+    flatten_distribution, transform_map) from models.goals, matching the
+    reference's single distributions module layout."""
+    from tensorflowraytrace_tpu.models import goals
+
+    if hasattr(goals, name):
+        return getattr(goals, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 class BasePointTransformation(BasePointDistribution):
     """Wrap a base-point distribution with scale -> rotate -> translate,
     applied in that order (distributions.py:2014-2119).  2D inputs can be

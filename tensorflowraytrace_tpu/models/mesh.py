@@ -304,6 +304,106 @@ def mesh_smoothing_tool(mesh: TriMesh, weights, active_vertices=None):
     return smoother
 
 
+def find_all_relationships(mesh: TriMesh, top_parent: int):
+    """BFS vertex-relationship graphs from a top parent
+    (mesh_tools.py:133-186): returns (descendants, children, parents,
+    ancestors), each a list of sets indexed by vertex."""
+    generations = find_generations(mesh, top_parent)
+    level = np.full(mesh.n_points, -1, dtype=np.int64)
+    for g, wave in enumerate(generations):
+        for v in wave:
+            level[v] = g
+    level[level < 0] = 0
+    neigh = mesh.vertex_neighbors()
+
+    n = mesh.n_points
+    parents = [set() for _ in range(n)]
+    children = [set() for _ in range(n)]
+    ancestors = [set() for _ in range(n)]
+    order = np.argsort(level, kind="stable")
+    for v in order:
+        p = {u for u in neigh[v] if level[u] == level[v] - 1}
+        parents[v] = p
+        for u in p:
+            children[u].add(v)
+        anc = set(p)
+        for u in p:
+            anc |= ancestors[u]
+        ancestors[v] = anc
+    descendants = [set() for _ in range(n)]
+    for v in order[::-1]:
+        d = set(children[v])
+        for c in children[v]:
+            d |= descendants[c]
+        descendants[v] = d
+    return descendants, children, parents, ancestors
+
+
+def gradient_accumulator(mesh: TriMesh, origin=(0, 0, 0)):
+    """Descendant-based accumulator matrix built around the vertex nearest
+    ``origin`` (gradient_accumulator_1p, mesh_tools.py:28-71).  Returns
+    (accumulator, relationship_data dict)."""
+    top_parent = get_closest_point(mesh, origin)
+    descendants, children, parents, ancestors = find_all_relationships(
+        mesh, top_parent)
+    accumulator = connections_to_array(descendants)
+    return accumulator, {
+        "top_parent": top_parent,
+        "descendant": descendants,
+        "child": children,
+        "parent": parents,
+        "ancestor": ancestors,
+    }
+
+
+def visualize_connections(ax, mesh: TriMesh, connection_list, color="orange"):
+    """Draw a vertex-relationship graph as arrows on an mplot3d axis
+    (mesh_tools.py:509-529; pyvista replaced by mpl quiver)."""
+    starts = []
+    dirs = []
+    for i, conns in enumerate(connection_list):
+        for j in conns:
+            starts.append(mesh.points[i])
+            dirs.append(mesh.points[j] - mesh.points[i])
+    if not starts:
+        return None
+    starts = np.asarray(starts)
+    dirs = np.asarray(dirs)
+    return ax.quiver(starts[:, 0], starts[:, 1], starts[:, 2],
+                     dirs[:, 0], dirs[:, 1], dirs[:, 2], color=color)
+
+
+def visualize_generations(ax, mesh: TriMesh, generations,
+                          colors=("red", "yellow", "green", "blue", "purple")):
+    """Color vertices by BFS generation (mesh_tools.py:533-549)."""
+    artists = []
+    for k, generation in enumerate(generations):
+        pts = mesh.points[sorted(generation)]
+        artists.append(ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2],
+                                  color=colors[k % len(colors)], s=30))
+    return artists
+
+
+def visualize_face_updates(ax, mesh: TriMesh, face_updates, color="red"):
+    """Draw arrows from face centers to the vertices each face may move
+    (mesh_tools.py:553-572)."""
+    starts = []
+    dirs = []
+    for face, mask in zip(mesh.faces, np.asarray(face_updates)):
+        verts = mesh.points[face]
+        center = verts.mean(axis=0)
+        for v, movable in zip(verts, mask):
+            if movable:
+                starts.append(center)
+                dirs.append(v - center)
+    if not starts:
+        return None
+    starts = np.asarray(starts)
+    dirs = np.asarray(dirs)
+    return ax.quiver(starts[:, 0], starts[:, 1], starts[:, 2],
+                     dirs[:, 0], dirs[:, 1], dirs[:, 2], color=color)
+
+
 def get_flat_initial(mesh: TriMesh, axis: int = 0) -> np.ndarray:
     """Flatten one coordinate of the mesh in-place and return the removed
     values as the initial parameters (mesh_tools.py:425-455)."""
