@@ -145,8 +145,10 @@ class Optimizer:
         return jax.jit(step)
 
     def single_step(self, accumulators=None, *args, lr_scale=1.0,
-                    momentum=None, smoothers=None, verbose=False, **kwargs):
-        """One optimization step (optimizer.py:284-320).  Returns the error."""
+                    momentum=None, smoothers=None, verbose=False, sync=True,
+                    **kwargs):
+        """One optimization step (optimizer.py:284-320).  Returns the error
+        (a Python float if ``sync``, else an on-device scalar)."""
         n = len(self.parameters)
         accumulators = [None if a is None else jnp.asarray(a)
                         for a in _plist(accumulators, n, "accumulators")]
@@ -169,6 +171,10 @@ class Optimizer:
             jnp.asarray(lr_scale), jnp.asarray(momentum), args, kwargs,
         )
         self.iterations += 1
+        if not sync:
+            # leave the error on-device: steps pipeline without a host
+            # round-trip each (important through remote-attached TPUs)
+            return jnp.mean(error)
         err = float(jnp.mean(error))
         if verbose:
             print(f"step {self.iterations} error: {err}")
@@ -213,16 +219,19 @@ class Optimizer:
                 self.individual_lr = list(phase["individual_lr"])
                 self._step_cache.clear()  # individual_lr is baked into the jit
             for i in range(phase["steps"]):
+                reporting = (report_frequency
+                             and (self.iterations + 1) % report_frequency == 0)
                 err = self.single_step(
                     phase["accumulators"],
                     *phase["erf_args"],
                     lr_scale=lrs[i],
                     momentum=phase["momentum"],
                     smoothers=phase["smoothers"],
+                    sync=bool(reporting),
                     **phase["erf_kwargs"],
                 )
                 errors.append(err)
-                if report_frequency and self.iterations % report_frequency == 0:
+                if reporting:
                     print(
                         f"Phase {phase_idx + 1}/{len(routine)}, "
                         f"step {i + 1}/{phase['steps']}, "
@@ -232,6 +241,10 @@ class Optimizer:
                     )
                 if post_step:
                     post_step()
+
+        # one batched device->host fetch for all unsynced per-step errors
+        errors = [float(x) for x in np.asarray(
+            jnp.stack([jnp.asarray(e) for e in errors]))] if errors else []
 
         if show_time:
             total = time.time() - start_time
