@@ -39,10 +39,15 @@ def compare(name, fn, rays, scene):
         return
     r_cpu = run_on(cpu, fn, rays, scene)
     r_tpu = run_on(tpu, fn, rays, scene)
-    p1_dev = np.abs(r_cpu[0] - r_tpu[0]).max()
-    state_agree = (r_cpu[1] == r_tpu[1]).mean()
-    print(f"{name:32s} max|p1_cpu - p1_tpu| = {p1_dev:.3e}   "
-          f"state agreement = {100 * state_agree:.3f}%")
+    same = r_cpu[1] == r_tpu[1]
+    state_agree = same.mean()
+    # deviation conditioned on agreeing fate: rays whose f32 rounding flips
+    # them across a surface edge/tangent legitimately diverge in position
+    dev = np.abs(r_cpu[0] - r_tpu[0])[same]
+    p1_dev = dev.max() if dev.size else 0.0
+    print(f"{name:32s} state agreement = {100 * state_agree:.3f}% "
+          f"({int((~same).sum())} edge rays); "
+          f"max|p1_cpu - p1_tpu| (same-fate) = {p1_dev:.3e}")
 
 
 def main():

@@ -65,6 +65,11 @@ class TraceConfig:
     intersect_epsilon: Optional[float] = None
     size_epsilon: Optional[float] = None
     ray_start_epsilon: Optional[float] = None
+    # rematerialize each bounce in the backward pass: O(1) residual memory in
+    # the bounce count instead of O(max_bounces) -- essential for
+    # differentiating 50-bounce light guides at large ray counts
+    # (SURVEY.md hard part 6)
+    remat: bool = False
 
     def epsilons(self, dtype):
         e = default_epsilon(dtype)
@@ -319,6 +324,9 @@ def trace(rays: RaySet, scene, materials=None, cfg: TraceConfig = TraceConfig(),
         new_rays, record = single_pass(carry, scene, materials, cfg, reaction)
         ys = record if cfg.keep_history else None
         return new_rays, ys
+
+    if cfg.remat:
+        body = jax.checkpoint(body)
 
     final, ys = lax.scan(body, rays, xs=None, length=cfg.max_bounces)
     if cfg.keep_history:
