@@ -454,9 +454,24 @@ class OpticalEngine:
         if system.sources is None:
             raise ValueError("validate_system: system has no sources")
 
+    def _op_reaction(self):
+        """Reaction resolution: explicit > first operation providing one >
+        the standard Snell reaction."""
+        if self._reaction is not None:
+            return self._reaction
+        for op in self.operations:
+            r = getattr(op, "reaction", None)
+            if r is not None and getattr(op, "active", True):
+                return r
+        return default_reaction
+
     def trace_config(self, max_iterations):
         sys_ = self.optical_system
         mode = "index" if sys_.material_callables() else "value"
+        for op in self.operations:
+            m = getattr(op, "refractive_index_type", None)
+            if m is not None:
+                mode = m
         return TraceConfig(
             max_bounces=max_iterations,
             new_ray_length=self.new_ray_length,
@@ -476,9 +491,9 @@ class OpticalEngine:
         rays = system.sources
         if rays is None:
             return None
-        reaction = self._reaction or default_reaction
         self._result = trace(rays, system.scene, system.material_callables(),
-                             self.trace_config(max_iterations), reaction)
+                             self.trace_config(max_iterations),
+                             self._op_reaction())
         return self._result
 
     def clear_ray_history(self):
