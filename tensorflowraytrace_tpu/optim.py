@@ -180,6 +180,90 @@ class Optimizer:
             print(f"step {self.iterations} error: {err}")
         return err
 
+    def _make_chained(self, acc_struct, smooth_struct, n_args, kwarg_names):
+        """Jitted lax.scan over a whole phase: one dispatch for N steps.
+
+        Per-step dispatch through a remotely-attached TPU costs ~100 ms of
+        round-trip latency; chaining brings the measured step time from
+        ~116 ms to ~11 ms at simple_3d_optimize scale.
+        """
+        individual_lr = tuple(self.individual_lr)
+        clip_mode = self.clip_mode
+        clip_scale = self.clip_scale
+        grad_clip = self.grad_clip
+        learning_rate = self.learning_rate
+        loss_fn = self.loss_fn
+        pass_key = self.pass_key
+
+        def chained(params, velocity, accumulators, smoothers, key, lr_scales,
+                    momentum, args, kwargs):
+            def body(carry, lr_scale):
+                params, velocity, key = carry
+                key, sub = jax.random.split(key)
+                if pass_key:
+                    error, grads = jax.value_and_grad(loss_fn)(
+                        params, sub, *args, **kwargs)
+                else:
+                    error, grads = jax.value_and_grad(loss_fn)(
+                        params, *args, **kwargs)
+                new_params = []
+                new_velocity = []
+                for i, (p, g, v) in enumerate(zip(params, grads, velocity)):
+                    g = jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g))
+                    g = g * (lr_scale * individual_lr[i] * learning_rate)
+                    if clip_mode == "common":
+                        clip = grad_clip
+                    else:
+                        clip = (individual_lr[i] * clip_scale * learning_rate
+                                * lr_scale)
+                    g = jnp.clip(g, -clip, clip)
+                    if accumulators[i] is not None:
+                        g = (accumulators[i] @ g.reshape(-1, 1)).reshape(g.shape)
+                    v = momentum * v + g
+                    p = p - (g + momentum * v)
+                    if smoothers[i] is not None:
+                        p = (smoothers[i] @ p.reshape(-1, 1)).reshape(p.shape)
+                    new_params.append(p)
+                    new_velocity.append(v)
+                return (new_params, new_velocity, key), error
+
+            (params, velocity, key), errors = jax.lax.scan(
+                body, (params, velocity, key), lr_scales)
+            return params, velocity, key, errors
+
+        return jax.jit(chained)
+
+    def run_phase(self, steps, accumulators=None, *args, lr_scale=1.0,
+                  momentum=None, smoothers=None, **kwargs):
+        """Run ``steps`` optimization steps in ONE device dispatch.
+
+        ``lr_scale`` may be a scalar, a (start, end) ramp, or a per-step
+        array.  Returns the per-step errors as a numpy array.
+        """
+        n = len(self.parameters)
+        accumulators = [None if a is None else jnp.asarray(a)
+                        for a in _plist(accumulators, n, "accumulators")]
+        smoothers = [None if s is None else jnp.asarray(s)
+                     for s in _plist(smoothers, n, "smoothers")]
+        momentum = self.momentum if momentum is None else momentum
+        lr_scales = jnp.asarray(_lr_schedule(lr_scale, steps))
+
+        cache_key = (
+            "chained",
+            tuple(a is None for a in accumulators),
+            tuple(s is None for s in smoothers),
+            len(args), tuple(sorted(kwargs)),
+        )
+        if cache_key not in self._step_cache:
+            self._step_cache[cache_key] = self._make_chained(*cache_key[1:])
+        chained = self._step_cache[cache_key]
+
+        self.parameters, self._velocity, self.key, errors = chained(
+            self.parameters, self._velocity, accumulators, smoothers,
+            self.key, lr_scales, jnp.asarray(momentum), args, kwargs)
+        self.iterations += steps
+        return np.asarray(errors)
+
     @staticmethod
     def smooth(parameters, smoother):
         """Standalone smoothing (optimizer.py:260-282)."""
@@ -189,13 +273,18 @@ class Optimizer:
         return (smoother @ parameters.reshape(-1, 1)).reshape(parameters.shape)
 
     def training_routine(self, routine, post_step=None, report_frequency=1,
-                         show_time=True):
+                         show_time=True, chain=False):
         """Run phases of optimization steps (optimizer.py:322-442).
 
         Each phase dict may override: steps, learning_rate (scalar or
         (start, end) ramp of the *relative* rate), momentum, accumulators,
         smoothers, erf_args, erf_kwargs, individual_lr.
         Returns the list of per-step errors.
+
+        ``chain=True`` runs each whole phase as ONE device dispatch
+        (run_phase): per-step reporting and post_step are skipped, but on a
+        remotely-attached TPU this removes ~100 ms of launch latency per
+        step.
         """
         phase = {
             "steps": 10,
@@ -218,6 +307,23 @@ class Optimizer:
             if phase["individual_lr"] is not None:
                 self.individual_lr = list(phase["individual_lr"])
                 self._step_cache.clear()  # individual_lr is baked into the jit
+            if chain:
+                phase_errors = self.run_phase(
+                    phase["steps"], phase["accumulators"],
+                    *phase["erf_args"],
+                    lr_scale=phase["learning_rate"],
+                    momentum=phase["momentum"],
+                    smoothers=phase["smoothers"],
+                    **phase["erf_kwargs"],
+                )
+                errors.extend(float(e) for e in phase_errors)
+                if report_frequency:
+                    print(f"Phase {phase_idx + 1}/{len(routine)} "
+                          f"({phase['steps']} steps, chained): final error "
+                          f"{float(phase_errors[-1])}.")
+                if post_step:
+                    post_step()
+                continue
             for i in range(phase["steps"]):
                 reporting = (report_frequency
                              and (self.iterations + 1) % report_frequency == 0)

@@ -58,3 +58,37 @@ def test_canyon_optimizer_converges_and_undoes():
     assert errors[-1] < 0.05 * errors[0]
     # adaptive behavior engaged: step size changed from its base
     assert opt.step_size != 0.05
+
+
+def test_run_phase_matches_single_steps():
+    """Chained phase execution must reproduce the step-by-step stream exactly
+    (same PRNG splits, same updates)."""
+    k = jax.random.PRNGKey(7)
+    o1 = Optimizer(quadratic_loss, [jnp.zeros(4, F64), jnp.zeros(2, F64)],
+                   learning_rate=0.1, key=k)
+    o2 = Optimizer(quadratic_loss, [jnp.zeros(4, F64), jnp.zeros(2, F64)],
+                   learning_rate=0.1, key=k)
+    errs1 = [o1.single_step(None, lr_scale=s, momentum=0.5)
+             for s in np.linspace(1.0, 0.5, 6)]
+    errs2 = o2.run_phase(6, None, lr_scale=(1.0, 0.5), momentum=0.5)
+    np.testing.assert_allclose(errs1, errs2, rtol=1e-12)
+    for a, b in zip(o1.parameters, o2.parameters):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
+def test_training_routine_chain_equivalent():
+    k = jax.random.PRNGKey(9)
+    routine = [
+        {"steps": 4, "learning_rate": 0.5, "momentum": 0.3},
+        {"steps": 4, "learning_rate": (0.3, 0.1), "momentum": 0.6},
+    ]
+    o1 = Optimizer(quadratic_loss, [jnp.zeros(4, F64), jnp.zeros(2, F64)],
+                   learning_rate=0.1, key=k)
+    e1 = o1.training_routine(routine, report_frequency=0, show_time=False)
+    o2 = Optimizer(quadratic_loss, [jnp.zeros(4, F64), jnp.zeros(2, F64)],
+                   learning_rate=0.1, key=k)
+    e2 = o2.training_routine(routine, report_frequency=0, show_time=False,
+                             chain=True)
+    np.testing.assert_allclose(e1, e2, rtol=1e-12)
+    for a, b in zip(o1.parameters, o2.parameters):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
