@@ -200,9 +200,14 @@ def refine_triangle_hit(p0, p1, tri: TriangleSet, idx, intersect_eps):
     endpoints, mirroring the reference's gather-of-dense-result semantics.
     """
     idx = lax.stop_gradient(idx)
-    vp = tri.vp[idx]
-    v1 = tri.v1[idx]
-    v2 = tri.v2[idx]
+    return refine_triangle_hit_from(p0, p1, tri.vp[idx], tri.v1[idx],
+                                    tri.v2[idx], intersect_eps)
+
+
+def refine_triangle_hit_from(p0, p1, vp, v1, v2, intersect_eps):
+    """Refine against already-gathered per-ray triangle vertices (used by the
+    engine's fused-table gather; dynamic gathers are the dominant per-bounce
+    cost on TPU, so they are done once for all surface data)."""
     x, y, z, _, ray_u, tu, tv = geometry.raw_line_triangle_intersect(
         p0[:, 0], p0[:, 1], p0[:, 2], p1[:, 0], p1[:, 1], p1[:, 2],
         vp[:, 0], vp[:, 1], vp[:, 2], v1[:, 0], v1[:, 1], v1[:, 2],
