@@ -385,6 +385,15 @@ class OpticalEngine:
                 f"OpticalEngine: dimension must be 2 or 3, got {dimension}")
         self.dimension = dimension
         self.operations = list(operations)
+        # exclusive-operation audit (engine.py:1329-1340)
+        used = {type(op) for op in self.operations}
+        excluded = set()
+        for op in self.operations:
+            excluded |= set(getattr(op, "exclusions", ()))
+        clash = used & excluded
+        if clash:
+            raise RuntimeError(
+                f"OpticalEngine: discovered exclusive operations: {clash}")
         self.optical_system = optical_system
         self.dead_ray_length = dead_ray_length
         self.new_ray_length = new_ray_length

@@ -1,0 +1,140 @@
+"""Physics golden-value tests: traced systems must reproduce textbook
+optics (focal lengths, mirror equations, TIR critical angle).  The reference
+had no such validation; these pin the engine to analytically known results."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflowraytrace_tpu import (
+    DEAD, FINISHED, RaySet, Scene2D, SegmentSet, TraceConfig, trace,
+)
+from tensorflowraytrace_tpu.models.surfaces import ArcSet
+from tensorflowraytrace_tpu.ops import materials as mats
+
+PI = math.pi
+F64 = jnp.float64
+
+
+def paraxial_rays(n, height, x0=-5.0, direction=1.0):
+    ys = np.linspace(-height, height, n)
+    p0 = np.stack([np.full(n, x0), ys], axis=1)
+    p1 = p0 + np.asarray([direction, 0.0])
+    return RaySet.make(jnp.asarray(p0, F64), jnp.asarray(p1, F64), 550.0,
+                       dtype=F64)
+
+
+def crossing_x(res):
+    """x where each traced (finished) ray crosses the optical axis."""
+    p0 = np.asarray(res.rays.p0)
+    p1 = np.asarray(res.rays.p1)
+    t = -p0[:, 1] / (p1[:, 1] - p0[:, 1])
+    return p0[:, 0] + t * (p1[:, 0] - p0[:, 0])
+
+
+def test_plano_convex_focal_length():
+    """A single convex refracting surface (radius R, index n) focuses
+    paraxial rays at f = R / (n - 1) behind the surface."""
+    n_glass = 1.5
+    R = 2.0
+    # surface: arc centered at (R, 0) with radius R -> vertex at origin,
+    # convex toward the incoming rays; glass fills the space behind
+    arc = ArcSet.make([[R, 0.0]], 3 * PI / 4, 5 * PI / 4, R, mat_in=1,
+                      mat_out=0, dtype=F64)
+    target = SegmentSet.make([[30.0, -50.0]], [[30.0, 50.0]], dtype=F64)
+    scene = Scene2D.build(optical_arcs=[arc], target_segments=[target])
+
+    rays = paraxial_rays(20, 0.05 * R)
+    res = trace(rays, scene, (mats.vacuum,
+                              mats.build_constant_material(n_glass)),
+                TraceConfig(max_bounces=2))
+    assert bool(jnp.all(res.rays.state == FINISHED))
+    # for refraction INTO a medium of index n at a single spherical surface:
+    # image distance (from vertex) = n R / (n - 1)
+    f_expected = n_glass * R / (n_glass - 1.0)
+    f_traced = crossing_x(res)
+    np.testing.assert_allclose(f_traced, f_expected, rtol=0.01)
+
+
+def test_spherical_mirror_focal_length():
+    """A concave mirror of radius R focuses paraxial rays at R/2."""
+    R = 4.0
+    # mirror arc centered at origin; rays approach the CONCAVE side, so the
+    # radius is negative to flip the norm toward them (the reference's
+    # negative-radius convention, engine.py:666-670)
+    arc = ArcSet.make([[0.0, 0.0]], 3 * PI / 4, 5 * PI / 4, -R, mat_in=1,
+                      mat_out=0, dtype=F64)
+    target = SegmentSet.make([[0.0, -50.0]], [[0.0, 50.0]],
+                             dtype=F64)  # plane through the center
+    scene = Scene2D.build(optical_arcs=[arc], target_segments=[target])
+
+    # rays travel toward -x into the concave mirror (vertex at x=-R)
+    rays = paraxial_rays(20, 0.04 * R, x0=-1.0, direction=-1.0)
+    res = trace(rays, scene, (mats.vacuum, mats.reflective),
+                TraceConfig(max_bounces=2))
+    # reflected rays cross the axis at x = -(R - R/2) = -R/2 (focal point
+    # halfway between mirror vertex at -R and center at 0)
+    f_traced = crossing_x(res)
+    np.testing.assert_allclose(f_traced, -R / 2, rtol=0.01)
+
+
+def test_tir_critical_angle():
+    """Rays inside glass hitting a flat interface: refract below the
+    critical angle, totally internally reflect above it."""
+    n_glass = 1.5
+    crit = math.asin(1.0 / n_glass)
+    # interface along x=0 with norm pointing -x (toward the incoming rays);
+    # the norm-side material (mat_out) is the glass the rays travel in, the
+    # far side (mat_in) is vacuum
+    interface = SegmentSet.make([[0.0, -50.0]], [[0.0, 50.0]], mat_in=0,
+                                mat_out=1, dtype=F64)
+    scene = Scene2D.build(optical_segments=[interface])
+
+    angles = np.asarray([crit - 0.1, crit - 0.01, crit + 0.01, crit + 0.1])
+    n = len(angles)
+    p0 = np.stack([-np.cos(angles), -np.sin(angles)], axis=1)
+    p1 = np.zeros((n, 2))
+    rays = RaySet.make(jnp.asarray(p0, F64), jnp.asarray(p1, F64), 550.0,
+                       dtype=F64)
+    res = trace(rays, scene, (mats.vacuum,
+                              mats.build_constant_material(n_glass)),
+                TraceConfig(max_bounces=1))
+    d = np.asarray(res.rays.p1 - res.rays.p0)
+    # below critical angle: transmitted (continues +x); above: reflected (-x)
+    assert d[0, 0] > 0 and d[1, 0] > 0
+    assert d[2, 0] < 0 and d[3, 0] < 0
+    # transmitted angle obeys Snell: n sin(theta1) = sin(theta2)
+    sin_t2 = abs(d[0, 1]) / np.hypot(d[0, 0], d[0, 1])
+    np.testing.assert_allclose(n_glass * math.sin(angles[0]), sin_t2,
+                               rtol=1e-10)
+    # reflected angle equals incidence angle
+    sin_r = abs(d[3, 1]) / np.hypot(d[3, 0], d[3, 1])
+    np.testing.assert_allclose(sin_r, math.sin(angles[3]), rtol=1e-10)
+
+
+def test_optical_path_reversibility():
+    """Tracing a refracted ray backward recovers the original direction
+    (Snell reversibility)."""
+    interface = SegmentSet.make([[0.0, -50.0]], [[0.0, 50.0]], mat_in=1,
+                                mat_out=0, dtype=F64)
+    scene = Scene2D.build(optical_segments=[interface])
+    materials = (mats.vacuum, mats.build_constant_material(1.5))
+    cfg = TraceConfig(max_bounces=1)
+
+    t1 = 0.5
+    rays = RaySet.make(jnp.asarray([[math.cos(t1), -math.sin(t1)]], F64),
+                       jnp.asarray([[0.0, 0.0]], F64), 550.0, dtype=F64)
+    res = trace(rays, scene, materials, cfg)
+    # reverse the refracted ray and trace back through the interface
+    fwd = np.asarray(res.rays.p1[0] - res.rays.p0[0])
+    back_start = np.asarray(res.rays.p0[0]) + 2.0 * fwd
+    rays_back = RaySet.make(jnp.asarray([back_start], F64),
+                            jnp.asarray([back_start - fwd], F64), 550.0,
+                            dtype=F64)
+    res_back = trace(rays_back, scene, materials, cfg)
+    back = np.array(res_back.rays.p1[0] - res_back.rays.p0[0])
+    back /= np.linalg.norm(back)
+    orig = np.asarray([math.cos(t1), -math.sin(t1)])
+    orig = -orig / np.linalg.norm(orig)
+    np.testing.assert_allclose(back, -orig, atol=1e-10)
