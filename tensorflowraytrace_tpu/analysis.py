@@ -18,9 +18,6 @@ Reference counterpart: /root/reference/tfrt/analyze.py.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -28,14 +28,14 @@ from __future__ import annotations
 import dataclasses
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from tensorflowraytrace_tpu.config import (
-    ACTIVE, DEAD, FINISHED, OPTICAL, STOP, STOPPED, TARGET, default_epsilon,
+    ACTIVE, DEAD, FINISHED, OPTICAL, STOP, STOPPED, default_epsilon,
 )
 from tensorflowraytrace_tpu.models.rays import RaySet
 from tensorflowraytrace_tpu.models.surfaces import Scene2D, Scene3D

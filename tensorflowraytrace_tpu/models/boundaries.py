@@ -34,7 +34,7 @@ Parity map:
 from __future__ import annotations
 
 import math
-from typing import Callable, List, Optional, Sequence, Union
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

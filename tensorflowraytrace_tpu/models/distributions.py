@@ -31,7 +31,6 @@ Class-by-class parity (citations into the reference):
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -35,7 +35,6 @@ from __future__ import annotations
 
 import math
 import pickle
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

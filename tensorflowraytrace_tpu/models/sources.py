@@ -25,7 +25,7 @@ base_point/end_point, wavelength.
 from __future__ import annotations
 
 import math
-from typing import Callable, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

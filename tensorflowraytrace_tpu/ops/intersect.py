@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from tensorflowraytrace_tpu.ops import geometry
-from tensorflowraytrace_tpu.models.surfaces import ArcSet, Scene2D, Scene3D, SegmentSet, TriangleSet
+from tensorflowraytrace_tpu.models.surfaces import ArcSet, Scene2D, SegmentSet, TriangleSet
 
 # Surface-kind codes for the combined 2D hit record.
 KIND_SEGMENT = 0

@@ -21,11 +21,9 @@ j == 0.  Epsilons are baked in as compile-time constants.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 
 try:  # pallas TPU backend is optional at import time (CPU tests use interpret)

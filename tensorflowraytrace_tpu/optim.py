@@ -28,8 +28,6 @@ TPU-native differences:
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, List, Optional, Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

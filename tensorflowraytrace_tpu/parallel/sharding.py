@@ -17,7 +17,6 @@ the single-chip trace -- including the Pallas kernels.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

@@ -33,16 +33,13 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
-import math
-from typing import Callable, Dict, List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tensorflowraytrace_tpu.config import (
-    ACTIVE, DEAD, FINISHED, OPTICAL, STOP, STOPPED, TARGET, resolve_dtype,
-)
+from tensorflowraytrace_tpu.config import ACTIVE, resolve_dtype
 from tensorflowraytrace_tpu.engine import TraceConfig, default_reaction, trace
 from tensorflowraytrace_tpu.models.rays import RaySet, concat_rays
 from tensorflowraytrace_tpu.models.surfaces import (

@@ -11,7 +11,6 @@ buffers, PRNG key, iteration count -- through orbax when available, with an
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
