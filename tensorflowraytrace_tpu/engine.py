@@ -59,6 +59,9 @@ class TraceConfig:
     # "value": per-surface n_in / n_out floats in surface.fields
     refractive_index_type: str = "index"
     use_pallas: bool = False
+    # conservative AABB chunk culling in the pallas search (exact results;
+    # morton-sort the scene for best effect -- models/acceleration.py)
+    cull: bool = False
     surf_chunk: int = 128
     ray_block: int = 32768
     # None -> derived from dtype (config.default_epsilon)
@@ -182,7 +185,7 @@ def project_3d(rays: RaySet, scene: Scene3D, materials, cfg: TraceConfig) -> Pro
     hit = isect.nearest_hit_triangles(
         rays.p0, rays.p1, tri, i_eps, s_eps, r_eps,
         surf_chunk=cfg.surf_chunk, ray_block=cfg.ray_block,
-        use_pallas=cfg.use_pallas,
+        use_pallas=cfg.use_pallas, cull=cfg.cull,
     )
 
     dtype = rays.p0.dtype

@@ -1,0 +1,97 @@
+"""Spatial acceleration for the nearest-hit search.
+
+The reference has no acceleration structure at all -- it brute-forces the
+dense N x M product (SURVEY.md section 3.1).  The tiled Pallas kernel already
+removes the memory wall; this module removes redundant *compute* for
+structured scenes via conservative chunk culling:
+
+1. ``morton_sort_triangles`` reorders a TriangleSet by the Morton code of
+   triangle centroids, so consecutive kernel chunks are spatially compact.
+2. ``chunk_aabbs`` computes one axis-aligned bounding box per kernel chunk.
+3. The culled kernel (ops/pallas_kernels.py, ``cull=True``) slab-tests every
+   ray against the chunk AABB and skips the chunk's full Moller-Trumbore
+   math when (a) no ray in the block touches the box, or (b) every ray's
+   current-best hit is already closer than the box entry distance.
+
+Culling is *exactly* conservative: results are bit-identical to the
+brute-force kernel (tested), it only skips work that cannot produce a nearer
+hit.  Wins are largest for elongated scenes with coherent rays (light
+guides, lens stacks); worst case (random soup, incoherent rays) degrades to
+brute force plus a ~3% slab-test overhead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflowraytrace_tpu.models.surfaces import TriangleSet
+
+
+def _morton_codes(points: np.ndarray, bits: int = 10) -> np.ndarray:
+    """Interleaved-bit Morton codes for (N, 3) points normalized to the
+    bounding box."""
+    lo = points.min(axis=0)
+    hi = points.max(axis=0)
+    span = np.maximum(hi - lo, 1e-30)
+    q = np.clip(((points - lo) / span * ((1 << bits) - 1)).astype(np.uint64),
+                0, (1 << bits) - 1)
+
+    def spread(x):
+        # spread 10 bits to every 3rd bit position
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    return (spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1))
+            | (spread(q[:, 2]) << np.uint64(2)))
+
+
+def morton_sort_triangles(tri: TriangleSet):
+    """Reorder a TriangleSet by centroid Morton code.
+
+    Returns ``(sorted_set, permutation)`` where ``sorted[i] ==
+    original[permutation[i]]``.  Hit indices from a trace over the sorted set
+    refer to the sorted order; keep the permutation if you need to map back.
+    """
+    centroids = np.asarray((tri.vp + tri.v1 + tri.v2) / 3.0)
+    perm = np.argsort(_morton_codes(centroids), kind="stable")
+    permj = jnp.asarray(perm)
+    take = lambda a: jnp.take(a, permj, axis=0)
+    sorted_set = dataclasses.replace(
+        tri,
+        vp=take(tri.vp), v1=take(tri.v1), v2=take(tri.v2),
+        norm=take(tri.norm), category=take(tri.category),
+        mat_in=take(tri.mat_in), mat_out=take(tri.mat_out),
+        fields={k: take(v) for k, v in tri.fields.items()},
+    )
+    return sorted_set, perm
+
+
+def chunk_aabbs(vp, v1, v2, chunk_size: int):
+    """Per-chunk AABBs, padded to a whole number of chunks.
+
+    Returns an (8, C) array: rows 0-2 = box min xyz, rows 3-5 = box max xyz,
+    rows 6-7 = padding (the kernel wants a sublane-aligned block).  Padded
+    chunks get an empty box at the origin; their triangles are degenerate and
+    fail the intersection test anyway.
+    """
+    m = vp.shape[0]
+    c = -(-m // chunk_size)
+    pad = c * chunk_size - m
+
+    def prep(a):
+        # edge-pad so the last chunk's box is not inflated toward the origin
+        return jnp.pad(a, ((0, pad), (0, 0)), mode="edge").reshape(
+            c, chunk_size, 3)
+
+    pts = jnp.stack([prep(vp), prep(v1), prep(v2)], axis=0)  # (3, C, B, 3)
+    lo = jnp.min(pts, axis=(0, 2))  # (C, 3)
+    hi = jnp.max(pts, axis=(0, 2))
+    out = jnp.zeros((8, c), dtype=vp.dtype)
+    out = out.at[0:3].set(lo.T).at[3:6].set(hi.T)
+    return out

@@ -155,13 +155,14 @@ def _chunked_search(p0, p1, surf_arrays, chunk_fn, n_surf, surf_chunk, ray_block
 def nearest_hit_triangles(
     p0, p1, tri: TriangleSet, intersect_eps, size_eps, ray_start_eps,
     surf_chunk=_DEF_SURF_CHUNK, ray_block=_DEF_RAY_BLOCK, use_pallas=False,
+    cull=False,
 ) -> HitRecord:
     """Per-ray nearest triangle (search phase; non-differentiable)."""
     if use_pallas:
         from tensorflowraytrace_tpu.ops.pallas_kernels import nearest_hit_triangles_pallas
 
         valid, idx, ray_u = nearest_hit_triangles_pallas(
-            p0, p1, tri, intersect_eps, size_eps, ray_start_eps
+            p0, p1, tri, intersect_eps, size_eps, ray_start_eps, cull=cull
         )
         z = jnp.zeros_like(idx)
         return HitRecord(valid=valid, idx=idx, ray_u=ray_u,

@@ -131,6 +131,137 @@ def _triangle_kernel(i_eps, s_eps, r_eps, rays_ref, tris_ref,
     valid_ref[0] = valid_ref[0] | jnp.any(ok, axis=0).astype(jnp.int32)
 
 
+def _triangle_kernel_culled(i_eps, s_eps, r_eps, rays_ref, tris_ref, aabb_ref,
+                            u_ref, idx_ref, valid_ref):
+    """Brute kernel + conservative chunk culling (models/acceleration.py):
+    slab-test the block's rays against the chunk AABB and skip the chunk's
+    full intersection math when no ray can improve its current best hit.
+    Exactly conservative: identical results to the brute kernel."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        u_ref[...] = jnp.full(u_ref.shape, _BIG, u_ref.dtype)
+        idx_ref[...] = jnp.zeros(idx_ref.shape, idx_ref.dtype)
+        valid_ref[...] = jnp.zeros(valid_ref.shape, valid_ref.dtype)
+
+    r = rays_ref[...]
+
+    ox = r[0][None, :]
+    oy = r[1][None, :]
+    oz = r[2][None, :]
+    dx = (r[3] - r[0])[None, :]
+    dy = (r[4] - r[1])[None, :]
+    dz = (r[5] - r[2])[None, :]
+
+    # slab test against this chunk's AABB (scalars from the (8, C) table)
+    tiny = 1e-30
+
+    def axis_slab(o, d, lo, hi):
+        inv = 1.0 / jnp.where(jnp.abs(d) < tiny,
+                              jnp.where(d < 0, -tiny, tiny), d)
+        t1 = (lo - o) * inv
+        t2 = (hi - o) * inv
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    # this chunk's AABB arrives as a (1, 8, 128) block selected by the index
+    # map (lane-replicated so the block shape meets tiling constraints)
+    ax0, bx0 = axis_slab(ox, dx, aabb_ref[0, 0, 0], aabb_ref[0, 3, 0])
+    ay0, by0 = axis_slab(oy, dy, aabb_ref[0, 1, 0], aabb_ref[0, 4, 0])
+    az0, bz0 = axis_slab(oz, dz, aabb_ref[0, 2, 0], aabb_ref[0, 5, 0])
+    tmin = jnp.maximum(jnp.maximum(ax0, ay0), az0)
+    tmax = jnp.minimum(jnp.minimum(bx0, by0), bz0)
+    # small relative slack guards f32 rounding at box faces
+    can_hit = (tmax * (1 + 1e-6) + 1e-6 >= jnp.maximum(tmin, r_eps))
+    improving = tmin * (1 - 1e-6) - 1e-6 <= u_ref[0][None, :]
+    need = jnp.any(can_hit & improving)
+
+    @pl.when(need)
+    def _():
+        t = tris_ref[...]
+        v0x = t[0][:, None]
+        v0y = t[1][:, None]
+        v0z = t[2][:, None]
+        e1x = (t[3] - t[0])[:, None]
+        e1y = (t[4] - t[1])[:, None]
+        e1z = (t[5] - t[2])[:, None]
+        e2x = (t[6] - t[0])[:, None]
+        e2y = (t[7] - t[1])[:, None]
+        e2z = (t[8] - t[2])[:, None]
+
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+
+        ok = jnp.abs(det) >= i_eps
+        inv = 1.0 / jnp.where(ok, det, jnp.ones_like(det))
+
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        tu = (tx * px + ty * py + tz * pz) * inv
+
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        tv = (dx * qx + dy * qy + dz * qz) * inv
+        ray_u = (e2x * qx + e2y * qy + e2z * qz) * inv
+
+        ok = ok & (tu >= -s_eps) & (tv >= -s_eps)
+        ok = ok & (tu + tv <= 1 + s_eps) & (ray_u >= r_eps)
+
+        u = jnp.where(ok, ray_u, _BIG)
+        bu = jnp.min(u, axis=0)
+        barg = jnp.argmin(u, axis=0).astype(jnp.int32)
+        gidx = j * tris_ref.shape[1] + barg
+
+        better = bu < u_ref[0]
+        u_ref[0] = jnp.where(better, bu, u_ref[0])
+        idx_ref[0] = jnp.where(better, gidx, idx_ref[0])
+        valid_ref[0] = valid_ref[0] | jnp.any(ok, axis=0).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("i_eps", "s_eps", "r_eps",
+                                             "ray_block", "tri_block",
+                                             "interpret"))
+def _nearest_hit_triangles_culled_impl(rays8, tris16, aabbs, i_eps, s_eps,
+                                       r_eps, ray_block, tri_block, interpret):
+    n = rays8.shape[1]
+    m = tris16.shape[1]
+    n_pad = -(-n // ray_block) * ray_block
+    m_pad = -(-m // tri_block) * tri_block
+    rays8 = _pad_to(rays8, n_pad, 1)
+    tris16 = _pad_to(tris16, m_pad, 1)
+    grid = (n_pad // ray_block, m_pad // tri_block)
+    assert aabbs.shape == (8, grid[1]), (aabbs.shape, grid)
+    # (8, C) -> (C, 8, 128) lane-replicated so per-chunk blocks are tileable
+    aabbs3 = jnp.broadcast_to(aabbs.T[:, :, None], aabbs.T.shape + (128,))
+
+    kernel = functools.partial(_triangle_kernel_culled, i_eps, s_eps, r_eps)
+    u, idx, valid = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            _vmem_spec((8, ray_block), lambda i, j: (0, i)),
+            _vmem_spec((16, tri_block), lambda i, j: (0, j)),
+            _vmem_spec((1, 8, 128), lambda i, j: (j, 0, 0)),
+        ],
+        out_specs=[
+            _vmem_spec((1, ray_block), lambda i, j: (0, i)),
+            _vmem_spec((1, ray_block), lambda i, j: (0, i)),
+            _vmem_spec((1, ray_block), lambda i, j: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), rays8.dtype),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(rays8, tris16, aabbs3)
+    return valid[0, :n] > 0, idx[0, :n], u[0, :n]
+
+
 @functools.partial(jax.jit, static_argnames=("i_eps", "s_eps", "r_eps",
                                              "ray_block", "tri_block",
                                              "interpret"))
@@ -169,8 +300,14 @@ def _nearest_hit_triangles_impl(rays8, tris16, i_eps, s_eps, r_eps,
 
 def nearest_hit_triangles_pallas(p0, p1, tri, intersect_eps, size_eps,
                                  ray_start_eps, ray_block=DEFAULT_RAY_BLOCK,
-                                 tri_block=DEFAULT_TRI_BLOCK, interpret=None):
-    """Tiled nearest ray-triangle hit.  Returns (valid, idx, ray_u)."""
+                                 tri_block=DEFAULT_TRI_BLOCK, interpret=None,
+                                 cull=False):
+    """Tiled nearest ray-triangle hit.  Returns (valid, idx, ray_u).
+
+    ``cull=True`` adds conservative per-chunk AABB culling (see
+    models/acceleration.py; sort the scene with morton_sort_triangles first
+    for best effect).  Results are identical either way.
+    """
     if interpret is None:
         interpret = _auto_interpret()
     p0 = jax.lax.stop_gradient(p0)
@@ -180,10 +317,20 @@ def nearest_hit_triangles_pallas(p0, p1, tri, intersect_eps, size_eps,
     rays8 = jnp.zeros((8, n), dtype=dtype)
     rays8 = rays8.at[0:3].set(p0.T).at[3:6].set(p1.T)
     m = tri.n_surfaces
+    vp = jax.lax.stop_gradient(tri.vp)
+    v1 = jax.lax.stop_gradient(tri.v1)
+    v2 = jax.lax.stop_gradient(tri.v2)
     tris16 = jnp.zeros((16, m), dtype=dtype)
-    tris16 = (tris16.at[0:3].set(jax.lax.stop_gradient(tri.vp).T)
-              .at[3:6].set(jax.lax.stop_gradient(tri.v1).T)
-              .at[6:9].set(jax.lax.stop_gradient(tri.v2).T))
+    tris16 = tris16.at[0:3].set(vp.T).at[3:6].set(v1.T).at[6:9].set(v2.T)
+    if cull:
+        from tensorflowraytrace_tpu.models.acceleration import chunk_aabbs
+
+        aabbs = chunk_aabbs(vp, v1, v2, int(tri_block)).astype(dtype)
+        return _nearest_hit_triangles_culled_impl(
+            rays8, tris16, aabbs, float(intersect_eps), float(size_eps),
+            float(ray_start_eps), int(ray_block), int(tri_block),
+            bool(interpret),
+        )
     return _nearest_hit_triangles_impl(
         rays8, tris16, float(intersect_eps), float(size_eps),
         float(ray_start_eps), int(ray_block), int(tri_block), bool(interpret),

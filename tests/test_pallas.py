@@ -108,3 +108,55 @@ def test_full_trace_with_pallas_path(rng):
                                   np.asarray(res_p.rays.state))
     np.testing.assert_allclose(np.asarray(res_x.rays.p1),
                                np.asarray(res_p.rays.p1), atol=1e-5)
+    # and with conservative culling enabled
+    res_c = trace(rays, scene, materials,
+                  TraceConfig(max_bounces=3, use_pallas=True, cull=True))
+    np.testing.assert_array_equal(np.asarray(res_x.rays.state),
+                                  np.asarray(res_c.rays.state))
+    np.testing.assert_allclose(np.asarray(res_x.rays.p1),
+                               np.asarray(res_c.rays.p1), atol=1e-5)
+
+
+def test_culled_kernel_matches_brute(rng):
+    """Conservative AABB culling must produce identical results to the brute
+    kernel, sorted or not."""
+    from tensorflowraytrace_tpu.models.acceleration import morton_sort_triangles
+
+    tri = random_tri_scene(rng, 600)
+    tri_sorted, _ = morton_sort_triangles(tri)
+    p0, p1 = random_rays(rng, 700)
+    eps = 1e-6
+    for scene in (tri, tri_sorted):
+        v_b, i_b, u_b = nearest_hit_triangles_pallas(
+            p0, p1, scene, eps, eps, eps, ray_block=256, tri_block=64,
+            interpret=True, cull=False)
+        v_c, i_c, u_c = nearest_hit_triangles_pallas(
+            p0, p1, scene, eps, eps, eps, ray_block=256, tri_block=64,
+            interpret=True, cull=True)
+        np.testing.assert_array_equal(np.asarray(v_b), np.asarray(v_c))
+        valid = np.asarray(v_b)
+        np.testing.assert_array_equal(np.asarray(i_b)[valid],
+                                      np.asarray(i_c)[valid])
+        np.testing.assert_allclose(np.asarray(u_b)[valid],
+                                   np.asarray(u_c)[valid], rtol=1e-6)
+
+
+def test_morton_sort_preserves_scene(rng):
+    from tensorflowraytrace_tpu.models.acceleration import morton_sort_triangles
+
+    tri = random_tri_scene(rng, 100)
+    tri_sorted, perm = morton_sort_triangles(tri)
+    np.testing.assert_allclose(np.asarray(tri_sorted.vp),
+                               np.asarray(tri.vp)[perm])
+    # a full trace over the sorted scene gives the same hit geometry
+    p0, p1 = random_rays(rng, 200)
+    eps = 1e-6
+    v1_, _, u1_ = nearest_hit_triangles_pallas(p0, p1, tri, eps, eps, eps,
+                                               ray_block=128, tri_block=32,
+                                               interpret=True)
+    v2_, _, u2_ = nearest_hit_triangles_pallas(p0, p1, tri_sorted, eps, eps,
+                                               eps, ray_block=128,
+                                               tri_block=32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(v1_), np.asarray(v2_))
+    np.testing.assert_allclose(np.asarray(u1_)[np.asarray(v1_)],
+                               np.asarray(u2_)[np.asarray(v2_)], rtol=1e-6)
