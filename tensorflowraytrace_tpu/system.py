@@ -545,3 +545,180 @@ class OpticalEngine:
         res = self._require_result()
         mask = np.asarray(res.rays.state) == ACTIVE
         return res.rays.select(mask)
+
+    # ---- functional bridge for optimization ----
+
+    def parametric_entries(self):
+        """Boundary entries wrapping parametric builders (objects exposing
+        build/init_params), in system order."""
+        out = []
+        for entry in self.optical_system._all_entries():
+            obj = entry._obj
+            if hasattr(obj, "build") and hasattr(obj, "init_params"):
+                out.append(entry)
+        return out
+
+    def make_loss(self, error_function, trace_depth):
+        """Build a pure ``loss(params, key) -> scalar`` over this engine's
+        system, plus the matching initial parameter list.
+
+        ``params`` is a flat list: one entry per parametric boundary (multi-
+        boundaries contribute one entry per surface).  Each step the loss
+        rebuilds the parametric surfaces from params, re-samples every
+        source from the key, traces ``trace_depth`` bounces, and applies
+        ``error_function(trace_result)`` -- the functional equivalent of the
+        reference's tape block (optimizer.py:215-219).  ``error_function``
+        must be jit-pure: weight by state masks (result.rays.state ==
+        FINISHED), do not compact.
+        """
+        import dataclasses
+
+        system = self.optical_system
+        entries = self.parametric_entries()
+        # no history retention inside the differentiated loss
+        cfg = dataclasses.replace(self.trace_config(trace_depth),
+                                  keep_history=False)
+        reaction = self._op_reaction()
+        materials = system.material_callables()
+        sources = [e._obj for e in system._source_entries]
+
+        # flatten initial params; record how to unflatten per entry
+        init_params = []
+        slots = []  # (entry, n_params) -- n_params parts of the flat list
+        for e in entries:
+            obj = e._obj
+            p = obj.parameters if getattr(obj, "parameters", None) is not None \
+                else obj.init_params()
+            if isinstance(p, (list, tuple)):
+                slots.append((e, len(p)))
+                init_params.extend(jnp.asarray(x) for x in p)
+            else:
+                slots.append((e, 1))
+                init_params.append(jnp.asarray(p))
+
+        def build_scene(params):
+            i = 0
+            rebuilt = {}
+            for e, count in slots:
+                obj = e._obj
+                if count == 1 and not isinstance(obj.init_params(), list):
+                    rebuilt[id(e)] = obj.build(params[i])
+                else:
+                    rebuilt[id(e)] = obj.build(list(params[i:i + count]))
+                i += count
+
+            def sets_for(entry_list):
+                out = []
+                for e in entry_list:
+                    s = rebuilt.get(id(e), e.surface_set)
+                    out.extend(s) if isinstance(s, list) else out.append(s)
+                return out
+
+            if system.dimension == 2:
+                return Scene2D.build(
+                    optical_segments=sets_for(system._optical_segments),
+                    stop_segments=sets_for(system._stop_segments),
+                    target_segments=sets_for(system._target_segments),
+                    optical_arcs=sets_for(system._optical_arcs),
+                    stop_arcs=sets_for(system._stop_arcs),
+                    target_arcs=sets_for(system._target_arcs),
+                )
+            return Scene3D.build(
+                optical=sets_for(system._optical),
+                stops=sets_for(system._stops),
+                targets=sets_for(system._targets),
+            )
+
+        def loss(params, key, *args, **kwargs):
+            scene = build_scene(params)
+            keys = jax.random.split(key, max(len(sources), 1))
+            ray_sets = []
+            for src_obj, k in zip(sources, keys):
+                if isinstance(src_obj, RaySet):
+                    ray_sets.append(src_obj)
+                else:
+                    ray_sets.append(src_obj.sample(k, dtype=system.dtype))
+            rays = concat_rays(ray_sets)
+            result = trace(rays, scene, materials, cfg, reaction)
+            return error_function(result, *args, **kwargs)
+
+        return loss, init_params
+
+    def write_back(self, params):
+        """Store optimized flat params back into the parametric builders so
+        subsequent update()/ray_trace() calls use them."""
+        i = 0
+        for e in self.parametric_entries():
+            obj = e._obj
+            if isinstance(obj.init_params(), list):
+                n = len(obj.init_params())
+                obj.parameters = list(params[i:i + n])
+                i += n
+            else:
+                obj.parameters = params[i]
+                i += 1
+        self.update()
+
+
+class SGD_Optimizer:
+    """Reference-style top-level optimizer (optimizer.py:8-442): wraps an
+    OpticalEngine + error function + trace depth around the jitted
+    functional Optimizer.
+
+    ``error_function(result, *args, **kwargs) -> scalar`` receives the
+    TraceResult (jit-pure: use state masks).  After optimization the
+    parameters are written back into the engine's parametric boundaries.
+    """
+
+    def __init__(self, engine: OpticalEngine, parameters=None, error_function=None,
+                 trace_depth=25, momentum=0.0, learning_rate=1.0,
+                 individual_lr=None, grad_clip="default", clip_mode="common",
+                 clip_scale=10.0, key=None):
+        from tensorflowraytrace_tpu.optim import Optimizer
+
+        if error_function is None:
+            raise ValueError("SGD_Optimizer: error_function is required")
+        self.engine = engine
+        self.trace_depth = trace_depth
+        loss, init_params = engine.make_loss(error_function, trace_depth)
+        if parameters is not None:
+            init_params = [jnp.asarray(p) for p in parameters]
+        self._opt = Optimizer(
+            loss, init_params, learning_rate=learning_rate, momentum=momentum,
+            individual_lr=individual_lr, grad_clip=grad_clip,
+            clip_mode=clip_mode, clip_scale=clip_scale, key=key,
+        )
+
+    @property
+    def parameters(self):
+        return self._opt.parameters
+
+    @property
+    def iterations(self):
+        return self._opt.iterations
+
+    def process_gradient(self, *a, **kw):
+        raise NotImplementedError(
+            "gradient processing happens inside the jitted step; use "
+            "single_step/training_routine")
+
+    def single_step(self, *args, **kwargs):
+        err = self._opt.single_step(*args, **kwargs)
+        self.engine.write_back(self._opt.parameters)
+        return err
+
+    def run_phase(self, *args, **kwargs):
+        errors = self._opt.run_phase(*args, **kwargs)
+        self.engine.write_back(self._opt.parameters)
+        return errors
+
+    def training_routine(self, *args, **kwargs):
+        errors = self._opt.training_routine(*args, **kwargs)
+        self.engine.write_back(self._opt.parameters)
+        return errors
+
+    @staticmethod
+    def smooth(parameters, smoother):
+        from tensorflowraytrace_tpu.optim import Optimizer
+
+        return Optimizer.smooth(parameters, smoother)

@@ -154,3 +154,59 @@ def test_amalgamate_field_dicts():
     out = amalgamate([a, b])
     assert set(out.keys()) == {"x", "y"}
     np.testing.assert_allclose(np.asarray(out["x"]), [1.0, 2.0, 3.0])
+
+
+def test_sgd_optimizer_facade_single_arc():
+    """The reference's top-level workflow: SGD_Optimizer(engine, erf, depth)
+    optimizes the arc through the stateful facade."""
+    from tensorflowraytrace_tpu.system import SGD_Optimizer
+    from tensorflowraytrace_tpu.models import boundaries as bnd
+
+    class TrainableArc:
+        """Minimal parametric arc builder: x_center == radius == p[0]."""
+
+        def __init__(self):
+            self.parameters = None
+
+        def init_params(self):
+            return jnp.asarray([5.0], F64)
+
+        def build(self, p):
+            from tensorflowraytrace_tpu.models.surfaces import ArcSet
+
+            r = p[0]
+            center = jnp.stack([jnp.stack([r, jnp.asarray(0.0, F64)])])
+            return ArcSet.make(center, 3 * PI / 4, 5 * PI / 4, r,
+                               mat_in=1, mat_out=0, dtype=F64)
+
+    arc = TrainableArc()
+    target = SegmentSet.make([[10.0, -5.0]], [[10.0, 5.0]], dtype=F64)
+    beam = dist.StaticUniformBeam(-1.5, 1.5, 10)
+    angles = dist.StaticUniformAngularDistribution(0.0, 0.0, 1)
+    source = src.AngularSource(2, (-1.0, 0.0), 0.0, angles, beam,
+                               [680.0, 575.0, 450.0])
+
+    system = OpticalSystem2D(dtype=F64)
+    system.optical_arcs = [arc]
+    system.sources = [source]
+    system.target_segments = [target]
+    system.materials = [{"n": mats.vacuum}, {"n": mats.acrylic}]
+    system.update()
+
+    engine = OpticalEngine(2)
+    engine.optical_system = system
+
+    def error_function(result):
+        fin = result.rays.state == FINISHED
+        return jnp.sum(jnp.where(fin, result.rays.p1[:, 1] ** 2, 0.0))
+
+    opt = SGD_Optimizer(engine, error_function=error_function, trace_depth=2,
+                        learning_rate=1.0, grad_clip=0.1)
+    e0 = opt.single_step(None, momentum=0.8)
+    errors = opt.run_phase(60, None, lr_scale=0.5, momentum=0.8)
+    assert errors[-1] < 0.1 * e0
+    # parameters written back into the engine's boundary
+    assert abs(float(arc.parameters[0]) - 5.0) > 0.1
+    engine.ray_trace(2)
+    fin = engine.finished_rays
+    assert float(jnp.max(jnp.abs(fin.p1[:, 1]))) < 0.5
