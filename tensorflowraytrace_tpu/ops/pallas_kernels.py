@@ -338,6 +338,178 @@ def nearest_hit_triangles_pallas(p0, p1, tri, intersect_eps, size_eps,
 
 
 # ======================================================================
+# 2D arcs
+# ======================================================================
+
+def _arc_kernel(i_eps, r_eps, rays_ref, arcs_ref, u_ref, idx_ref, valid_ref,
+                branch_ref):
+    """Nearest ray-arc hit.  Same math as geometry.raw_line_circle_intersect
+    + the engine's +/- branch resolution and angular-window pruning
+    (engine.py:767-866), with the atan2-based window test replaced by a
+    transcendental-free cross-product formulation (precomputed window edge
+    vectors ride in the arc table)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        u_ref[...] = jnp.full(u_ref.shape, _BIG, u_ref.dtype)
+        idx_ref[...] = jnp.zeros(idx_ref.shape, idx_ref.dtype)
+        valid_ref[...] = jnp.zeros(valid_ref.shape, valid_ref.dtype)
+        branch_ref[...] = jnp.zeros(branch_ref.shape, branch_ref.dtype)
+
+    r = rays_ref[...]          # (8, BN): xs ys xe ye
+    t = arcs_ref[...]          # (16, BM): xc yc rad sx sy ex ey big full
+
+    xs = r[0][None, :]
+    ys = r[1][None, :]
+    dx0 = (r[2] - r[0])[None, :]
+    dy0 = (r[3] - r[1])[None, :]
+
+    xc = t[0][:, None]
+    yc = t[1][:, None]
+    rad_r = t[2][:, None]
+    sx = t[3][:, None]
+    sy = t[4][:, None]
+    ex = t[5][:, None]
+    ey = t[6][:, None]
+    big = t[7][:, None] > 0.5   # sweep > pi
+    full = t[8][:, None] > 0.5  # complete circle
+    dead = t[9][:, None] > 0.5  # padding column: never hits
+
+    inv_r = 1.0 / rad_r
+    xr = (xs - xc) * inv_r
+    yr = (ys - yc) * inv_r
+    xd = dx0 * inv_r
+    yd = dy0 * inv_r
+
+    a = xd * xd + yd * yd
+    b = 2.0 * (xr * xd + yr * yd)
+    c = xr * xr + yr * yr - 1.0
+    disc = b * b - 4.0 * a * c
+    disc = jnp.where(jnp.abs(disc) < i_eps, jnp.zeros_like(disc), disc)
+
+    ok = (disc >= 0) & (jnp.abs(a) >= i_eps)
+    inv2a = 1.0 / jnp.where(jnp.abs(a) >= i_eps, 2.0 * a, jnp.ones_like(a))
+    sq = jnp.sqrt(jnp.where(disc >= 0, disc, jnp.zeros_like(disc)))
+    u_plus = (-b + sq) * inv2a
+    u_minus = (-b - sq) * inv2a
+
+    def branch_valid(u):
+        x = xs + dx0 * u
+        y = ys + dy0 * u
+        px = x - xc
+        py = y - yc
+        c1 = sx * py - sy * px   # cross(window start, p)
+        c2 = px * ey - py * ex   # cross(p, window end)
+        narrow = (c1 >= 0) & (c2 >= 0)
+        wide = jnp.logical_not((c1 < 0) & (c2 < 0))
+        in_window = (jnp.where(big, wide, narrow) | full) & jnp.logical_not(dead)
+        return ok & (u >= r_eps) & in_window
+
+    vp = branch_valid(u_plus)
+    vm = branch_valid(u_minus)
+    up = jnp.where(vp, u_plus, _BIG)
+    um = jnp.where(vm, u_minus, _BIG)
+    choose_minus = um < up
+    u = jnp.where(choose_minus, um, up)
+    any_ok = vp | vm
+
+    u = jnp.where(any_ok, u, _BIG)
+    bu = jnp.min(u, axis=0)
+    barg = jnp.argmin(u, axis=0).astype(jnp.int32)
+    gidx = j * arcs_ref.shape[1] + barg
+    rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+    bbranch = jnp.max(
+        jnp.where(rows == barg[None, :], choose_minus.astype(jnp.int32), 0),
+        axis=0)
+
+    better = bu < u_ref[0]
+    u_ref[0] = jnp.where(better, bu, u_ref[0])
+    idx_ref[0] = jnp.where(better, gidx, idx_ref[0])
+    branch_ref[0] = jnp.where(better, bbranch, branch_ref[0])
+    valid_ref[0] = valid_ref[0] | jnp.any(any_ok, axis=0).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("i_eps", "r_eps", "ray_block",
+                                             "arc_block", "interpret"))
+def _nearest_hit_arcs_impl(rays8, arcs16, i_eps, r_eps, ray_block, arc_block,
+                           interpret):
+    n = rays8.shape[1]
+    m = arcs16.shape[1]
+    n_pad = -(-n // ray_block) * ray_block
+    m_pad = -(-m // arc_block) * arc_block
+    rays8 = _pad_to(rays8, n_pad, 1)
+    arcs16 = _pad_to(arcs16, m_pad, 1)
+    # padded arcs get radius 1 (IEEE-safe quadratic) and the dead flag so
+    # they can never produce a valid hit
+    if m_pad > m:
+        pad_cols = jnp.zeros((16, m_pad - m), dtype=arcs16.dtype)
+        pad_cols = pad_cols.at[2].set(1.0)   # radius 1
+        pad_cols = pad_cols.at[9].set(1.0)   # dead
+        arcs16 = arcs16.at[:, m:].set(pad_cols)
+    grid = (n_pad // ray_block, m_pad // arc_block)
+
+    kernel = functools.partial(_arc_kernel, i_eps, r_eps)
+    u, idx, valid, branch = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            _vmem_spec((8, ray_block), lambda i, j: (0, i)),
+            _vmem_spec((16, arc_block), lambda i, j: (0, j)),
+        ],
+        out_specs=[
+            _vmem_spec((1, ray_block), lambda i, j: (0, i)),
+            _vmem_spec((1, ray_block), lambda i, j: (0, i)),
+            _vmem_spec((1, ray_block), lambda i, j: (0, i)),
+            _vmem_spec((1, ray_block), lambda i, j: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), rays8.dtype),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(rays8, arcs16)
+    return valid[0, :n] > 0, idx[0, :n], u[0, :n], branch[0, :n] > 0
+
+
+def nearest_hit_arcs_pallas(p0, p1, arc, intersect_eps, ray_start_eps,
+                            ray_block=DEFAULT_RAY_BLOCK,
+                            arc_block=DEFAULT_TRI_BLOCK, interpret=None):
+    """Tiled nearest ray-arc hit.  Returns (valid, idx, ray_u, branch) with
+    branch True where the quadratic minus-branch won (matches the XLA
+    search's HitRecord.branch)."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    p0 = jax.lax.stop_gradient(p0)
+    p1 = jax.lax.stop_gradient(p1)
+    dtype = p0.dtype
+    n = p0.shape[0]
+    rays8 = jnp.zeros((8, n), dtype=dtype)
+    rays8 = rays8.at[0:2].set(p0.T).at[2:4].set(p1.T)
+
+    m = arc.n_surfaces
+    center = jax.lax.stop_gradient(arc.center)
+    a1 = jax.lax.stop_gradient(arc.angle_start)
+    a2 = jax.lax.stop_gradient(arc.angle_end)
+    radius = jax.lax.stop_gradient(arc.radius)
+    sweep = a2 - a1
+    sweep = jnp.where(sweep < 0, sweep + 2 * jnp.pi, sweep)
+    arcs16 = jnp.zeros((16, m), dtype=dtype)
+    arcs16 = (arcs16.at[0].set(center[:, 0]).at[1].set(center[:, 1])
+              .at[2].set(radius)
+              .at[3].set(jnp.cos(a1)).at[4].set(jnp.sin(a1))
+              .at[5].set(jnp.cos(a2)).at[6].set(jnp.sin(a2))
+              .at[7].set((sweep > jnp.pi).astype(dtype))
+              .at[8].set((sweep >= 2 * jnp.pi - 1e-6).astype(dtype)))
+    return _nearest_hit_arcs_impl(
+        rays8, arcs16, float(intersect_eps), float(ray_start_eps),
+        int(ray_block), int(arc_block), bool(interpret),
+    )
+
+
+# ======================================================================
 # 2D segments
 # ======================================================================
 

@@ -160,3 +160,62 @@ def test_morton_sort_preserves_scene(rng):
     np.testing.assert_array_equal(np.asarray(v1_), np.asarray(v2_))
     np.testing.assert_allclose(np.asarray(u1_)[np.asarray(v1_)],
                                np.asarray(u2_)[np.asarray(v2_)], rtol=1e-6)
+
+
+def test_arc_kernel_matches_xla(rng):
+    """Pallas arc kernel (cross-product window test) vs the XLA search."""
+    from tensorflowraytrace_tpu.models.surfaces import ArcSet
+    from tensorflowraytrace_tpu.ops.pallas_kernels import nearest_hit_arcs_pallas
+
+    n_arcs = 45
+    center = rng.uniform(-3, 3, (n_arcs, 2)).astype(np.float32)
+    a1 = rng.uniform(-math.pi, math.pi, n_arcs).astype(np.float32)
+    sweep = rng.uniform(0.3, 5.8, n_arcs).astype(np.float32)
+    a2 = ((a1 + sweep + math.pi) % (2 * math.pi) - math.pi).astype(np.float32)
+    radius = (rng.uniform(0.3, 1.5, n_arcs)
+              * rng.choice([-1.0, 1.0], n_arcs)).astype(np.float32)
+    arc = ArcSet.make(center, a1, a2, radius, mat_in=1, dtype=F32)
+
+    n = 800
+    q0 = rng.uniform(-4, 4, (n, 2)).astype(np.float32)
+    d = rng.normal(0, 1, (n, 2)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    q0j, q1j = jnp.asarray(q0), jnp.asarray(q0 + d)
+    eps = 1e-6
+
+    ref = isect.nearest_hit_arcs(q0j, q1j, arc, eps, eps, eps, surf_chunk=16)
+    v, i, u, br = nearest_hit_arcs_pallas(q0j, q1j, arc, eps, eps,
+                                          ray_block=256, arc_block=16,
+                                          interpret=True)
+    agree = np.asarray(ref.valid) == np.asarray(v)
+    # allow a tiny disagreement rate from f32 atan2-vs-cross window rounding
+    assert agree.mean() > 0.995, agree.mean()
+    both = np.asarray(ref.valid) & np.asarray(v)
+    np.testing.assert_allclose(np.asarray(ref.ray_u)[both],
+                               np.asarray(u)[both], rtol=2e-4)
+    match = (np.asarray(ref.branch)[both] == np.asarray(br)[both])
+    assert match.mean() > 0.99
+
+
+def test_full_2d_trace_with_pallas_arcs(rng):
+    """Mixed 2D scene traced with the pallas path (segments + arcs)."""
+    from tensorflowraytrace_tpu.models.surfaces import ArcSet
+
+    arc = ArcSet.make([[5.0, 0.0]], 3 * math.pi / 4, 5 * math.pi / 4, 5.0,
+                      mat_in=1, mat_out=0, dtype=F32)
+    target = SegmentSet.make([[10.0, -5.0]], [[10.0, 5.0]], dtype=F32)
+    scene = Scene2D.build(optical_arcs=[arc], target_segments=[target])
+    n = 200
+    ys = np.linspace(-1.4, 1.4, n).astype(np.float32)
+    p0 = np.stack([np.full(n, -1.0, np.float32), ys], axis=1)
+    p1 = p0 + np.asarray([1.0, 0.0], np.float32)
+    rays = RaySet.make(jnp.asarray(p0), jnp.asarray(p1), 550.0, dtype=F32)
+    materials = (mats.vacuum, mats.acrylic)
+
+    res_x = trace(rays, scene, materials, TraceConfig(max_bounces=2))
+    res_p = trace(rays, scene, materials,
+                  TraceConfig(max_bounces=2, use_pallas=True))
+    np.testing.assert_array_equal(np.asarray(res_x.rays.state),
+                                  np.asarray(res_p.rays.state))
+    np.testing.assert_allclose(np.asarray(res_x.rays.p1),
+                               np.asarray(res_p.rays.p1), atol=1e-4)
