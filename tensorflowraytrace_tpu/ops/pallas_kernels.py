@@ -403,25 +403,25 @@ def _arc_kernel(i_eps, r_eps, rays_ref, arcs_ref, u_ref, idx_ref, valid_ref,
         c2 = px * ey - py * ex   # cross(p, window end)
         narrow = (c1 >= 0) & (c2 >= 0)
         wide = jnp.logical_not((c1 < 0) & (c2 < 0))
-        in_window = (jnp.where(big, wide, narrow) | full) & jnp.logical_not(dead)
+        # boolean select: jnp.where on broadcast bool operands miscompiles in
+        # Mosaic; (big & wide) | (~big & narrow) is equivalent
+        sel = (big & wide) | (jnp.logical_not(big) & narrow)
+        in_window = (sel | full) & jnp.logical_not(dead)
         return ok & (u >= r_eps) & in_window
 
     vp = branch_valid(u_plus)
     vm = branch_valid(u_minus)
     up = jnp.where(vp, u_plus, _BIG)
     um = jnp.where(vm, u_minus, _BIG)
-    choose_minus = um < up
-    u = jnp.where(choose_minus, um, up)
+    u = jnp.minimum(um, up)
     any_ok = vp | vm
 
-    u = jnp.where(any_ok, u, _BIG)
     bu = jnp.min(u, axis=0)
     barg = jnp.argmin(u, axis=0).astype(jnp.int32)
     gidx = j * arcs_ref.shape[1] + barg
-    rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
-    bbranch = jnp.max(
-        jnp.where(rows == barg[None, :], choose_minus.astype(jnp.int32), 0),
-        axis=0)
+    # the winning hit is on the minus branch iff the global minus minimum
+    # beats the global plus minimum (the winner attains the overall min)
+    bbranch = (jnp.min(um, axis=0) < jnp.min(up, axis=0)).astype(jnp.int32)
 
     better = bu < u_ref[0]
     u_ref[0] = jnp.where(better, bu, u_ref[0])
