@@ -73,6 +73,8 @@ def build_workload(dtype):
 
     materials = (mats.vacuum, mats.reflective)
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    # measured: the differentiable path (fused 15-col gather + refine) is
+    # slightly FASTER than the inference path here, so bench the default
     cfg = TraceConfig(max_bounces=BOUNCES, use_pallas=on_tpu)
     return rays, scene, materials, cfg
 

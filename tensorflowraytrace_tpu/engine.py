@@ -73,6 +73,12 @@ class TraceConfig:
     # differentiating 50-bounce light guides at large ray counts
     # (SURVEY.md hard part 6)
     remat: bool = False
+    # False -> inference fast path: hit points come straight from the search
+    # kernel's ray parameter (p0 + u*(p1-p0), the same value the refine
+    # computes) and the per-surface gather shrinks to norm/category/materials.
+    # Numerically equivalent forward results; NO gradients reach the surface
+    # geometry, so keep True for optimization.
+    differentiable: bool = True
 
     def epsilons(self, dtype):
         e = default_epsilon(dtype)
@@ -190,40 +196,48 @@ def project_3d(rays: RaySet, scene: Scene3D, materials, cfg: TraceConfig) -> Pro
 
     dtype = rays.p0.dtype
     value_mode = cfg.refractive_index_type == "value"
-    cols = [tri.vp, tri.v1, tri.v2, tri.norm,
-            tri.category.astype(dtype)[:, None]]
+    cols = []
+    if cfg.differentiable:
+        cols += [tri.vp, tri.v1, tri.v2]
+    cols += [tri.norm, tri.category.astype(dtype)[:, None]]
     if value_mode:
         cols += [tri.fields["n_in"][:, None], tri.fields["n_out"][:, None]]
     else:
         # int ids < 2^24 are exact in f32; round-trip through the float table
         cols += [tri.mat_in.astype(dtype)[:, None],
                  tri.mat_out.astype(dtype)[:, None]]
-    table = jnp.concatenate(cols, axis=1)          # (M, 15)
-    rows = table[hit.idx]                          # ONE gather: (N, 15)
+    table = jnp.concatenate(cols, axis=1)          # (M, 15) or (M, 6)
+    rows = table[hit.idx]                          # ONE gather per bounce
 
-    vp = rows[:, 0:3]
-    v1 = rows[:, 3:6]
-    v2 = rows[:, 6:9]
-    norm = rows[:, 9:12]
-    category = rows[:, 12].astype(jnp.int32)
+    o = 9 if cfg.differentiable else 0
+    norm = rows[:, o:o + 3]
+    category = rows[:, o + 3].astype(jnp.int32)
     if value_mode:
-        n_in = rows[:, 13]
-        n_out = rows[:, 14]
+        n_in = rows[:, o + 4]
+        n_out = rows[:, o + 5]
     else:
         if not materials:
             raise ValueError("trace: refractive_index_type='index' needs materials")
         n_in = material_index_lookup(materials, rays.wavelength,
-                                     rows[:, 13].astype(jnp.int32))
+                                     rows[:, o + 4].astype(jnp.int32))
         n_out = material_index_lookup(materials, rays.wavelength,
-                                      rows[:, 14].astype(jnp.int32))
+                                      rows[:, o + 5].astype(jnp.int32))
 
-    point, ray_u, tu, tv = isect.refine_triangle_hit_from(
-        rays.p0, rays.p1, vp, v1, v2, i_eps
-    )
+    extras = {}
+    if cfg.differentiable:
+        point, ray_u, tu, tv = isect.refine_triangle_hit_from(
+            rays.p0, rays.p1, rows[:, 0:3], rows[:, 3:6], rows[:, 6:9], i_eps
+        )
+        extras = {"ray_u": ray_u, "trig_u": tu, "trig_v": tv}
+    else:
+        # the search's ray parameter IS the refine's (same algebra); no
+        # surface-geometry gradient flows on this path
+        point = rays.p0 + hit.ray_u[:, None] * (rays.p1 - rays.p0)
+        extras = {"ray_u": hit.ray_u}
     return Projection(
         hit_valid=hit.valid, point=point, norm=norm, n_in=n_in, n_out=n_out,
         category=category, surf_idx=hit.idx, kind=hit.kind,
-        extras={"ray_u": ray_u, "trig_u": tu, "trig_v": tv}, dim=3,
+        extras=extras, dim=3,
     )
 
 

@@ -318,3 +318,27 @@ def test_trace_3d_gradient_through_vertices():
     eps = 1e-6
     fd = (float(loss(jnp.asarray(eps, F64))) - float(loss(jnp.asarray(-eps, F64)))) / (2 * eps)
     np.testing.assert_allclose(g, fd, rtol=1e-5)
+
+
+def test_inference_mode_matches_differentiable():
+    """TraceConfig(differentiable=False) gives identical forward results."""
+    scene = two_mirror_scene()
+    rays = make_rays_2d([[0.0, 0.0], [0.0, 1.0]], [[1.0, 0.5], [1.0, 1.2]])
+    materials = (mats.vacuum, mats.reflective)
+    # 3D variant
+    mirror = quad(1.0, 5.0, mat_in=1, mat_out=0)
+    target = quad(-1.0, 50.0)
+    scene3 = Scene3D.build(optical=[mirror], targets=[target])
+    rays3 = RaySet.make(jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.5, -0.5]], F64),
+                        jnp.asarray([[1.0, 0.3, 0.2], [1.0, 0.0, 0.1]], F64),
+                        500.0, dtype=F64)
+    for sc, r in ((scene3, rays3),):
+        res_d = trace(r, sc, materials, TraceConfig(max_bounces=3))
+        res_i = trace(r, sc, materials,
+                      TraceConfig(max_bounces=3, differentiable=False))
+        np.testing.assert_array_equal(np.asarray(res_d.rays.state),
+                                      np.asarray(res_i.rays.state))
+        np.testing.assert_allclose(np.asarray(res_d.rays.p1),
+                                   np.asarray(res_i.rays.p1), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(res_d.rays.p0),
+                                   np.asarray(res_i.rays.p0), atol=1e-9)
