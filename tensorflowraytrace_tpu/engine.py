@@ -38,7 +38,7 @@ from tensorflowraytrace_tpu.config import (
     ACTIVE, DEAD, FINISHED, OPTICAL, STOP, STOPPED, default_epsilon,
 )
 from tensorflowraytrace_tpu.models.rays import RaySet
-from tensorflowraytrace_tpu.models.surfaces import Scene2D, Scene3D
+from tensorflowraytrace_tpu.models.surfaces import Scene2D, Scene3D, compute_face_normals
 from tensorflowraytrace_tpu.ops import intersect as isect
 from tensorflowraytrace_tpu.ops.geometry import snell_3d_vec, snells_law_2D
 from tensorflowraytrace_tpu.ops.materials import material_index_lookup
@@ -196,37 +196,53 @@ def project_3d(rays: RaySet, scene: Scene3D, materials, cfg: TraceConfig) -> Pro
 
     dtype = rays.p0.dtype
     value_mode = cfg.refractive_index_type == "value"
+    # minimize the gathered row width: dynamic gather is the dominant
+    # per-bounce cost on TPU.  Normals are recomputed from the gathered
+    # vertices when derivable; int ids pack into one f32 column (exact below
+    # 2^24).
+    gather_norm = not (tri.norm_derived and cfg.differentiable)
     cols = []
     if cfg.differentiable:
         cols += [tri.vp, tri.v1, tri.v2]
-    cols += [tri.norm, tri.category.astype(dtype)[:, None]]
+    if gather_norm:
+        cols += [tri.norm]
     if value_mode:
-        cols += [tri.fields["n_in"][:, None], tri.fields["n_out"][:, None]]
+        cols += [tri.category.astype(dtype)[:, None],
+                 tri.fields["n_in"][:, None], tri.fields["n_out"][:, None]]
     else:
-        # int ids < 2^24 are exact in f32; round-trip through the float table
-        cols += [tri.mat_in.astype(dtype)[:, None],
-                 tri.mat_out.astype(dtype)[:, None]]
-    table = jnp.concatenate(cols, axis=1)          # (M, 15) or (M, 6)
+        packed = (tri.category.astype(jnp.int32) * (1 << 20)
+                  + tri.mat_in * (1 << 10) + tri.mat_out)
+        cols += [packed.astype(dtype)[:, None]]
+    table = jnp.concatenate(cols, axis=1)
     rows = table[hit.idx]                          # ONE gather per bounce
 
     o = 9 if cfg.differentiable else 0
-    norm = rows[:, o:o + 3]
-    category = rows[:, o + 3].astype(jnp.int32)
+    if gather_norm:
+        norm = rows[:, o:o + 3]
+        o += 3
     if value_mode:
-        n_in = rows[:, o + 4]
-        n_out = rows[:, o + 5]
+        category = rows[:, o].astype(jnp.int32)
+        n_in = rows[:, o + 1]
+        n_out = rows[:, o + 2]
     else:
         if not materials:
             raise ValueError("trace: refractive_index_type='index' needs materials")
-        n_in = material_index_lookup(materials, rays.wavelength,
-                                     rows[:, o + 4].astype(jnp.int32))
-        n_out = material_index_lookup(materials, rays.wavelength,
-                                      rows[:, o + 5].astype(jnp.int32))
+        code = rows[:, o].astype(jnp.int32)
+        category = code >> 20
+        mat_in = (code >> 10) & 0x3FF
+        mat_out = code & 0x3FF
+        n_in = material_index_lookup(materials, rays.wavelength, mat_in)
+        n_out = material_index_lookup(materials, rays.wavelength, mat_out)
 
     extras = {}
     if cfg.differentiable:
+        vp = rows[:, 0:3]
+        v1 = rows[:, 3:6]
+        v2 = rows[:, 6:9]
+        if not gather_norm:
+            norm = compute_face_normals(vp, v1, v2)
         point, ray_u, tu, tv = isect.refine_triangle_hit_from(
-            rays.p0, rays.p1, rows[:, 0:3], rows[:, 3:6], rows[:, 6:9], i_eps
+            rays.p0, rays.p1, vp, v1, v2, i_eps
         )
         extras = {"ray_u": ray_u, "trig_u": tu, "trig_v": tv}
     else:

@@ -140,7 +140,7 @@ class ArcSet:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["vp", "v1", "v2", "norm", "category", "mat_in", "mat_out", "fields"],
-    meta_fields=[],
+    meta_fields=["norm_derived"],
 )
 @dataclass
 class TriangleSet:
@@ -148,6 +148,9 @@ class TriangleSet:
 
     vp/v1/v2: (M, 3) vertices; norm: (M, 3) unit face normals
     (cross(v1 - vp, v2 - v1), normalized -- reference boundaries.py:918-923).
+    ``norm_derived`` (static) records that norm equals that cross-product
+    formula, letting the engine recompute normals from gathered vertices
+    instead of gathering them (dynamic gathers are the per-bounce cost).
     """
 
     vp: jax.Array
@@ -158,6 +161,7 @@ class TriangleSet:
     mat_in: jax.Array
     mat_out: jax.Array
     fields: Dict[str, jax.Array] = field(default_factory=dict)
+    norm_derived: bool = False
 
     @staticmethod
     def make(vp, v1, v2, norm=None, category=OPTICAL, mat_in=None, mat_out=None,
@@ -167,6 +171,7 @@ class TriangleSet:
         v1 = jnp.asarray(v1, dtype=dtype)
         v2 = jnp.asarray(v2, dtype=dtype)
         m = vp.shape[0]
+        derived = norm is None
         if norm is None:
             norm = compute_face_normals(vp, v1, v2)
         else:
@@ -175,6 +180,7 @@ class TriangleSet:
             vp=vp, v1=v1, v2=v2, norm=norm, category=_as_cat(category, m),
             mat_in=_as_mat(mat_in, m), mat_out=_as_mat(mat_out, m),
             fields={k: jnp.asarray(v) for k, v in (fields or {}).items()},
+            norm_derived=derived,
         )
 
     @staticmethod
@@ -261,6 +267,7 @@ def concat_triangles(sets):
         mat_in=jnp.concatenate([s.mat_in for s in sets]),
         mat_out=jnp.concatenate([s.mat_out for s in sets]),
         fields=_concat_fields(sets),
+        norm_derived=all(s.norm_derived for s in sets),
     )
 
 
