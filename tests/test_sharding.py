@@ -163,3 +163,25 @@ def test_parallel_train_step_runs_and_improves():
         params, velocity, loss = step(params, velocity, par.split_keys(sub, mesh))
         losses.append(float(loss))
     assert losses[-1] < 0.7 * max(losses[:5]), losses[:5] + losses[-3:]
+
+
+def test_parallel_trace_with_pallas_kernels():
+    """The production multi-chip config: shard_map over the pallas search
+    (interpret mode on CPU devices) matches the XLA path."""
+    mesh = par.ray_mesh(8)
+    scene, rays = make_scene_and_rays(16 * 8)
+    # pallas path wants f32
+    rays = jax.tree.map(lambda a: a.astype(jnp.float32)
+                        if a.dtype == jnp.float64 else a, rays)
+    scene = jax.tree.map(lambda a: a.astype(jnp.float32)
+                         if a.dtype == jnp.float64 else a, scene)
+    materials = (mats.vacuum, mats.reflective)
+    cfg = TraceConfig(max_bounces=3, use_pallas=True)
+
+    res1 = trace(rays, scene, materials, cfg)
+    res8 = par.parallel_trace(par.shard_rays(rays, mesh),
+                              par.replicate(scene, mesh), materials, cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(res1.rays.state),
+                                  np.asarray(res8.rays.state))
+    np.testing.assert_allclose(np.asarray(res1.rays.p1),
+                               np.asarray(res8.rays.p1), atol=1e-5)
