@@ -196,11 +196,12 @@ def project_3d(rays: RaySet, scene: Scene3D, materials, cfg: TraceConfig) -> Pro
 
     dtype = rays.p0.dtype
     value_mode = cfg.refractive_index_type == "value"
-    # minimize the gathered row width: dynamic gather is the dominant
-    # per-bounce cost on TPU.  Normals are recomputed from the gathered
-    # vertices when derivable; int ids pack into one f32 column (exact below
-    # 2^24).
-    gather_norm = not (tri.norm_derived and cfg.differentiable)
+    # One fused table gather per bounce; int ids pack into one f32 column
+    # (exact below 2^24).  Measured on v5e: gathering the 3 norm columns is
+    # FASTER than recomputing normals from the gathered vertices (cross +
+    # normalize costs more than the extra gather width), so norms are always
+    # gathered despite the norm_derived flag.
+    gather_norm = True
     cols = []
     if cfg.differentiable:
         cols += [tri.vp, tri.v1, tri.v2]
