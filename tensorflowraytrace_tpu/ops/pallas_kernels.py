@@ -63,14 +63,13 @@ def _pad_to(x, size, axis):
 
 
 def _triangle_kernel(i_eps, s_eps, r_eps, rays_ref, tris_ref,
-                     u_ref, idx_ref, valid_ref):
+                     u_ref, idx_ref):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         u_ref[...] = jnp.full(u_ref.shape, _BIG, u_ref.dtype)
         idx_ref[...] = jnp.zeros(idx_ref.shape, idx_ref.dtype)
-        valid_ref[...] = jnp.zeros(valid_ref.shape, valid_ref.dtype)
 
     r = rays_ref[...]          # (8, BN): rx1 ry1 rz1 rx2 ry2 rz2 pad pad
     t = tris_ref[...]          # (16, BM): xp yp zp x1 y1 z1 x2 y2 z2 pad...
@@ -128,11 +127,11 @@ def _triangle_kernel(i_eps, s_eps, r_eps, rays_ref, tris_ref,
     better = bu < u_ref[0]
     u_ref[0] = jnp.where(better, bu, u_ref[0])
     idx_ref[0] = jnp.where(better, gidx, idx_ref[0])
-    valid_ref[0] = valid_ref[0] | jnp.any(ok, axis=0).astype(jnp.int32)
+    # validity is derived in the wrapper: any hit leaves u < _BIG
 
 
 def _triangle_kernel_culled(i_eps, s_eps, r_eps, rays_ref, tris_ref, aabb_ref,
-                            u_ref, idx_ref, valid_ref):
+                            u_ref, idx_ref):
     """Brute kernel + conservative chunk culling (models/acceleration.py):
     slab-test the block's rays against the chunk AABB and skip the chunk's
     full intersection math when no ray can improve its current best hit.
@@ -143,7 +142,6 @@ def _triangle_kernel_culled(i_eps, s_eps, r_eps, rays_ref, tris_ref, aabb_ref,
     def _():
         u_ref[...] = jnp.full(u_ref.shape, _BIG, u_ref.dtype)
         idx_ref[...] = jnp.zeros(idx_ref.shape, idx_ref.dtype)
-        valid_ref[...] = jnp.zeros(valid_ref.shape, valid_ref.dtype)
 
     r = rays_ref[...]
 
@@ -219,7 +217,6 @@ def _triangle_kernel_culled(i_eps, s_eps, r_eps, rays_ref, tris_ref, aabb_ref,
         better = bu < u_ref[0]
         u_ref[0] = jnp.where(better, bu, u_ref[0])
         idx_ref[0] = jnp.where(better, gidx, idx_ref[0])
-        valid_ref[0] = valid_ref[0] | jnp.any(ok, axis=0).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("i_eps", "s_eps", "r_eps",
@@ -239,7 +236,7 @@ def _nearest_hit_triangles_culled_impl(rays8, tris16, aabbs, i_eps, s_eps,
     aabbs3 = jnp.broadcast_to(aabbs.T[:, :, None], aabbs.T.shape + (128,))
 
     kernel = functools.partial(_triangle_kernel_culled, i_eps, s_eps, r_eps)
-    u, idx, valid = pl.pallas_call(
+    u, idx = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -250,16 +247,14 @@ def _nearest_hit_triangles_culled_impl(rays8, tris16, aabbs, i_eps, s_eps,
         out_specs=[
             _vmem_spec((1, ray_block), lambda i, j: (0, i)),
             _vmem_spec((1, ray_block), lambda i, j: (0, i)),
-            _vmem_spec((1, ray_block), lambda i, j: (0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, n_pad), rays8.dtype),
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
         interpret=interpret,
     )(rays8, tris16, aabbs3)
-    return valid[0, :n] > 0, idx[0, :n], u[0, :n]
+    return u[0, :n] < _BIG * 0.5, idx[0, :n], u[0, :n]
 
 
 @functools.partial(jax.jit, static_argnames=("i_eps", "s_eps", "r_eps",
@@ -276,7 +271,7 @@ def _nearest_hit_triangles_impl(rays8, tris16, i_eps, s_eps, r_eps,
     grid = (n_pad // ray_block, m_pad // tri_block)
 
     kernel = functools.partial(_triangle_kernel, i_eps, s_eps, r_eps)
-    u, idx, valid = pl.pallas_call(
+    u, idx = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -286,16 +281,14 @@ def _nearest_hit_triangles_impl(rays8, tris16, i_eps, s_eps, r_eps,
         out_specs=[
             _vmem_spec((1, ray_block), lambda i, j: (0, i)),
             _vmem_spec((1, ray_block), lambda i, j: (0, i)),
-            _vmem_spec((1, ray_block), lambda i, j: (0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, n_pad), rays8.dtype),
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
         interpret=interpret,
     )(rays8, tris16)
-    return valid[0, :n] > 0, idx[0, :n], u[0, :n]
+    return u[0, :n] < _BIG * 0.5, idx[0, :n], u[0, :n]
 
 
 def nearest_hit_triangles_pallas(p0, p1, tri, intersect_eps, size_eps,
@@ -341,7 +334,7 @@ def nearest_hit_triangles_pallas(p0, p1, tri, intersect_eps, size_eps,
 # 2D arcs
 # ======================================================================
 
-def _arc_kernel(i_eps, r_eps, rays_ref, arcs_ref, u_ref, idx_ref, valid_ref,
+def _arc_kernel(i_eps, r_eps, rays_ref, arcs_ref, u_ref, idx_ref,
                 branch_ref):
     """Nearest ray-arc hit.  Same math as geometry.raw_line_circle_intersect
     + the engine's +/- branch resolution and angular-window pruning
@@ -354,7 +347,6 @@ def _arc_kernel(i_eps, r_eps, rays_ref, arcs_ref, u_ref, idx_ref, valid_ref,
     def _():
         u_ref[...] = jnp.full(u_ref.shape, _BIG, u_ref.dtype)
         idx_ref[...] = jnp.zeros(idx_ref.shape, idx_ref.dtype)
-        valid_ref[...] = jnp.zeros(valid_ref.shape, valid_ref.dtype)
         branch_ref[...] = jnp.zeros(branch_ref.shape, branch_ref.dtype)
 
     r = rays_ref[...]          # (8, BN): xs ys xe ye
@@ -427,7 +419,6 @@ def _arc_kernel(i_eps, r_eps, rays_ref, arcs_ref, u_ref, idx_ref, valid_ref,
     u_ref[0] = jnp.where(better, bu, u_ref[0])
     idx_ref[0] = jnp.where(better, gidx, idx_ref[0])
     branch_ref[0] = jnp.where(better, bbranch, branch_ref[0])
-    valid_ref[0] = valid_ref[0] | jnp.any(any_ok, axis=0).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("i_eps", "r_eps", "ray_block",
@@ -450,7 +441,7 @@ def _nearest_hit_arcs_impl(rays8, arcs16, i_eps, r_eps, ray_block, arc_block,
     grid = (n_pad // ray_block, m_pad // arc_block)
 
     kernel = functools.partial(_arc_kernel, i_eps, r_eps)
-    u, idx, valid, branch = pl.pallas_call(
+    u, idx, branch = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -461,17 +452,15 @@ def _nearest_hit_arcs_impl(rays8, arcs16, i_eps, r_eps, ray_block, arc_block,
             _vmem_spec((1, ray_block), lambda i, j: (0, i)),
             _vmem_spec((1, ray_block), lambda i, j: (0, i)),
             _vmem_spec((1, ray_block), lambda i, j: (0, i)),
-            _vmem_spec((1, ray_block), lambda i, j: (0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, n_pad), rays8.dtype),
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
         interpret=interpret,
     )(rays8, arcs16)
-    return valid[0, :n] > 0, idx[0, :n], u[0, :n], branch[0, :n] > 0
+    return u[0, :n] < _BIG * 0.5, idx[0, :n], u[0, :n], branch[0, :n] > 0
 
 
 def nearest_hit_arcs_pallas(p0, p1, arc, intersect_eps, ray_start_eps,
@@ -514,14 +503,13 @@ def nearest_hit_arcs_pallas(p0, p1, arc, intersect_eps, ray_start_eps,
 # ======================================================================
 
 def _segment_kernel(i_eps, s_eps, r_eps, rays_ref, segs_ref,
-                    u_ref, idx_ref, valid_ref):
+                    u_ref, idx_ref):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         u_ref[...] = jnp.full(u_ref.shape, _BIG, u_ref.dtype)
         idx_ref[...] = jnp.zeros(idx_ref.shape, idx_ref.dtype)
-        valid_ref[...] = jnp.zeros(valid_ref.shape, valid_ref.dtype)
 
     r = rays_ref[...]          # (8, BN): x1s y1s x1e y1e
     t = segs_ref[...]          # (8, BM): x2s y2s x2e y2e
@@ -552,7 +540,6 @@ def _segment_kernel(i_eps, s_eps, r_eps, rays_ref, segs_ref,
     better = bu < u_ref[0]
     u_ref[0] = jnp.where(better, bu, u_ref[0])
     idx_ref[0] = jnp.where(better, gidx, idx_ref[0])
-    valid_ref[0] = valid_ref[0] | jnp.any(ok, axis=0).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("i_eps", "s_eps", "r_eps",
@@ -569,7 +556,7 @@ def _nearest_hit_segments_impl(rays8, segs8, i_eps, s_eps, r_eps,
     grid = (n_pad // ray_block, m_pad // seg_block)
 
     kernel = functools.partial(_segment_kernel, i_eps, s_eps, r_eps)
-    u, idx, valid = pl.pallas_call(
+    u, idx = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -579,16 +566,14 @@ def _nearest_hit_segments_impl(rays8, segs8, i_eps, s_eps, r_eps,
         out_specs=[
             _vmem_spec((1, ray_block), lambda i, j: (0, i)),
             _vmem_spec((1, ray_block), lambda i, j: (0, i)),
-            _vmem_spec((1, ray_block), lambda i, j: (0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, n_pad), rays8.dtype),
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
         interpret=interpret,
     )(rays8, segs8)
-    return valid[0, :n] > 0, idx[0, :n], u[0, :n]
+    return u[0, :n] < _BIG * 0.5, idx[0, :n], u[0, :n]
 
 
 def nearest_hit_segments_pallas(p0, p1, seg, intersect_eps, size_eps,
