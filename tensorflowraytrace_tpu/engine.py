@@ -79,6 +79,11 @@ class TraceConfig:
     # Numerically equivalent forward results; NO gradients reach the surface
     # geometry, so keep True for optimization.
     differentiable: bool = True
+    # with cull: re-sort rays by origin Morton code before each search so ray
+    # blocks stay spatially coherent across bounces (slots scatter after the
+    # first bounce, which otherwise defeats block-level culling).  Exact
+    # results; costs one argsort + gather/scatter per bounce.
+    resort_rays: bool = False
 
     def epsilons(self, dtype):
         e = default_epsilon(dtype)
@@ -188,11 +193,44 @@ def project_3d(rays: RaySet, scene: Scene3D, materials, cfg: TraceConfig) -> Pro
     """
     i_eps, s_eps, r_eps = cfg.epsilons(rays.p0.dtype)
     tri = scene.triangles
+    search_p0, search_p1 = rays.p0, rays.p1
+    if cfg.cull:
+        # park terminated rays far outside every chunk AABB so their slab
+        # tests fail; once a whole ray block has terminated, the culled
+        # kernel skips every chunk for it -- deep traces get cheaper as
+        # rays die off
+        inactive = (rays.state != ACTIVE)[:, None]
+        park0 = jnp.full_like(rays.p0, 1e30)
+        park1 = park0 * (1 + 1e-6)
+        search_p0 = jnp.where(inactive, park0, rays.p0)
+        search_p1 = jnp.where(inactive, park1, rays.p1)
+
+    order = None
+    if cfg.cull and cfg.resort_rays:
+        # spatial re-sort: keep ray blocks coherent so block-level culling
+        # keeps working after the first bounce (parked rays sort last)
+        from tensorflowraytrace_tpu.models.acceleration import morton_codes_device
+
+        sg = jax.lax.stop_gradient
+        lo = jnp.minimum(jnp.min(sg(tri.vp), axis=0), jnp.min(sg(tri.v2), axis=0))
+        hi = jnp.maximum(jnp.max(sg(tri.vp), axis=0), jnp.max(sg(tri.v2), axis=0))
+        codes = morton_codes_device(sg(search_p0), lo, hi)
+        order = jnp.argsort(codes)
+        search_p0 = search_p0[order]
+        search_p1 = search_p1[order]
+
     hit = isect.nearest_hit_triangles(
-        rays.p0, rays.p1, tri, i_eps, s_eps, r_eps,
+        search_p0, search_p1, tri, i_eps, s_eps, r_eps,
         surf_chunk=cfg.surf_chunk, ray_block=cfg.ray_block,
         use_pallas=cfg.use_pallas, cull=cfg.cull,
     )
+    if order is not None:
+        # scatter results back to slot order
+        inv = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+        hit = dataclasses.replace(
+            hit, valid=hit.valid[inv], idx=hit.idx[inv], ray_u=hit.ray_u[inv],
+            kind=hit.kind[inv], branch=hit.branch[inv],
+        )
 
     dtype = rays.p0.dtype
     value_mode = cfg.refractive_index_type == "value"

@@ -51,6 +51,24 @@ def _morton_codes(points: np.ndarray, bits: int = 10) -> np.ndarray:
             | (spread(q[:, 2]) << np.uint64(2)))
 
 
+def morton_codes_device(points, lo, hi, bits=10):
+    """Device-side Morton codes for (N, 3) points given a bounding box
+    (jnp version of _morton_codes, used for per-bounce ray re-sorting)."""
+    span = jnp.maximum(hi - lo, 1e-30)
+    q = jnp.clip(((points - lo) / span * ((1 << bits) - 1)).astype(jnp.uint32),
+                 0, (1 << bits) - 1)
+
+    def spread(x):
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    return (spread(q[:, 0]) | (spread(q[:, 1]) << jnp.uint32(1))
+            | (spread(q[:, 2]) << jnp.uint32(2)))
+
+
 def morton_sort_triangles(tri: TriangleSet):
     """Reorder a TriangleSet by centroid Morton code.
 

@@ -115,6 +115,14 @@ def test_full_trace_with_pallas_path(rng):
                                   np.asarray(res_c.rays.state))
     np.testing.assert_allclose(np.asarray(res_x.rays.p1),
                                np.asarray(res_c.rays.p1), atol=1e-5)
+    # and with per-bounce ray re-sorting on top
+    res_s = trace(rays, scene, materials,
+                  TraceConfig(max_bounces=3, use_pallas=True, cull=True,
+                              resort_rays=True))
+    np.testing.assert_array_equal(np.asarray(res_x.rays.state),
+                                  np.asarray(res_s.rays.state))
+    np.testing.assert_allclose(np.asarray(res_x.rays.p1),
+                               np.asarray(res_s.rays.p1), atol=1e-5)
 
 
 def test_culled_kernel_matches_brute(rng):
