@@ -51,7 +51,8 @@ def main(rays=1 << 20, steps=10, bounces=12):
     materials = (mats.vacuum, mats.acrylic)
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     # conservative chunk culling: big win on elongated guide scenes
-    cfg = TraceConfig(max_bounces=bounces, use_pallas=on_tpu, cull=on_tpu)
+    cfg = TraceConfig(max_bounces=bounces, use_pallas=on_tpu, cull=on_tpu,
+                      resort_rays=on_tpu)
 
     sphere = dist.RandomLambertianSphere(PI / 2.001, local_rays)
     source = src.PointSource(3, (0.0, 0.0, 0.05), (0.0, 0.0, 1.0), sphere,
