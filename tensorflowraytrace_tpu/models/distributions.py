@@ -191,16 +191,23 @@ class RandomLambertianAngularDistribution(AngularDistribution):
 # ======================================================================
 
 class ManualBasePointDistribution(BasePointDistribution):
-    def __init__(self, dimension, points=None, ranks=None):
+    """Custom points (distributions.py:629-743).  ``from_mesh`` pulls the
+    vertex positions of a TriMesh on every sample (the reference's pyvista
+    PolyData hook, :652-659, re-reading points each update)."""
+
+    def __init__(self, dimension, points=None, ranks=None, from_mesh=None):
         if dimension not in (2, 3):
             raise ValueError("dimension must be 2 or 3")
         self.dimension = dimension
         self._points = points
         self._ranks = ranks
+        self.from_mesh = from_mesh
 
     def sample(self, key=None, dtype=None):
         dtype = resolve_dtype(dtype)
-        if self._points is None:
+        if self.from_mesh is not None:
+            points = jnp.asarray(self.from_mesh.points, dtype=dtype)
+        elif self._points is None:
             points = jnp.zeros((0, self.dimension), dtype=dtype)
         else:
             points = jnp.asarray(self._points, dtype=dtype)

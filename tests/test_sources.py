@@ -234,3 +234,16 @@ def test_random_source_resamples_with_key():
     assert not np.allclose(np.asarray(r1.p1), np.asarray(r2.p1))
     r1b = s.sample(jax.random.PRNGKey(1), dtype=F64)
     np.testing.assert_array_equal(np.asarray(r1.p1), np.asarray(r1b.p1))
+
+
+def test_manual_base_points_from_mesh():
+    """from_mesh pulls live vertex positions (distributions.py:652-659)."""
+    from tensorflowraytrace_tpu.models.mesh import hexagonal_mesh
+
+    m = hexagonal_mesh(1.0, 2)
+    d = dist.ManualBasePointDistribution(3, from_mesh=m)
+    pts, _ = d.sample(dtype=F64)
+    assert pts.shape == (m.n_points, 3)
+    m.points[:, 2] = 7.0  # mutate the mesh; next sample sees it
+    pts2, _ = d.sample(dtype=F64)
+    np.testing.assert_allclose(np.asarray(pts2[:, 2]), 7.0)
