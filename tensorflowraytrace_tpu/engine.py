@@ -309,6 +309,9 @@ def project_2d(rays: RaySet, scene: Scene2D, materials, cfg: TraceConfig) -> Pro
         rays.p0, rays.p1, scene, i_eps, s_eps, r_eps,
         surf_chunk=cfg.surf_chunk, ray_block=cfg.ray_block,
         use_pallas=cfg.use_pallas,
+        # conservative 2D chunk culling (segments only; arcs stay brute --
+        # arc scenes are tiny in practice).  cull is exact: results match.
+        cull=cfg.cull,
     )
 
     n = rays.n_rays

@@ -27,17 +27,30 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-from tensorflowraytrace_tpu.models.surfaces import TriangleSet
+from tensorflowraytrace_tpu.models.surfaces import SegmentSet, TriangleSet
 
 
 def _morton_codes(points: np.ndarray, bits: int = 10) -> np.ndarray:
-    """Interleaved-bit Morton codes for (N, 3) points normalized to the
-    bounding box."""
+    """Interleaved-bit Morton codes for (N, 2) or (N, 3) points normalized
+    to the bounding box."""
     lo = points.min(axis=0)
     hi = points.max(axis=0)
     span = np.maximum(hi - lo, 1e-30)
+    if points.shape[1] == 2:
+        bits = 16
     q = np.clip(((points - lo) / span * ((1 << bits) - 1)).astype(np.uint64),
                 0, (1 << bits) - 1)
+
+    if points.shape[1] == 2:
+        def spread2(x):
+            # spread 16 bits to every 2nd bit position
+            x = (x | (x << 8)) & np.uint64(0x00FF00FF)
+            x = (x | (x << 4)) & np.uint64(0x0F0F0F0F)
+            x = (x | (x << 2)) & np.uint64(0x33333333)
+            x = (x | (x << 1)) & np.uint64(0x55555555)
+            return x
+
+        return spread2(q[:, 0]) | (spread2(q[:, 1]) << np.uint64(1))
 
     def spread(x):
         # spread 10 bits to every 3rd bit position
@@ -88,6 +101,45 @@ def morton_sort_triangles(tri: TriangleSet):
         fields={k: take(v) for k, v in tri.fields.items()},
     )
     return sorted_set, perm
+
+
+def morton_sort_segments(seg: SegmentSet):
+    """Reorder a SegmentSet by midpoint Morton code (2D analogue of
+    ``morton_sort_triangles``).  Returns ``(sorted_set, permutation)``."""
+    mid = np.asarray((seg.p0 + seg.p1) / 2.0)
+    perm = np.argsort(_morton_codes(mid), kind="stable")
+    permj = jnp.asarray(perm)
+    take = lambda a: jnp.take(a, permj, axis=0)
+    sorted_set = dataclasses.replace(
+        seg,
+        p0=take(seg.p0), p1=take(seg.p1),
+        category=take(seg.category),
+        mat_in=take(seg.mat_in), mat_out=take(seg.mat_out),
+        fields={k: take(v) for k, v in seg.fields.items()},
+    )
+    return sorted_set, perm
+
+
+def chunk_aabbs_2d(p0, p1, chunk_size: int):
+    """Per-chunk 2D AABBs over segment endpoints, padded to whole chunks.
+
+    Returns an (8, C) array: rows 0-1 = box min xy, rows 2-3 = box max xy,
+    rows 4-7 = padding (sublane alignment, same layout contract as
+    ``chunk_aabbs``)."""
+    m = p0.shape[0]
+    c = -(-m // chunk_size)
+    pad = c * chunk_size - m
+
+    def prep(a):
+        return jnp.pad(a, ((0, pad), (0, 0)), mode="edge").reshape(
+            c, chunk_size, 2)
+
+    pts = jnp.stack([prep(p0), prep(p1)], axis=0)  # (2, C, B, 2)
+    lo = jnp.min(pts, axis=(0, 2))  # (C, 2)
+    hi = jnp.max(pts, axis=(0, 2))
+    out = jnp.zeros((8, c), dtype=p0.dtype)
+    out = out.at[0:2].set(lo.T).at[2:4].set(hi.T)
+    return out
 
 
 def chunk_aabbs(vp, v1, v2, chunk_size: int):

@@ -224,12 +224,13 @@ def refine_triangle_hit_from(p0, p1, vp, v1, v2, intersect_eps):
 def nearest_hit_segments(
     p0, p1, seg: SegmentSet, intersect_eps, size_eps, ray_start_eps,
     surf_chunk=_DEF_SURF_CHUNK, ray_block=_DEF_RAY_BLOCK, use_pallas=False,
+    cull=False,
 ) -> HitRecord:
     if use_pallas:
         from tensorflowraytrace_tpu.ops.pallas_kernels import nearest_hit_segments_pallas
 
         valid, idx, ray_u = nearest_hit_segments_pallas(
-            p0, p1, seg, intersect_eps, size_eps, ray_start_eps
+            p0, p1, seg, intersect_eps, size_eps, ray_start_eps, cull=cull
         )
         z = jnp.zeros_like(idx)
         return HitRecord(valid=valid, idx=idx, ray_u=ray_u, kind=z,

@@ -542,6 +542,106 @@ def _segment_kernel(i_eps, s_eps, r_eps, rays_ref, segs_ref,
     idx_ref[0] = jnp.where(better, gidx, idx_ref[0])
 
 
+def _segment_kernel_culled(i_eps, s_eps, r_eps, rays_ref, segs_ref, aabb_ref,
+                           u_ref, idx_ref):
+    """Segment kernel + conservative 2D chunk culling: slab-test the block's
+    rays against this chunk's AABB (models/acceleration.py chunk_aabbs_2d)
+    and skip the chunk's intersection math when no ray can improve.  Exactly
+    conservative: identical results to the brute kernel."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        u_ref[...] = jnp.full(u_ref.shape, _BIG, u_ref.dtype)
+        idx_ref[...] = jnp.zeros(idx_ref.shape, idx_ref.dtype)
+
+    r = rays_ref[...]
+    x1s = r[0][None, :]
+    y1s = r[1][None, :]
+    dx1 = (r[2] - r[0])[None, :]
+    dy1 = (r[3] - r[1])[None, :]
+
+    tiny = 1e-30
+
+    def axis_slab(o, d, lo, hi):
+        inv = 1.0 / jnp.where(jnp.abs(d) < tiny,
+                              jnp.where(d < 0, -tiny, tiny), d)
+        t1 = (lo - o) * inv
+        t2 = (hi - o) * inv
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    # this chunk's AABB arrives as a (1, 8, 128) lane-replicated block
+    ax0, bx0 = axis_slab(x1s, dx1, aabb_ref[0, 0, 0], aabb_ref[0, 2, 0])
+    ay0, by0 = axis_slab(y1s, dy1, aabb_ref[0, 1, 0], aabb_ref[0, 3, 0])
+    tmin = jnp.maximum(ax0, ay0)
+    tmax = jnp.minimum(bx0, by0)
+    can_hit = (tmax * (1 + 1e-6) + 1e-6 >= jnp.maximum(tmin, r_eps))
+    improving = tmin * (1 - 1e-6) - 1e-6 <= u_ref[0][None, :]
+    need = jnp.any(can_hit & improving)
+
+    @pl.when(need)
+    def _():
+        t = segs_ref[...]
+        x2s = t[0][:, None]
+        y2s = t[1][:, None]
+        dx2 = (t[2] - t[0])[:, None]
+        dy2 = (t[3] - t[1])[:, None]
+
+        den = dx1 * dy2 - dy1 * dx2
+        ok = jnp.abs(den) >= i_eps
+        inv = 1.0 / jnp.where(ok, den, jnp.ones_like(den))
+        ray_u = (dx2 * (y1s - y2s) - dy2 * (x1s - x2s)) * inv
+        seg_u = (dy1 * (x2s - x1s) - dx1 * (y2s - y1s)) * inv
+
+        ok = ok & (seg_u >= -s_eps) & (seg_u <= 1 + s_eps) & (ray_u >= r_eps)
+
+        u = jnp.where(ok, ray_u, _BIG)
+        bu = jnp.min(u, axis=0)
+        barg = jnp.argmin(u, axis=0).astype(jnp.int32)
+        gidx = j * segs_ref.shape[1] + barg
+
+        better = bu < u_ref[0]
+        u_ref[0] = jnp.where(better, bu, u_ref[0])
+        idx_ref[0] = jnp.where(better, gidx, idx_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=("i_eps", "s_eps", "r_eps",
+                                             "ray_block", "seg_block",
+                                             "interpret"))
+def _nearest_hit_segments_culled_impl(rays8, segs8, aabbs, i_eps, s_eps,
+                                      r_eps, ray_block, seg_block, interpret):
+    n = rays8.shape[1]
+    m = segs8.shape[1]
+    n_pad = -(-n // ray_block) * ray_block
+    m_pad = -(-m // seg_block) * seg_block
+    rays8 = _pad_to(rays8, n_pad, 1)
+    segs8 = _pad_to(segs8, m_pad, 1)
+    grid = (n_pad // ray_block, m_pad // seg_block)
+    assert aabbs.shape == (8, grid[1]), (aabbs.shape, grid)
+    aabbs3 = jnp.broadcast_to(aabbs.T[:, :, None], aabbs.T.shape + (128,))
+
+    kernel = functools.partial(_segment_kernel_culled, i_eps, s_eps, r_eps)
+    u, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            _vmem_spec((8, ray_block), lambda i, j: (0, i)),
+            _vmem_spec((8, seg_block), lambda i, j: (0, j)),
+            _vmem_spec((1, 8, 128), lambda i, j: (j, 0, 0)),
+        ],
+        out_specs=[
+            _vmem_spec((1, ray_block), lambda i, j: (0, i)),
+            _vmem_spec((1, ray_block), lambda i, j: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), rays8.dtype),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(rays8, segs8, aabbs3)
+    return u[0, :n] < _BIG * 0.5, idx[0, :n], u[0, :n]
+
+
 @functools.partial(jax.jit, static_argnames=("i_eps", "s_eps", "r_eps",
                                              "ray_block", "seg_block",
                                              "interpret"))
@@ -578,8 +678,13 @@ def _nearest_hit_segments_impl(rays8, segs8, i_eps, s_eps, r_eps,
 
 def nearest_hit_segments_pallas(p0, p1, seg, intersect_eps, size_eps,
                                 ray_start_eps, ray_block=DEFAULT_RAY_BLOCK,
-                                seg_block=DEFAULT_TRI_BLOCK, interpret=None):
-    """Tiled nearest ray-segment hit.  Returns (valid, idx, ray_u)."""
+                                seg_block=DEFAULT_TRI_BLOCK, interpret=None,
+                                cull=False):
+    """Tiled nearest ray-segment hit.  Returns (valid, idx, ray_u).
+
+    ``cull=True`` adds conservative per-chunk 2D AABB culling (sort the
+    scene with morton_sort_segments first for best effect).  Results are
+    identical either way."""
     if interpret is None:
         interpret = _auto_interpret()
     p0 = jax.lax.stop_gradient(p0)
@@ -589,9 +694,19 @@ def nearest_hit_segments_pallas(p0, p1, seg, intersect_eps, size_eps,
     rays8 = jnp.zeros((8, n), dtype=dtype)
     rays8 = rays8.at[0:2].set(p0.T).at[2:4].set(p1.T)
     m = seg.n_surfaces
+    sp0 = jax.lax.stop_gradient(seg.p0)
+    sp1 = jax.lax.stop_gradient(seg.p1)
     segs8 = jnp.zeros((8, m), dtype=dtype)
-    segs8 = (segs8.at[0:2].set(jax.lax.stop_gradient(seg.p0).T)
-             .at[2:4].set(jax.lax.stop_gradient(seg.p1).T))
+    segs8 = segs8.at[0:2].set(sp0.T).at[2:4].set(sp1.T)
+    if cull:
+        from tensorflowraytrace_tpu.models.acceleration import chunk_aabbs_2d
+
+        aabbs = chunk_aabbs_2d(sp0, sp1, int(seg_block)).astype(dtype)
+        return _nearest_hit_segments_culled_impl(
+            rays8, segs8, aabbs, float(intersect_eps), float(size_eps),
+            float(ray_start_eps), int(ray_block), int(seg_block),
+            bool(interpret),
+        )
     return _nearest_hit_segments_impl(
         rays8, segs8, float(intersect_eps), float(size_eps),
         float(ray_start_eps), int(ray_block), int(seg_block), bool(interpret),

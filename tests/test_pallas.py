@@ -227,3 +227,61 @@ def test_full_2d_trace_with_pallas_arcs(rng):
                                   np.asarray(res_p.rays.state))
     np.testing.assert_allclose(np.asarray(res_x.rays.p1),
                                np.asarray(res_p.rays.p1), atol=1e-4)
+
+
+def test_culled_segment_kernel_matches_brute(rng):
+    """2D conservative chunk culling must be exactly conservative too."""
+    from tensorflowraytrace_tpu.models.acceleration import morton_sort_segments
+
+    n_segs = 300
+    p0s = rng.uniform(-3, 3, (n_segs, 2)).astype(np.float32)
+    p1s = (p0s + rng.normal(0, 0.4, (n_segs, 2))).astype(np.float32)
+    seg = SegmentSet.make(p0s, p1s, mat_in=1, dtype=F32)
+    seg_sorted, perm = morton_sort_segments(seg)
+    np.testing.assert_allclose(np.asarray(seg_sorted.p0),
+                               np.asarray(seg.p0)[perm])
+    n = 400
+    q0 = rng.uniform(-4, 4, (n, 2)).astype(np.float32)
+    d = rng.normal(0, 1, (n, 2)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    q0j, q1j = jnp.asarray(q0), jnp.asarray(q0 + d)
+    eps = 1e-6
+    for scene in (seg, seg_sorted):
+        v_b, i_b, u_b = nearest_hit_segments_pallas(
+            q0j, q1j, scene, eps, eps, eps, ray_block=128, seg_block=32,
+            interpret=True, cull=False)
+        v_c, i_c, u_c = nearest_hit_segments_pallas(
+            q0j, q1j, scene, eps, eps, eps, ray_block=128, seg_block=32,
+            interpret=True, cull=True)
+        np.testing.assert_array_equal(np.asarray(v_b), np.asarray(v_c))
+        valid = np.asarray(v_b)
+        np.testing.assert_array_equal(np.asarray(i_b)[valid],
+                                      np.asarray(i_c)[valid])
+        np.testing.assert_allclose(np.asarray(u_b)[valid],
+                                   np.asarray(u_c)[valid], rtol=1e-6)
+
+
+def test_full_2d_trace_with_cull(rng):
+    """End-to-end 2D trace: cfg.cull applies 2D chunk culling to segments
+    (arcs stay brute) with identical results."""
+    n_segs = 64
+    xs = np.linspace(1.0, 3.0, n_segs).astype(np.float32)
+    p0s = np.stack([xs, np.full(n_segs, -2.0, np.float32)], axis=1)
+    p1s = np.stack([xs, np.full(n_segs, 2.0, np.float32)], axis=1)
+    wall = SegmentSet.make(p0s, p1s, mat_in=1, dtype=F32)
+    target = SegmentSet.make([[5.0, -5.0]], [[5.0, 5.0]], dtype=F32)
+    scene = Scene2D.build(optical_segments=[wall], target_segments=[target])
+    n = 150
+    ys = np.linspace(-1.5, 1.5, n).astype(np.float32)
+    q0 = np.stack([np.full(n, -1.0, np.float32), ys], axis=1)
+    q1 = q0 + np.asarray([1.0, 0.1], np.float32)
+    rays = RaySet.make(jnp.asarray(q0), jnp.asarray(q1), 550.0, dtype=F32)
+    materials = (mats.vacuum, mats.acrylic)
+
+    res_x = trace(rays, scene, materials, TraceConfig(max_bounces=3))
+    res_c = trace(rays, scene, materials,
+                  TraceConfig(max_bounces=3, use_pallas=True, cull=True))
+    np.testing.assert_array_equal(np.asarray(res_x.rays.state),
+                                  np.asarray(res_c.rays.state))
+    np.testing.assert_allclose(np.asarray(res_x.rays.p1),
+                               np.asarray(res_c.rays.p1), atol=1e-4)
