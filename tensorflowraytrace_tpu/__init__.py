@@ -24,6 +24,9 @@ from tensorflowraytrace_tpu.config import (
     ACTIVE, DEAD, FINISHED, OPTICAL, STOP, STOPPED, TARGET,
 )
 from tensorflowraytrace_tpu.engine import TraceConfig, TraceResult, trace
+from tensorflowraytrace_tpu.models.acceleration import (
+    morton_sort_segments, morton_sort_triangles,
+)
 from tensorflowraytrace_tpu.models.rays import RaySet, concat_rays
 from tensorflowraytrace_tpu.models.surfaces import (
     ArcSet, Scene2D, Scene3D, SegmentSet, TriangleSet,
