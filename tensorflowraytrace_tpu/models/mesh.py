@@ -636,3 +636,11 @@ def clean_mesh(mesh: TriMesh, distance_tolerance=1e-6) -> TriMesh:
     _, keep = np.unique(key, axis=0, return_index=True)
     faces = faces[np.sort(keep)]
     return TriMesh(new_points, faces)
+
+
+def clean_mesh_raw(points, faces, distance_tolerance=1e-6):
+    """Array-in/array-out variant of ``clean_mesh`` (mesh_tools.py:1073-1140).
+    Returns ``(points, faces)``."""
+    m = clean_mesh(TriMesh(np.asarray(points), np.asarray(faces)),
+                   distance_tolerance)
+    return m.points, m.faces

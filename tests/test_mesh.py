@@ -211,3 +211,18 @@ def test_pack_unpack_faces():
     packed = mt.pack_faces(faces)
     np.testing.assert_array_equal(packed, [3, 0, 1, 2, 3, 2, 3, 0])
     np.testing.assert_array_equal(mt.unpack_faces(packed), faces)
+
+
+def test_clean_mesh_raw_roundtrip():
+    """Array-in/array-out dedup (mesh_tools.py:1073-1140)."""
+    from tensorflowraytrace_tpu.models.mesh import clean_mesh_raw
+
+    pts = np.asarray([[0.0, 0, 0], [1, 0, 0], [0, 1, 0],
+                      [1e-9, 0, 0],          # duplicate of vertex 0
+                      [2, 0, 0]])
+    faces = np.asarray([[0, 1, 2], [3, 1, 2],  # duplicate face via dup vertex
+                        [1, 1, 2],             # degenerate
+                        [4, 1, 2]])
+    p, f = clean_mesh_raw(pts, faces)
+    assert p.shape[0] == 4
+    assert f.shape[0] == 2
