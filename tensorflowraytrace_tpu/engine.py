@@ -305,14 +305,42 @@ def project_2d(rays: RaySet, scene: Scene2D, materials, cfg: TraceConfig) -> Pro
     engine.py:1544-1986); segment-vs-arc resolution happens inside
     ``nearest_hit_2d``."""
     i_eps, s_eps, r_eps = cfg.epsilons(rays.p0.dtype)
+    search_p0, search_p1 = rays.p0, rays.p1
+    if cfg.cull:
+        # park terminated rays so whole-block slab tests fail (see project_3d)
+        inactive = (rays.state != ACTIVE)[:, None]
+        park0 = jnp.full_like(rays.p0, 1e30)
+        park1 = park0 * (1 + 1e-6)
+        search_p0 = jnp.where(inactive, park0, rays.p0)
+        search_p1 = jnp.where(inactive, park1, rays.p1)
+
+    order = None
+    if cfg.cull and cfg.resort_rays and scene.segments is not None:
+        from tensorflowraytrace_tpu.models.acceleration import morton_codes_device
+
+        sg = jax.lax.stop_gradient
+        seg = scene.segments
+        lo = jnp.minimum(jnp.min(sg(seg.p0), axis=0), jnp.min(sg(seg.p1), axis=0))
+        hi = jnp.maximum(jnp.max(sg(seg.p0), axis=0), jnp.max(sg(seg.p1), axis=0))
+        codes = morton_codes_device(sg(search_p0), lo, hi)
+        order = jnp.argsort(codes)
+        search_p0 = search_p0[order]
+        search_p1 = search_p1[order]
+
     hit = isect.nearest_hit_2d(
-        rays.p0, rays.p1, scene, i_eps, s_eps, r_eps,
+        search_p0, search_p1, scene, i_eps, s_eps, r_eps,
         surf_chunk=cfg.surf_chunk, ray_block=cfg.ray_block,
         use_pallas=cfg.use_pallas,
         # conservative 2D chunk culling (segments only; arcs stay brute --
         # arc scenes are tiny in practice).  cull is exact: results match.
         cull=cfg.cull,
     )
+    if order is not None:
+        inv = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+        hit = dataclasses.replace(
+            hit, valid=hit.valid[inv], idx=hit.idx[inv], ray_u=hit.ray_u[inv],
+            kind=hit.kind[inv], branch=hit.branch[inv],
+        )
 
     n = rays.n_rays
     dtype = rays.p0.dtype

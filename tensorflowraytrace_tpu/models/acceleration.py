@@ -65,11 +65,23 @@ def _morton_codes(points: np.ndarray, bits: int = 10) -> np.ndarray:
 
 
 def morton_codes_device(points, lo, hi, bits=10):
-    """Device-side Morton codes for (N, 3) points given a bounding box
-    (jnp version of _morton_codes, used for per-bounce ray re-sorting)."""
+    """Device-side Morton codes for (N, 2) or (N, 3) points given a bounding
+    box (jnp version of _morton_codes, used for per-bounce ray re-sorting)."""
     span = jnp.maximum(hi - lo, 1e-30)
+    if points.shape[1] == 2:
+        bits = 16
     q = jnp.clip(((points - lo) / span * ((1 << bits) - 1)).astype(jnp.uint32),
                  0, (1 << bits) - 1)
+
+    if points.shape[1] == 2:
+        def spread2(x):
+            x = (x | (x << 8)) & jnp.uint32(0x00FF00FF)
+            x = (x | (x << 4)) & jnp.uint32(0x0F0F0F0F)
+            x = (x | (x << 2)) & jnp.uint32(0x33333333)
+            x = (x | (x << 1)) & jnp.uint32(0x55555555)
+            return x
+
+        return spread2(q[:, 0]) | (spread2(q[:, 1]) << jnp.uint32(1))
 
     def spread(x):
         x = (x | (x << 16)) & jnp.uint32(0x030000FF)

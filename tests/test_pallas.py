@@ -285,3 +285,11 @@ def test_full_2d_trace_with_cull(rng):
                                   np.asarray(res_c.rays.state))
     np.testing.assert_allclose(np.asarray(res_x.rays.p1),
                                np.asarray(res_c.rays.p1), atol=1e-4)
+    # and with per-bounce 2D ray re-sorting on top
+    res_s = trace(rays, scene, materials,
+                  TraceConfig(max_bounces=3, use_pallas=True, cull=True,
+                              resort_rays=True))
+    np.testing.assert_array_equal(np.asarray(res_x.rays.state),
+                                  np.asarray(res_s.rays.state))
+    np.testing.assert_allclose(np.asarray(res_x.rays.p1),
+                               np.asarray(res_s.rays.p1), atol=1e-4)
