@@ -82,7 +82,9 @@ class TraceConfig:
     # with cull: re-sort rays by origin Morton code before each search so ray
     # blocks stay spatially coherent across bounces (slots scatter after the
     # first bounce, which otherwise defeats block-level culling).  Exact
-    # results; costs one argsort + gather/scatter per bounce.
+    # results; costs one argsort + gather/scatter per bounce.  Measured win
+    # for 3D scenes (>=4k surfaces); measured LOSS for 2D scenes (the argsort
+    # outweighs the cheap 2D kernel) -- leave False for 2D.
     resort_rays: bool = False
 
     def epsilons(self, dtype):
