@@ -47,6 +47,31 @@ from tensorflowraytrace_tpu.engine import TraceConfig, default_reaction, trace
 RAY_AXIS = "rays"
 
 
+def init_multihost(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> int:
+    """Initialize multi-host (multi-slice / pod) execution.
+
+    Thin wrapper over ``jax.distributed.initialize``: on TPU pods the
+    arguments are auto-detected from the environment, so call this with no
+    arguments at program start on every host, then use ``ray_mesh()`` as
+    usual -- ``jax.devices()`` becomes the GLOBAL device list and the 1-D
+    ray mesh spans hosts; the per-step psum rides ICI within a slice and DCN
+    across slices.  Rays stay data-parallel (the workload has no
+    model/pipeline axis), so no other change is needed.
+
+    Returns the process index.  Safe to call when already initialized.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    except RuntimeError as e:  # pragma: no cover - already-initialized path
+        if "already" not in str(e).lower():
+            raise
+    return jax.process_index()
+
+
 def ray_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     """A 1-D device mesh over the ray axis."""
     if devices is None:
