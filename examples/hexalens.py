@@ -120,14 +120,13 @@ def main(steps=60, ray_count=2000, mesh_step=0.12, chain=True):
     # rising momentum, accumulator only early, smoothing throughout)
     opt.training_routine(
         [
-            {"steps": steps // 3, "learning_rate": 2e-4, "momentum": 0.6,
+            {"steps": steps // 2, "learning_rate": 2e-4, "momentum": 0.8,
              "accumulators": [accumulator] * 2, "smoothers": [smoother] * 2},
-            {"steps": steps // 4, "learning_rate": 4e-4, "momentum": 0.9,
-             "smoothers": [smoother] * 2},
-            {"steps": steps // 4, "learning_rate": (9e-5, 9e-5), "momentum": 0.95,
-             "smoothers": [smoother] * 2},
-            {"steps": steps - steps // 3 - 2 * (steps // 4),
-             "learning_rate": (2e-5, 2e-5), "momentum": 0.98},
+            {"steps": steps // 3, "learning_rate": (1e-4, 5e-5), "momentum": 0.9,
+             "accumulators": [accumulator] * 2, "smoothers": [smoother] * 2},
+            {"steps": steps - steps // 2 - steps // 3,
+             "learning_rate": (5e-5, 2e-5), "momentum": 0.95,
+             "accumulators": [accumulator] * 2},
         ],
         # chain=True runs each phase as ONE device dispatch (lax.scan over
         # steps) -- essential through the TPU tunnel; --no-chain avoids the
@@ -163,7 +162,7 @@ def main(steps=60, ray_count=2000, mesh_step=0.12, chain=True):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--steps", type=int, default=150)
     ap.add_argument("--rays", type=int, default=2000)
     ap.add_argument("--mesh-step", type=float, default=0.12)
     ap.add_argument("--no-chain", action="store_true")

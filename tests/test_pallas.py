@@ -293,3 +293,31 @@ def test_full_2d_trace_with_cull(rng):
                                   np.asarray(res_s.rays.state))
     np.testing.assert_allclose(np.asarray(res_x.rays.p1),
                                np.asarray(res_s.rays.p1), atol=1e-4)
+
+
+def test_morton_2d_locality_and_aabbs(rng):
+    """2D Morton codes put near points on near codes; chunk AABBs bound
+    their chunk's endpoints exactly."""
+    from tensorflowraytrace_tpu.models.acceleration import (
+        chunk_aabbs_2d, morton_codes_device)
+
+    pts = rng.uniform(0, 1, (512, 2)).astype(np.float32)
+    lo = jnp.zeros(2, jnp.float32)
+    hi = jnp.ones(2, jnp.float32)
+    codes = np.asarray(morton_codes_device(jnp.asarray(pts), lo, hi))
+    order = np.argsort(codes)
+    sorted_pts = pts[order]
+    # average neighbor distance after the sort must beat the random order
+    d_sorted = np.linalg.norm(np.diff(sorted_pts, axis=0), axis=1).mean()
+    d_rand = np.linalg.norm(np.diff(pts, axis=0), axis=1).mean()
+    assert d_sorted < 0.5 * d_rand
+
+    p0 = rng.uniform(-2, 2, (100, 2)).astype(np.float32)
+    p1 = (p0 + rng.normal(0, 0.1, (100, 2))).astype(np.float32)
+    boxes = np.asarray(chunk_aabbs_2d(jnp.asarray(p0), jnp.asarray(p1), 32))
+    assert boxes.shape == (8, 4)  # 100 segs -> 4 chunks of 32
+    for c in range(4):
+        sl = slice(c * 32, min((c + 1) * 32, 100))
+        allp = np.concatenate([p0[sl], p1[sl]])
+        np.testing.assert_allclose(boxes[0:2, c], allp.min(0), rtol=1e-6)
+        np.testing.assert_allclose(boxes[2:4, c], allp.max(0), rtol=1e-6)
