@@ -50,9 +50,13 @@ def main(rays=1 << 20, steps=10, bounces=12):
 
     materials = (mats.vacuum, mats.acrylic)
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-    # conservative chunk culling: big win on elongated guide scenes
+    # conservative chunk culling: big win on elongated guide scenes.
+    # per-bounce ray re-sorting only pays off once the scene spans many
+    # kernel chunks -- on a few-hundred-triangle guide the argsort of every
+    # ray every bounce costs more than the skipped chunks save
+    big_scene = guide.mesh.n_faces >= 2048
     cfg = TraceConfig(max_bounces=bounces, use_pallas=on_tpu, cull=on_tpu,
-                      resort_rays=on_tpu)
+                      resort_rays=on_tpu and big_scene)
 
     sphere = dist.RandomLambertianSphere(PI / 2.001, local_rays)
     source = src.PointSource(3, (0.0, 0.0, 0.05), (0.0, 0.0, 1.0), sphere,
