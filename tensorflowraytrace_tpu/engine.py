@@ -95,6 +95,37 @@ class TraceConfig:
             e if self.ray_start_epsilon is None else self.ray_start_epsilon,
         )
 
+    @staticmethod
+    def recommended(scene, max_bounces=25, **overrides):
+        """A TraceConfig with the measured-best acceleration settings for
+        ``scene`` on the current platform:
+
+        * pallas kernels + conservative chunk culling on TPU (exact results);
+        * per-bounce ray re-sorting only for LARGE 3D scenes (>= ~2k
+          triangles) -- on smaller scenes or in 2D the per-bounce argsort
+          costs more than the skipped chunks save (docs/notes.md numbers);
+        * remat for deep traces (bounce budget > 16) so backward-pass
+          residual memory stays O(1) in the bounce count.
+
+        Remember to ``morton_sort_triangles`` / ``morton_sort_segments`` the
+        scene once at build time so culling has compact chunks to skip.
+        Any field can be overridden by keyword.
+        """
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        is_3d = isinstance(scene, Scene3D)
+        n_surf = (scene.triangles.n_surfaces if is_3d else
+                  sum(s.n_surfaces for s in (scene.segments, scene.arcs)
+                      if s is not None))
+        cfg = dict(
+            max_bounces=max_bounces,
+            use_pallas=on_tpu,
+            cull=on_tpu,
+            resort_rays=on_tpu and is_3d and n_surf >= 2048,
+            remat=max_bounces > 16,
+        )
+        cfg.update(overrides)
+        return TraceConfig(**cfg)
+
 
 @partial(
     jax.tree_util.register_dataclass,

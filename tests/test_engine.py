@@ -342,3 +342,21 @@ def test_inference_mode_matches_differentiable():
                                    np.asarray(res_i.rays.p1), atol=1e-9)
         np.testing.assert_allclose(np.asarray(res_d.rays.p0),
                                    np.asarray(res_i.rays.p0), atol=1e-9)
+
+
+def test_traceconfig_recommended():
+    """TraceConfig.recommended picks platform/scene-appropriate settings."""
+    from tensorflowraytrace_tpu import Scene2D, Scene3D, SegmentSet, TraceConfig, TriangleSet
+
+    tri = TriangleSet.make(np.zeros((3000, 3)), np.ones((3000, 3)),
+                           np.full((3000, 3), 2.0))
+    s3 = Scene3D.build(optical=[tri])
+    cfg = TraceConfig.recommended(s3, max_bounces=24)
+    # on CPU tests use_pallas/cull are off; remat on for deep traces
+    assert cfg.remat and cfg.max_bounces == 24
+    assert not cfg.use_pallas and not cfg.cull and not cfg.resort_rays
+
+    seg = SegmentSet.make(np.zeros((10, 2)), np.ones((10, 2)))
+    s2 = Scene2D.build(optical_segments=[seg])
+    cfg2 = TraceConfig.recommended(s2, max_bounces=3, keep_history=True)
+    assert not cfg2.remat and cfg2.keep_history
