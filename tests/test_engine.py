@@ -360,3 +360,29 @@ def test_traceconfig_recommended():
     s2 = Scene2D.build(optical_segments=[seg])
     cfg2 = TraceConfig.recommended(s2, max_bounces=3, keep_history=True)
     assert not cfg2.remat and cfg2.keep_history
+
+
+def test_degenerate_reaction_dies_cleanly():
+    """Numeric backstop: a reaction that produces non-finite children must
+    kill the ray (state DEAD) while keeping its coordinates finite."""
+    from tensorflowraytrace_tpu import DEAD, RaySet, Scene3D, TraceConfig, TriangleSet
+    from tensorflowraytrace_tpu.engine import single_pass
+    from tensorflowraytrace_tpu.ops import materials as mats
+
+    half = 5.0
+    mirror = TriangleSet.make(
+        [[1.0, -half, -half], [1.0, half, half]],
+        [[1.0, half, -half], [1.0, -half, half]],
+        [[1.0, half, half], [1.0, -half, -half]], mat_in=1)
+    scene = Scene3D.build(optical=[mirror])
+    rays = RaySet.make([[0.0, 0.0, 0.0]], [[1.0, 0.0, 0.0]], 500.0)
+
+    def nan_reaction(proj, r, cfg):
+        bad = jnp.full_like(r.p0, jnp.nan)
+        return bad, bad
+
+    out, _ = single_pass(rays, scene, (mats.vacuum, mats.reflective),
+                         TraceConfig(max_bounces=1), reaction=nan_reaction)
+    assert int(out.state[0]) == DEAD
+    assert np.isfinite(np.asarray(out.p0)).all()
+    assert np.isfinite(np.asarray(out.p1)).all()
