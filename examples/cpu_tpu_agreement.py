@@ -30,7 +30,7 @@ def run_on(device, fn, *args):
         return jax.tree.map(np.asarray, out)
 
 
-def compare(name, fn, rays, scene):
+def compare(name, fn, rays, scene, results=None):
     cpu = jax.devices("cpu")[0]
     try:
         tpu = [d for d in jax.devices() if d.platform in ("tpu", "axon")][0]
@@ -48,9 +48,13 @@ def compare(name, fn, rays, scene):
     print(f"{name:32s} state agreement = {100 * state_agree:.3f}% "
           f"({int((~same).sum())} edge rays); "
           f"max|p1_cpu - p1_tpu| (same-fate) = {p1_dev:.3e}")
+    if results is not None:
+        results[name] = {"state_agreement": float(state_agree),
+                         "max_same_fate_dev": float(p1_dev)}
 
 
 def main():
+    results = {}
     f32 = jnp.float32
 
     # config 1: 2D beam through a refractive arc (optimize_single_arc)
@@ -69,7 +73,7 @@ def main():
         res = trace(r, s, m2, TraceConfig(max_bounces=2))
         return res.rays.p1, res.rays.state
 
-    compare("2D arc refraction (depth 2)", trace2d, rays2d, scene2d)
+    compare("2D arc refraction (depth 2)", trace2d, rays2d, scene2d, results)
 
     # config 3: 3D triangle-mesh lens
     zm = mt.hexagonal_mesh(1.2, 6)
@@ -100,7 +104,7 @@ def main():
         res = trace(r, s, m2, TraceConfig(max_bounces=3))
         return res.rays.p1, res.rays.state
 
-    compare("3D parametric lens (depth 3)", trace3d, rays3d, scene3d)
+    compare("3D parametric lens (depth 3)", trace3d, rays3d, scene3d, results)
 
     # config 5 shape: many-bounce TIR guide
     guide = SegmentSet.make(
@@ -119,8 +123,14 @@ def main():
         res = trace(r, s, m2, TraceConfig(max_bounces=50))
         return res.rays.p1, res.rays.state
 
-    compare("2D TIR guide (depth 50)", traceg, raysg, sceneg)
+    compare("2D TIR guide (depth 50)", traceg, raysg, sceneg, results)
+    return results
 
 
 if __name__ == "__main__":
-    main()
+    import json
+    import sys
+
+    res = main()
+    if "--json" in sys.argv:
+        print("AGREEMENT_JSON " + json.dumps(res))

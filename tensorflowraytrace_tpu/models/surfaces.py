@@ -33,7 +33,19 @@ def _as_cat(category, n):
 def _as_mat(mat, n):
     if mat is None:
         return jnp.zeros((n,), dtype=jnp.int32)
-    return jnp.broadcast_to(jnp.asarray(mat, dtype=jnp.int32), (n,))
+    arr = jnp.broadcast_to(jnp.asarray(mat, dtype=jnp.int32), (n,))
+    # The engine's fused surface-table gather packs category<<20|mat_in<<10|
+    # mat_out into one f32 column (engine.py project_3d) -- exact only for
+    # mat ids in [0, 1024).  Enforce at build time when ids are concrete
+    # (they are ints/arrays in every real scene; tracers pass through).
+    if not isinstance(arr, jax.core.Tracer):
+        lo, hi = int(jnp.min(arr)), int(jnp.max(arr))
+        if lo < 0 or hi >= 1024:
+            raise ValueError(
+                f"material index out of range [0, 1024): got [{lo}, {hi}]; "
+                "ids >= 1024 would silently corrupt the engine's packed "
+                "f32 surface table")
+    return arr
 
 
 @partial(

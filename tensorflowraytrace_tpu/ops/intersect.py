@@ -135,14 +135,20 @@ def _chunked_search(p0, p1, surf_arrays, chunk_fn, n_surf, surf_chunk, ray_block
         )
         return best_u, best_idx, best_extra, any_valid
 
-    if n_rays > ray_block and n_rays % ray_block == 0:
-        nb = n_rays // ray_block
-        rb = lambda a: a.reshape((nb, ray_block) + a.shape[1:])
+    if n_rays > ray_block:
+        # Pad to a whole number of blocks so the memory ceiling holds for any
+        # ray count (a non-divisible N used to silently fall back to one giant
+        # block).  Padded rays are degenerate (p0 == p1 == 0) and their results
+        # are sliced off below.
+        nb = -(-n_rays // ray_block)
+        pad_rays = nb * ray_block - n_rays
+        padr = lambda a: jnp.pad(a, [(0, pad_rays)] + [(0, 0)] * (a.ndim - 1))
+        rb = lambda a: padr(a).reshape((nb, ray_block) + a.shape[1:])
         best_u, best_idx, best_extra, any_valid = lax.map(
             per_block, (rb(p0), rb(p1))
         )
-        flat = lambda a: a.reshape((n_rays,) + a.shape[2:])
-        return any_valid.reshape(-1), flat(best_idx), flat(best_u), flat(best_extra)
+        flat = lambda a: a.reshape((nb * ray_block,) + a.shape[2:])[:n_rays]
+        return flat(any_valid), flat(best_idx), flat(best_u), flat(best_extra)
 
     best_u, best_idx, best_extra, any_valid = per_block((p0, p1))
     return any_valid, best_idx, best_u, best_extra

@@ -386,3 +386,40 @@ def test_degenerate_reaction_dies_cleanly():
     assert int(out.state[0]) == DEAD
     assert np.isfinite(np.asarray(out.p0)).all()
     assert np.isfinite(np.asarray(out.p1)).all()
+
+
+def test_chunked_search_pads_nondivisible_ray_blocks(rng):
+    """A ray count not divisible by ray_block must still block (and agree
+    with the unblocked path) -- it used to fall back to one giant block
+    (VERDICT.md round-1 weak #4)."""
+    from tensorflowraytrace_tpu.ops import intersect as isect
+
+    n_rays, n_tri = 103, 40
+    p0 = jnp.asarray(rng.normal(size=(n_rays, 3)) * 3, F64)
+    p1 = p0 + jnp.asarray(rng.normal(size=(n_rays, 3)) * 5, F64)
+    vp = jnp.asarray(rng.normal(size=(n_tri, 3)) * 2, F64)
+    v1 = vp + jnp.asarray(rng.normal(size=(n_tri, 3)), F64)
+    v2 = vp + jnp.asarray(rng.normal(size=(n_tri, 3)), F64)
+    tri = TriangleSet.make(vp, v1, v2, dtype=F64)
+
+    kw = dict(intersect_eps=1e-10, size_eps=1e-10, ray_start_eps=1e-10)
+    ref = isect.nearest_hit_triangles(p0, p1, tri, ray_block=1 << 20, **kw)
+    # ray_block=32 -> 103 rays = 3 full blocks + a 7-ray remainder
+    got = isect.nearest_hit_triangles(p0, p1, tri, ray_block=32, **kw)
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(got.valid))
+    v = np.asarray(ref.valid)
+    np.testing.assert_array_equal(np.asarray(ref.idx)[v], np.asarray(got.idx)[v])
+    np.testing.assert_allclose(np.asarray(ref.ray_u)[v], np.asarray(got.ray_u)[v])
+    assert v.any()  # the comparison actually exercised hits
+
+
+def test_material_index_range_guard():
+    """mat ids >= 1024 would corrupt the packed f32 surface table; the build
+    must reject them loudly (VERDICT.md round-1 weak #5)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="material index"):
+        TriangleSet.make([[0.0, 0, 0]], [[1.0, 0, 0]], [[0.0, 1, 0]],
+                         mat_in=1024, dtype=F64)
+    with pytest.raises(ValueError, match="material index"):
+        SegmentSet.make([[0.0, 0]], [[1.0, 0]], mat_out=-1, dtype=F64)

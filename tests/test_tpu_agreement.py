@@ -1,0 +1,67 @@
+"""CPU-vs-TPU f32 trace-agreement floors (VERDICT.md round-1 weak #7).
+
+The characterized numbers (docs/notes.md) are:
+  3D lens depth 3:       100%   state agreement, max same-fate dev 4.3e-6
+  2D arc depth 2:        98.4%  state agreement, max same-fate dev 5.9e-6
+  2D TIR guide depth 50: 99.95% state agreement (chaotic same-fate divergence)
+
+These tests codify floors below those measurements so a TPU-path numerics
+regression is caught.  The suite forces a CPU backend in-process
+(tests/conftest.py), so the comparison runs in a subprocess with the host's
+default (TPU) env; skipped when no TPU is attached.
+"""
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+FLOORS = {
+    "2D arc refraction (depth 2)": {"state_agreement": 0.97,
+                                    "max_same_fate_dev": 1e-4},
+    "3D parametric lens (depth 3)": {"state_agreement": 0.999,
+                                     "max_same_fate_dev": 1e-4},
+    "2D TIR guide (depth 50)": {"state_agreement": 0.995,
+                                "max_same_fate_dev": None},
+}
+
+
+@pytest.fixture(scope="module")
+def agreement():
+    env = dict(os.environ)
+    # undo the suite's CPU forcing; let the host env pick the TPU platform
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = re.sub(
+        r"--xla_force_host_platform_device_count=\d+", "",
+        env.get("XLA_FLAGS", "")).strip()
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, os.path.join("examples", "cpu_tpu_agreement.py"),
+         "--json"],
+        env=env, cwd=REPO, text=True, capture_output=True, timeout=1200)
+    if "no TPU attached" in r.stdout or "no TPU attached" in r.stderr:
+        pytest.skip("no TPU attached")
+    assert r.returncode == 0, r.stderr[-2000:]
+    for line in r.stdout.splitlines():
+        if line.startswith("AGREEMENT_JSON "):
+            return json.loads(line[len("AGREEMENT_JSON "):])
+    pytest.skip("agreement run produced no JSON (no TPU?)")
+
+
+@pytest.mark.tpu
+@pytest.mark.parametrize("config", sorted(FLOORS))
+def test_agreement_floor(agreement, config):
+    floors = FLOORS[config]
+    got = agreement[config]
+    assert got["state_agreement"] >= floors["state_agreement"], (
+        f"{config}: state agreement {got['state_agreement']:.4%} fell below "
+        f"floor {floors['state_agreement']:.4%} -- TPU numerics regression?")
+    if floors["max_same_fate_dev"] is not None:
+        assert got["max_same_fate_dev"] <= floors["max_same_fate_dev"], (
+            f"{config}: same-fate deviation {got['max_same_fate_dev']:.3e} "
+            f"above floor {floors['max_same_fate_dev']:.1e}")
