@@ -51,7 +51,7 @@ def _as_mat(mat, n):
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["p0", "p1", "category", "mat_in", "mat_out", "fields"],
-    meta_fields=[],
+    meta_fields=["mats_specified"],
 )
 @dataclass
 class SegmentSet:
@@ -67,6 +67,10 @@ class SegmentSet:
     mat_in: jax.Array
     mat_out: jax.Array
     fields: Dict[str, jax.Array] = field(default_factory=dict)
+    # static: whether mat_in/mat_out were explicitly annotated (material ids
+    # default to 0, so presence can't be inferred from the arrays; the
+    # validate_system signature audit keys off this)
+    mats_specified: bool = True
 
     @staticmethod
     def make(p0, p1, category=OPTICAL, mat_in=None, mat_out=None, fields=None, dtype=None):
@@ -78,6 +82,7 @@ class SegmentSet:
             p0=p0, p1=p1, category=_as_cat(category, m),
             mat_in=_as_mat(mat_in, m), mat_out=_as_mat(mat_out, m),
             fields={k: jnp.asarray(v) for k, v in (fields or {}).items()},
+            mats_specified=mat_in is not None or mat_out is not None,
         )
 
     @property
@@ -103,7 +108,7 @@ class SegmentSet:
     jax.tree_util.register_dataclass,
     data_fields=["center", "angle_start", "angle_end", "radius",
                  "category", "mat_in", "mat_out", "fields"],
-    meta_fields=[],
+    meta_fields=["mats_specified"],
 )
 @dataclass
 class ArcSet:
@@ -118,6 +123,7 @@ class ArcSet:
     mat_in: jax.Array
     mat_out: jax.Array
     fields: Dict[str, jax.Array] = field(default_factory=dict)
+    mats_specified: bool = True
 
     @staticmethod
     def make(center, angle_start, angle_end, radius, category=OPTICAL,
@@ -131,6 +137,7 @@ class ArcSet:
             radius=b(radius), category=_as_cat(category, m),
             mat_in=_as_mat(mat_in, m), mat_out=_as_mat(mat_out, m),
             fields={k: jnp.asarray(v) for k, v in (fields or {}).items()},
+            mats_specified=mat_in is not None or mat_out is not None,
         )
 
     @property
@@ -152,7 +159,7 @@ class ArcSet:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["vp", "v1", "v2", "norm", "category", "mat_in", "mat_out", "fields"],
-    meta_fields=["norm_derived"],
+    meta_fields=["norm_derived", "mats_specified"],
 )
 @dataclass
 class TriangleSet:
@@ -174,6 +181,7 @@ class TriangleSet:
     mat_out: jax.Array
     fields: Dict[str, jax.Array] = field(default_factory=dict)
     norm_derived: bool = False
+    mats_specified: bool = True
 
     @staticmethod
     def make(vp, v1, v2, norm=None, category=OPTICAL, mat_in=None, mat_out=None,
@@ -193,6 +201,7 @@ class TriangleSet:
             mat_in=_as_mat(mat_in, m), mat_out=_as_mat(mat_out, m),
             fields={k: jnp.asarray(v) for k, v in (fields or {}).items()},
             norm_derived=derived,
+            mats_specified=mat_in is not None or mat_out is not None,
         )
 
     @staticmethod
@@ -247,6 +256,7 @@ def concat_segments(sets):
         mat_in=jnp.concatenate([s.mat_in for s in sets]),
         mat_out=jnp.concatenate([s.mat_out for s in sets]),
         fields=_concat_fields(sets),
+        mats_specified=any(s.mats_specified for s in sets),
     )
 
 
@@ -263,6 +273,7 @@ def concat_arcs(sets):
         mat_in=jnp.concatenate([s.mat_in for s in sets]),
         mat_out=jnp.concatenate([s.mat_out for s in sets]),
         fields=_concat_fields(sets),
+        mats_specified=any(s.mats_specified for s in sets),
     )
 
 
@@ -280,6 +291,7 @@ def concat_triangles(sets):
         mat_out=jnp.concatenate([s.mat_out for s in sets]),
         fields=_concat_fields(sets),
         norm_derived=all(s.norm_derived for s in sets),
+        mats_specified=any(s.mats_specified for s in sets),
     )
 
 

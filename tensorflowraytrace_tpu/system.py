@@ -428,37 +428,156 @@ class OpticalEngine:
             if annotate is not None:
                 annotate(self)
 
+    def _effective_operations(self):
+        """The operations the trace will actually run: the user's list, plus
+        the default StandardReaction when nothing supplies a reaction (the
+        same resolution _op_reaction performs)."""
+        ops = list(self.operations)
+        has_reaction = self._reaction is not None or any(
+            getattr(op, "reaction", None) is not None
+            and getattr(op, "active", True) for op in ops)
+        if not has_reaction:
+            from tensorflowraytrace_tpu.operations import StandardReaction
+
+            try:
+                mode = ("index" if self.optical_system is not None
+                        and self.optical_system.material_callables()
+                        else "value")
+            except KeyError:
+                # malformed material dict; the materials audit reports it
+                mode = "index"
+            ops.append(StandardReaction(refractive_index_type=mode))
+        return ops
+
+    def signature_union(self, name):
+        """Union of one signature set over the effective operations
+        (reference engine.py:1300-1316)."""
+        out = set()
+        for op in self._effective_operations():
+            out |= set(getattr(op, name, ()))
+        return out
+
+    @staticmethod
+    def _surface_signature(surf, entry=None):
+        """The fields a surface set actually carries.  Geometric keys are
+        guaranteed by construction; mat_in/mat_out count as present only when
+        they were explicitly annotated (ids default to 0, so presence cannot
+        be read off the arrays)."""
+        if isinstance(surf, SegmentSet):
+            geo = {"x_start", "y_start", "x_end", "y_end"}
+        elif isinstance(surf, ArcSet):
+            geo = {"x_center", "y_center", "angle_start", "angle_end", "radius"}
+        else:
+            geo = {"xp", "yp", "zp", "x1", "y1", "z1",
+                   "x2", "y2", "z2", "norm"}
+        sig = geo | {"category", "catagory"} | set(surf.fields)
+        annotated = getattr(surf, "mats_specified", True)
+        if entry is not None and {"mat_in", "mat_out"} & set(entry._mat_overrides):
+            annotated = True
+        if annotated:
+            sig |= {"mat_in", "mat_out"}
+        return sig
+
+    def _role_entries(self, system):
+        """(role, kind, entries) triples for the signature audit."""
+        if self.dimension == 2:
+            return [
+                ("optical", "segments", system._optical_segments),
+                ("optical", "arcs", system._optical_arcs),
+                ("stop", "segments", system._stop_segments),
+                ("stop", "arcs", system._stop_arcs),
+                ("target", "segments", system._target_segments),
+                ("target", "arcs", system._target_arcs),
+            ]
+        return [
+            ("optical", "triangles", system._optical),
+            ("stop", "triangles", system._stops),
+            ("target", "triangles", system._targets),
+        ]
+
     def validate_system(self):
-        """Signature audit (engine.py:1416-1522): every optical surface must
-        carry material references resolvable against the material list, and
-        index-mode tracing needs ray wavelengths."""
+        """Full signature audit (reference engine.py:1416-1522): every
+        material, source, and boundary set is checked against the union of
+        the effective operations' signature sets, with field-level error
+        messages naming exactly what is missing and where."""
         system = self.optical_system
         if system is None:
             raise RuntimeError("validate_system: no optical system attached")
-        scene = system.scene
+        system.scene  # force a build so entries are current
+
+        material_sig = self.signature_union("material_signature")
+        input_sig = self.signature_union("input_signature")
+        role_sigs = {
+            "optical": self.signature_union("optical_signature"),
+            "stop": self.signature_union("stop_signature"),
+            "target": self.signature_union("target_signature"),
+        }
+
+        # --- materials (engine.py:1419-1427) ---
+        for i, m in enumerate(system.materials):
+            if isinstance(m, dict):
+                missing = material_sig - set(m.keys())
+            elif callable(m):
+                missing = material_sig - {"n"}
+            else:
+                raise RuntimeError(
+                    f"validate_system: material {i} ({m!r}) is neither a "
+                    f"dict with an 'n' entry nor a callable n(wavelength)")
+            if missing:
+                raise RuntimeError(
+                    f"validate_system: material {i} failed the materials "
+                    f"signature check: missing {sorted(missing)} "
+                    f"(required {sorted(material_sig)})")
+
+        # --- sources (engine.py:1430-1437 / 1489-1496) ---
+        rays = system.sources
+        if rays is None:
+            raise RuntimeError("validate_system: system has no sources")
+        geo = ({"x_start", "y_start", "z_start", "x_end", "y_end", "z_end"}
+               if self.dimension == 3
+               else {"x_start", "y_start", "x_end", "y_end"})
+        present = set(geo) | set(rays.fields)
+        # rays built without a wavelength carry the all-zero default; treat
+        # that as absent (index-mode dispersion at 0 nm is meaningless)
+        if bool(jnp.any(rays.wavelength != 0)):
+            present.add("wavelength")
+        missing = (geo | input_sig) - present
+        if missing:
+            hint = ("; rays were built without wavelengths (all zero), but "
+                    "index-mode material dispersion needs them"
+                    if "wavelength" in missing else "")
+            raise RuntimeError(
+                f"validate_system: sources failed the signature check: "
+                f"missing fields {sorted(missing)}{hint}")
+
+        # --- boundaries, per role and per entry (engine.py:1438-1522) ---
+        for role, kind, entries in self._role_entries(system):
+            required = role_sigs[role]
+            for j, entry in enumerate(entries):
+                surf = entry.surface_set
+                if surf is None or surf.n_surfaces == 0:
+                    continue
+                missing = required - self._surface_signature(surf, entry)
+                if missing:
+                    raise RuntimeError(
+                        f"validate_system: {role} {kind}[{j}] failed the "
+                        f"signature check: missing fields {sorted(missing)} "
+                        f"(required {sorted(required)}); annotate the "
+                        f"boundary (e.g. entry['mat_in'] = ... or a "
+                        f"material_list) before tracing")
+
+        # --- semantic range check: mat ids must index the material list ---
         mats = system.material_callables()
-        sets = []
-        if isinstance(scene, Scene2D):
-            if scene.segments is not None:
-                sets.append(scene.segments)
-            if scene.arcs is not None:
-                sets.append(scene.arcs)
-        else:
-            sets.append(scene.triangles)
+        scene = system.scene
+        sets = ([scene.triangles] if not isinstance(scene, Scene2D)
+                else [s for s in (scene.segments, scene.arcs) if s is not None])
         for s in sets:
-            if mats:
-                hi = int(jnp.max(s.mat_in)) if s.n_surfaces else 0
-                lo = int(jnp.max(s.mat_out)) if s.n_surfaces else 0
-                if max(hi, lo) >= len(mats):
+            if mats and s.n_surfaces:
+                hi = max(int(jnp.max(s.mat_in)), int(jnp.max(s.mat_out)))
+                if hi >= len(mats):
                     raise ValueError(
-                        f"validate_system: material index {max(hi, lo)} out of "
-                        f"range for {len(mats)} materials")
-            elif "n_in" not in s.fields or "n_out" not in s.fields:
-                raise ValueError(
-                    "validate_system: no materials list and no n_in/n_out "
-                    "fields on the optical surfaces")
-        if system.sources is None:
-            raise ValueError("validate_system: system has no sources")
+                        f"validate_system: material index {hi} out of range "
+                        f"for {len(mats)} materials")
 
     def _op_reaction(self):
         """Reaction resolution: explicit > first operation providing one >

@@ -210,3 +210,108 @@ def test_sgd_optimizer_facade_single_arc():
     engine.ray_trace(2)
     fin = engine.finished_rays
     assert float(jnp.max(jnp.abs(fin.p1[:, 1]))) < 0.5
+
+
+# ----------------------------------------------------------------------
+# full validate_system signature audit (reference engine.py:1416-1522)
+# ----------------------------------------------------------------------
+
+def test_validate_system_missing_mat_annotation():
+    """An optical boundary built without material annotation must be named,
+    with the missing fields spelled out (field-level parity with the
+    reference's signature audit)."""
+    system = build_single_arc_system()
+    bare_arc = manual_arc_boundary(
+        x_center=[5.0], y_center=[0.0], angle_start=[3 * PI / 4],
+        angle_end=[5 * PI / 4], radius=[5.0], dtype=F64)  # no mat_in/mat_out
+    system.optical_arcs = [bare_arc]
+    system.update()
+    engine = OpticalEngine(2)
+    engine.optical_system = system
+    with pytest.raises(RuntimeError, match=r"optical arcs\[0\].*mat_in"):
+        engine.validate_system()
+
+
+def test_validate_system_missing_wavelength_index_mode():
+    """Index-mode dispersion needs real wavelengths; rays built without them
+    carry the all-zero default and must fail the sources audit."""
+    from tensorflowraytrace_tpu.models.rays import RaySet
+
+    system = build_single_arc_system()
+    rays = RaySet.make([[-1.0, 0.1]], [[0.0, 0.1]], dtype=F64)  # no wavelength
+    system.sources = [rays]
+    system.update()
+    engine = OpticalEngine(2)
+    engine.optical_system = system
+    with pytest.raises(RuntimeError, match="sources.*wavelength"):
+        engine.validate_system()
+
+
+def test_validate_system_value_mode_missing_n_fields():
+    """'value' mode requires n_in/n_out float fields on optical surfaces."""
+    system = build_single_arc_system()
+    system.materials = []  # no material list -> value mode
+    system.update()
+    engine = OpticalEngine(2)
+    engine.optical_system = system
+    with pytest.raises(RuntimeError, match=r"n_in.*n_out|n_out.*n_in"):
+        engine.validate_system()
+
+
+def test_validate_system_material_missing_n_key():
+    system = build_single_arc_system()
+    system.materials = [{"n": mats.vacuum}, {"refractive": mats.acrylic}]
+    system.update()
+    engine = OpticalEngine(2)
+    engine.optical_system = system
+    with pytest.raises(RuntimeError, match="material 1.*'n'"):
+        engine.validate_system()
+
+
+def test_validate_system_mat_override_passes():
+    """Annotating mats through the entry (annotation_helper path) satisfies
+    the audit even though the underlying set was built bare."""
+    system = build_single_arc_system()
+    bare_arc = manual_arc_boundary(
+        x_center=[5.0], y_center=[0.0], angle_start=[3 * PI / 4],
+        angle_end=[5 * PI / 4], radius=[5.0], dtype=F64)
+    system.optical_arcs = [bare_arc]
+    entry = system.optical_arcs[0]
+    annotation_helper(entry, "mat_in", 1, "x_center", dtype=jnp.int32)
+    annotation_helper(entry, "mat_out", 0, "x_center", dtype=jnp.int32)
+    system.update()
+    engine = OpticalEngine(2)
+    engine.optical_system = system
+    engine.validate_system()  # must not raise
+
+
+def test_exclusion_clash_raises():
+    from tensorflowraytrace_tpu.operations import GhostThrough, RayOperation
+
+    class NoGhosts(RayOperation):
+        exclusions = frozenset({GhostThrough})
+
+    with pytest.raises(RuntimeError, match="exclusive operations"):
+        OpticalEngine(2, operations=[NoGhosts(), GhostThrough()])
+
+
+def test_validate_system_custom_op_target_signature():
+    """Operations contribute their target_signature to the audit: a target
+    set lacking a required extra field is reported by name."""
+    from tensorflowraytrace_tpu.operations import RayOperation, StandardReaction
+
+    class NeedsGoal(RayOperation):
+        target_signature = frozenset({"goal_weight"})
+
+    system = build_single_arc_system()
+    system.update()
+    engine = OpticalEngine(
+        2, operations=[StandardReaction(), NeedsGoal()])
+    engine.optical_system = system
+    with pytest.raises(RuntimeError, match=r"target segments\[0\].*goal_weight"):
+        engine.validate_system()
+    # annotating the field fixes it
+    entry = system.target_segments[0]
+    annotation_helper(entry, "goal_weight", 1.0, "x_start")
+    system.update()
+    engine.validate_system()
