@@ -23,7 +23,10 @@ from tensorflowraytrace_tpu import config
 from tensorflowraytrace_tpu.config import (
     ACTIVE, DEAD, FINISHED, OPTICAL, STOP, STOPPED, TARGET,
 )
-from tensorflowraytrace_tpu.engine import TraceConfig, TraceResult, trace
+from tensorflowraytrace_tpu.engine import (
+    TraceConfig, TraceResult, bounce_count_fold, landing_sum_fold,
+    newly_terminated, path_length_fold, trace,
+)
 from tensorflowraytrace_tpu.models.acceleration import (
     morton_sort_segments, morton_sort_triangles,
 )

@@ -154,7 +154,7 @@ class Projection:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["rays", "history_p0", "history_p1", "history_state",
-                 "history_alive"],
+                 "history_alive", "fold"],
     meta_fields=["n_bounces"],
 )
 @dataclass
@@ -165,6 +165,11 @@ class TraceResult:
     marks slots that were still bouncing when that entry was recorded, so a
     ray appears "live" exactly once per bounce until it terminates --
     reconstructing the reference's ray-history lists (engine.py:1379-1403).
+
+    ``fold`` holds the in-scan accumulator when ``trace`` was given a
+    ``fold_fn`` -- per-bounce reductions (running losses, path lengths,
+    bounce counts) at O(1) memory in the bounce count, so deep traces never
+    need ``keep_history`` (SURVEY.md hard part 6).
     """
 
     rays: RaySet
@@ -172,6 +177,7 @@ class TraceResult:
     history_p1: Optional[jax.Array]
     history_state: Optional[jax.Array]
     history_alive: Optional[jax.Array]
+    fold: object = None
     n_bounces: int = 0
 
     @property
@@ -493,29 +499,95 @@ def single_pass(rays: RaySet, scene, materials, cfg: TraceConfig,
 
 
 def trace(rays: RaySet, scene, materials=None, cfg: TraceConfig = TraceConfig(),
-          reaction: Callable = default_reaction) -> TraceResult:
+          reaction: Callable = default_reaction,
+          fold_fn: Optional[Callable] = None,
+          fold_init=None) -> TraceResult:
     """Multi-bounce trace (ray_trace, engine.py:2311-2330) as a lax.scan.
 
     jit-friendly: wrap as ``jax.jit(trace, static_argnames=('cfg',))`` or
     close over cfg.  Differentiable end-to-end w.r.t. scene geometry and ray
     starts.
+
+    ``fold_fn(acc, record) -> acc`` (with ``fold_init`` as the starting
+    accumulator) runs inside the scan each bounce; ``record`` is the same
+    ``(p0, p1_projected, state, was_active)`` tuple history entries hold.
+    The final accumulator lands in ``TraceResult.fold``.  This gives
+    per-bounce reductions (running landing losses, optical path length,
+    bounce counts) at O(1) memory in the bounce count -- use it instead of
+    ``keep_history`` for deep traces.  Composes with ``cfg.remat`` and is
+    differentiable.  See ``path_length_fold`` / ``landing_sum_fold``.
     """
     materials = tuple(materials or ())
 
     def body(carry, _):
-        new_rays, record = single_pass(carry, scene, materials, cfg, reaction)
+        rays_c, acc = carry
+        new_rays, record = single_pass(rays_c, scene, materials, cfg, reaction)
+        if fold_fn is not None:
+            acc = fold_fn(acc, record)
         ys = record if cfg.keep_history else None
-        return new_rays, ys
+        return (new_rays, acc), ys
 
     if cfg.remat:
         body = jax.checkpoint(body)
 
-    final, ys = lax.scan(body, rays, xs=None, length=cfg.max_bounces)
+    (final, acc), ys = lax.scan(body, (rays, fold_init), xs=None,
+                                length=cfg.max_bounces)
     if cfg.keep_history:
         h_p0, h_p1, h_state, h_alive = ys
     else:
         h_p0 = h_p1 = h_state = h_alive = None
     return TraceResult(
         rays=final, history_p0=h_p0, history_p1=h_p1, history_state=h_state,
-        history_alive=h_alive, n_bounces=cfg.max_bounces,
+        history_alive=h_alive, fold=acc, n_bounces=cfg.max_bounces,
     )
+
+
+# ======================================================================
+# in-scan fold helpers (history-free deep-trace reductions)
+# ======================================================================
+
+def newly_terminated(record, state_code):
+    """Mask of slots whose ray reached ``state_code`` on THIS bounce."""
+    _, _, state, alive = record
+    return alive & (state == state_code)
+
+
+def path_length_fold(n_rays, dtype):
+    """(init, fn): per-slot total optical path length -- the sum of segment
+    lengths over every bounce the ray was alive.  Unrecoverable from final
+    slots (each bounce overwrites p0/p1), so without this it would need the
+    full history."""
+    init = jnp.zeros((n_rays,), dtype=dtype)
+
+    def fn(acc, record):
+        p0, p1, state, alive = record
+        seg = jnp.linalg.norm(p1 - p0, axis=-1)
+        return acc + jnp.where(alive, seg, 0)
+
+    return init, fn
+
+
+def bounce_count_fold(n_rays):
+    """(init, fn): per-slot number of bounces each ray survived."""
+    init = jnp.zeros((n_rays,), dtype=jnp.int32)
+
+    def fn(acc, record):
+        _, _, _, alive = record
+        return acc + alive.astype(jnp.int32)
+
+    return init, fn
+
+
+def landing_sum_fold(value_fn, dtype, state_code=FINISHED):
+    """(init, fn): running scalar sum of ``value_fn(p1) -> (N,)`` over rays at
+    the bounce they terminate with ``state_code`` -- e.g. a squared landing
+    error summed over finished rays, evaluated in-scan so a 50-bounce guide
+    loss never materializes history OR final-slot gathers."""
+    init = jnp.zeros((), dtype=dtype)
+
+    def fn(acc, record):
+        _, p1, state, alive = record
+        mask = alive & (state == state_code)
+        return acc + jnp.sum(jnp.where(mask, value_fn(p1), 0))
+
+    return init, fn

@@ -227,6 +227,33 @@ def line_circle_intersect(xs, ys, xe, ye, xc, yc, r, epsilon=None):
 # Snell's law
 # ======================================================================
 
+def _safe_direction_2d(dx, dy):
+    """Substitute (1, 0) where the direction is degenerate so arctan2's
+    partials stay finite.  The reference compacts rays before reacting, so it
+    never feeds a zero-length direction to Snell; the rebuild's slot-stable
+    engine runs EVERY slot through the reaction and masks afterwards, which
+    means dead/garbage slots reach this code -- and d/dx atan2(0, 0) is NaN,
+    poisoning reverse-mode gradients of the whole batch even though the slot
+    is masked out (where() blocks cotangents, not the NaN the unused branch's
+    backward creates)."""
+    eps = jnp.finfo(jnp.result_type(dx)).eps
+    degenerate = (dx * dx + dy * dy) < eps * eps
+    return (jnp.where(degenerate, jnp.ones_like(dx), dx),
+            jnp.where(degenerate, jnp.zeros_like(dy), dy))
+
+
+def _safe_unit(v, axis=-1):
+    """Normalize ``v`` with the zero-vector rows replaced by e0 first, so the
+    norm's sqrt never sees 0 and its backward stays finite (same degenerate-
+    slot discipline as :func:`_safe_direction_2d`)."""
+    eps = jnp.finfo(v.dtype).eps
+    mag2 = jnp.sum(v * v, axis=axis, keepdims=True)
+    degenerate = mag2 < eps * eps
+    e0 = jnp.zeros_like(v).at[..., 0].set(1.0)
+    v = jnp.where(degenerate, e0, v)
+    return v / jnp.linalg.norm(v, axis=axis, keepdims=True)
+
+
 def snells_law_2D(x_start, y_start, x_end, y_end, norm, n_in, n_out, new_ray_length):
     """2D optical reaction (refract / reflect / TIR), angle formulation.
 
@@ -236,7 +263,8 @@ def snells_law_2D(x_start, y_start, x_end, y_end, norm, n_in, n_out, new_ray_len
     Reproduces geometry.py:565-653.
     """
     norm = jnp.mod(norm, 2 * PI)
-    ray_angle = jnp.arctan2(y_start - y_end, x_start - x_end)
+    dx, dy = _safe_direction_2d(x_start - x_end, y_start - y_end)
+    ray_angle = jnp.arctan2(dy, dx)
     ray_angle = jnp.mod(ray_angle, 2 * PI)
     theta1 = norm - ray_angle
     theta1 = jnp.where(theta1 > PI, theta1 - 2 * PI, theta1)
@@ -284,10 +312,9 @@ def snells_law_3D(
     ``norm`` is an ``(N, 3)`` vector field (need not be normalized);
     ``n_in == 0`` marks a mirror.  Returns the six child-ray coordinates.
     """
-    u = jnp.stack([x_end - x_start, y_end - y_start, z_end - z_start], axis=1)
-    u = u / jnp.linalg.norm(u, axis=1, keepdims=True)
-
-    n = norm / jnp.linalg.norm(norm, axis=1, keepdims=True)
+    u = _safe_unit(jnp.stack([x_end - x_start, y_end - y_start,
+                              z_end - z_start], axis=1), axis=1)
+    n = _safe_unit(norm, axis=1)
     nu = jnp.sum(n * u, axis=1, keepdims=True)
 
     internal_mask = nu > 0
@@ -323,9 +350,8 @@ def snells_law_3D(
 def snell_3d_vec(p0, p1, norm, n_in, n_out, new_ray_length):
     """Vectorized 3D Snell on ``(N, 3)`` endpoint arrays (TPU-idiomatic form
     used by the trace engine; same math as :func:`snells_law_3D`)."""
-    u = p1 - p0
-    u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
-    n = norm / jnp.linalg.norm(norm, axis=-1, keepdims=True)
+    u = _safe_unit(p1 - p0)
+    n = _safe_unit(norm)
     nu = jnp.sum(n * u, axis=-1, keepdims=True)
 
     internal_mask = nu > 0

@@ -423,3 +423,134 @@ def test_material_index_range_guard():
                          mat_in=1024, dtype=F64)
     with pytest.raises(ValueError, match="material index"):
         SegmentSet.make([[0.0, 0]], [[1.0, 0]], mat_out=-1, dtype=F64)
+
+
+# ----------------------------------------------------------------------
+# in-scan folds: history-free deep-trace reductions (SURVEY hard part 6)
+# ----------------------------------------------------------------------
+
+def tir_guide_scene():
+    guide = SegmentSet.make(
+        [[-0.1, -4.0], [0.0, 4.0], [0.1, -4.0]],
+        [[0.0, 4.0], [0.1, -4.0], [-0.1, -4.0]],
+        mat_in=1, mat_out=0, dtype=F64)
+    exitp = SegmentSet.make([[-0.3, 4.2]], [[0.3, 4.2]], dtype=F64)
+    return Scene2D.build(optical_segments=[guide], target_segments=[exitp])
+
+
+def guide_rays(n, key=0):
+    from tensorflowraytrace_tpu.models import distributions as dist
+    from tensorflowraytrace_tpu.models import sources as src
+
+    angles = dist.RandomLambertianAngularDistribution(-0.3 * PI, 0.3 * PI, n)
+    beam = dist.RandomUniformBeam(-0.09, 0.09, n)
+    s = src.AngularSource(2, (0.0, -3.999), PI / 2, angles, beam, [575.0] * n,
+                          dense=False)
+    return s.sample(jax.random.PRNGKey(key), dtype=F64)
+
+
+def test_landing_sum_fold_matches_final_slot_loss():
+    from tensorflowraytrace_tpu.engine import landing_sum_fold
+
+    scene = tir_guide_scene()
+    rays = guide_rays(400)
+    m = (mats.vacuum, mats.acrylic)
+    value_fn = lambda p1: (p1[:, 0] - 0.05) ** 2
+    init, fn = landing_sum_fold(value_fn, F64)
+    cfg = TraceConfig(max_bounces=50, remat=True)  # no history
+    res = trace(rays, scene, m, cfg, fold_fn=fn, fold_init=init)
+    assert res.history_p0 is None
+    fin = res.rays.state == FINISHED
+    direct = jnp.sum(jnp.where(fin, value_fn(res.rays.p1), 0.0))
+    np.testing.assert_allclose(float(res.fold), float(direct), rtol=1e-12)
+    assert float(direct) > 0  # rays actually finished
+
+
+def test_path_length_fold_matches_history():
+    from tensorflowraytrace_tpu.engine import path_length_fold
+
+    scene = tir_guide_scene()
+    rays = guide_rays(200, key=1)
+    m = (mats.vacuum, mats.acrylic)
+    init, fn = path_length_fold(rays.n_rays, F64)
+    cfg = TraceConfig(max_bounces=30, keep_history=True)
+    res = trace(rays, scene, m, cfg, fold_fn=fn, fold_init=init)
+    seg = np.linalg.norm(
+        np.asarray(res.history_p1) - np.asarray(res.history_p0), axis=-1)
+    expect = (seg * np.asarray(res.history_alive)).sum(axis=0)
+    np.testing.assert_allclose(np.asarray(res.fold), expect, rtol=1e-12)
+    assert expect.max() > 8.0  # multi-bounce paths actually accumulated
+
+
+def test_fold_is_differentiable_with_remat():
+    """Gradient of an in-scan landing loss w.r.t. guide geometry, under remat,
+    matches the gradient of the final-slot loss."""
+    from tensorflowraytrace_tpu.engine import landing_sum_fold
+
+    rays = guide_rays(200, key=2)
+    m = (mats.vacuum, mats.acrylic)
+
+    def build_scene(half_w):
+        guide = SegmentSet.make(
+            jnp.stack([jnp.stack([-half_w, jnp.asarray(-4.0, F64)]),
+                       jnp.stack([jnp.asarray(0.0, F64), jnp.asarray(4.0, F64)]),
+                       jnp.stack([half_w, jnp.asarray(-4.0, F64)])]),
+            jnp.stack([jnp.stack([jnp.asarray(0.0, F64), jnp.asarray(4.0, F64)]),
+                       jnp.stack([half_w, jnp.asarray(-4.0, F64)]),
+                       jnp.stack([-half_w, jnp.asarray(-4.0, F64)])]),
+            mat_in=1, mat_out=0, dtype=F64)
+        exitp = SegmentSet.make([[-0.3, 4.2]], [[0.3, 4.2]], dtype=F64)
+        return Scene2D.build(optical_segments=[guide], target_segments=[exitp])
+
+    value_fn = lambda p1: p1[:, 0] ** 2
+
+    def loss_fold(hw):
+        init, fn = landing_sum_fold(value_fn, F64)
+        res = trace(rays, build_scene(hw), m,
+                    TraceConfig(max_bounces=20, remat=True),
+                    fold_fn=fn, fold_init=init)
+        return res.fold
+
+    def loss_slots(hw):
+        res = trace(rays, build_scene(hw), m, TraceConfig(max_bounces=20))
+        fin = res.rays.state == FINISHED
+        return jnp.sum(jnp.where(fin, value_fn(res.rays.p1), 0.0))
+
+    hw = jnp.asarray(0.1, F64)
+    g_fold = jax.grad(loss_fold)(hw)
+    g_slot = jax.grad(loss_slots)(hw)
+    assert np.isfinite(float(g_fold)) and abs(float(g_fold)) > 0
+    np.testing.assert_allclose(float(g_fold), float(g_slot), rtol=1e-9)
+
+
+def test_facade_history_opt_in():
+    """The facade no longer materializes history unless asked
+    (VERDICT.md round-1 weak #6)."""
+    import pytest
+
+    from tensorflowraytrace_tpu.system import OpticalEngine, OpticalSystem2D
+
+    guide = SegmentSet.make(
+        [[-0.1, -4.0], [0.0, 4.0], [0.1, -4.0]],
+        [[0.0, 4.0], [0.1, -4.0], [-0.1, -4.0]],
+        mat_in=1, mat_out=0, dtype=F64)
+    exitp = SegmentSet.make([[-0.3, 4.2]], [[0.3, 4.2]], dtype=F64)
+    system = OpticalSystem2D(dtype=F64)
+    system.optical_segments = [guide]
+    system.target_segments = [exitp]
+    system.sources = [guide_rays(100, key=3)]
+    system.materials = [{"n": mats.vacuum}, {"n": mats.acrylic}]
+    system.update()
+
+    engine = OpticalEngine(2)
+    engine.optical_system = system
+    res = engine.ray_trace(50)
+    assert res.history_p0 is None          # no history by default
+    assert engine.finished_rays.n_rays > 0  # final-slot properties still work
+    with pytest.raises(RuntimeError, match="keep_history=True"):
+        engine.all_rays
+
+    engine_h = OpticalEngine(2, keep_history=True)
+    engine_h.optical_system = system
+    engine_h.ray_trace(10)
+    assert engine_h.all_rays["x_start"].shape[0] > 0

@@ -58,7 +58,7 @@ def test_2d_system_trace_via_engine():
 
 def test_engine_all_rays_history():
     system = build_single_arc_system()
-    engine = OpticalEngine(2)
+    engine = OpticalEngine(2, keep_history=True)
     engine.optical_system = system
     system.update()
     engine.ray_trace(2)
