@@ -8,7 +8,11 @@ to establish the wall-clock baseline the TPU rebuild is compared against
 framework on TPU").  The reference itself cannot run here (it needs pyvista
 and tfquaternion), so this is its hot loop re-created at spec.
 
-Run:  python examples/baseline_tf_cpu.py
+Run:  python examples/baseline_tf_cpu.py          # 2D sweep
+      python examples/baseline_tf_cpu.py --3d     # + the depth-3 lens
+                                                  # training step (measured
+                                                  # TF-CPU baseline for the
+                                                  # simple_3d_optimize scale)
 """
 
 import math
@@ -123,5 +127,161 @@ def main():
               f"{dt * 1e3:9.2f} ms/trace  ({inter / dt / 1e9:7.3f} G int/s)")
 
 
+def lens_step_3d(steps=3):
+    """The reference's depth-3 lens TRAINING step, measured (not extrapolated):
+    dense meshgrid triangle intersection (tfrt engine.py:1102-1166), Snell 3D
+    (geometry.py:671-753), boolean_mask compaction per pass, imaging loss, and
+    tf.GradientTape backward to two per-vertex parameter variables --
+    2025 rays x 3074 scene triangles, the simple_3d_optimize workload
+    (dev/simple_3d_optimize.py:30-31,119-138)."""
+    import tensorflow as tf
+
+    from tensorflowraytrace_tpu.models import mesh as mt
+
+    tf.config.set_visible_devices([], "GPU")
+    PI = math.pi
+    rng = np.random.default_rng(0)
+
+    # scene: two parametric hexagonal-mesh surfaces + a big target plane
+    zm = mt.hexagonal_mesh(1.2, 16)                      # 817 V, 1536 F
+    pts = zm.points[:, [2, 0, 1]]                        # x forward
+    faces = np.asarray(zm.faces, dtype=np.int64)
+    zero1 = tf.constant(pts)
+    zero2 = tf.constant(pts + np.array([0.2, 0.0, 0.0]))
+    vec = tf.constant(np.array([1.0, 0.0, 0.0]))
+    p1_var = tf.Variable(tf.zeros([pts.shape[0], 1], tf.float64))
+    p2_var = tf.Variable(tf.zeros([pts.shape[0], 1], tf.float64))
+    half, td = 50.0, 8.0
+    tgt_vp = tf.constant(np.array([[td, -half, -half], [td, half, half]]))
+    tgt_v1 = tf.constant(np.array([[td, half, -half], [td, -half, half]]))
+    tgt_v2 = tf.constant(np.array([[td, half, half], [td, -half, -half]]))
+    n_tri = 2 * faces.shape[0] + 2
+    category = tf.constant(np.concatenate(
+        [np.zeros(2 * faces.shape[0]), np.full(2, 2.0)]))  # optical / target
+
+    # source: 2025 random rays in a cone from a square (dev scale)
+    n_rays = 2025
+    base = rng.uniform(-0.1, 0.1, size=(n_rays, 2))
+    theta = np.arccos(rng.uniform(np.cos(PI / 16), 1.0, n_rays))
+    phi = rng.uniform(0, 2 * PI, n_rays)
+    d = np.stack([np.cos(theta), np.sin(theta) * np.cos(phi),
+                  np.sin(theta) * np.sin(phi)], axis=1)
+    p0_np = np.concatenate([np.full((n_rays, 1), -4.0), base], axis=1)
+    rank_np = base / 0.1
+    r_p0 = tf.constant(p0_np)
+    r_p1 = tf.constant(p0_np + d)
+    rank0 = tf.constant(rank_np)
+    n_in_tbl = tf.constant(np.concatenate(
+        [np.full(2 * faces.shape[0], 1.49), np.ones(2)]))
+    n_out_tbl = tf.ones([n_tri], tf.float64)
+
+    def tri_intersect_dense(p0, p1, vp, v1, v2):
+        # tfrt geometry.py:275-320 Cramer algebra, meshgridded (M, N)
+        rs = lambda a: a[None, :]
+        ss = lambda a: a[:, None]
+        a_ = rs(p0[:, 0] - p1[:, 0]); d_ = rs(p0[:, 1] - p1[:, 1]); h_ = rs(p0[:, 2] - p1[:, 2])
+        b_ = ss(v1[:, 0] - vp[:, 0]); f_ = ss(v1[:, 1] - vp[:, 1]); k_ = ss(v1[:, 2] - vp[:, 2])
+        c_ = ss(v2[:, 0] - vp[:, 0]); g_ = ss(v2[:, 1] - vp[:, 1]); l_ = ss(v2[:, 2] - vp[:, 2])
+        q_ = rs(p0[:, 0]) - ss(vp[:, 0]); r_ = rs(p0[:, 1]) - ss(vp[:, 1]); s_ = rs(p0[:, 2]) - ss(vp[:, 2])
+        den = a_*g_*k_ + b_*d_*l_ + c_*f_*h_ - a_*f_*l_ - b_*g_*h_ - c_*d_*k_
+        ray_u_num = b_*l_*r_ + c_*f_*s_ + g_*k_*q_ - b_*g_*s_ - c_*k_*r_ - f_*l_*q_
+        tu_num = a_*g_*s_ + c_*h_*r_ + d_*l_*q_ - a_*l_*r_ - c_*d_*s_ - g_*h_*q_
+        tv_num = a_*k_*r_ + b_*d_*s_ + f_*h_*q_ - a_*f_*s_ - b_*h_*r_ - d_*k_*q_
+        valid = tf.abs(den) >= 1e-10
+        inv = 1.0 / tf.where(valid, den, tf.ones_like(den))
+        ray_u = ray_u_num * inv
+        tu = tu_num * inv
+        tv = tv_num * inv
+        valid = valid & (tu >= -1e-10) & (tv >= -1e-10) & (tu + tv <= 1 + 1e-10)
+        valid = valid & (ray_u >= 1e-10)
+        return valid, ray_u, tu, tv
+
+    def snell3d(p0, p1, n, n_in, n_out):
+        u = p1 - p0
+        u = u / tf.norm(u, axis=1, keepdims=True)
+        n = n / tf.norm(n, axis=1, keepdims=True)
+        nu = tf.reduce_sum(n * u, axis=1, keepdims=True)
+        internal = nu > 0
+        eta = tf.where(internal[:, 0], n_in / n_out, n_out / n_in)[:, None]
+        nu_eta = eta * nu
+        radicand = 1 - eta * eta + nu_eta * nu_eta
+        tir = radicand < 0
+        safe = tf.where(tir, tf.ones_like(radicand), radicand)
+        refr = (tf.sign(nu) * tf.sqrt(safe) - nu_eta) * n + eta * u
+        refl = -2 * nu * n + u
+        dvec = tf.where(tir, refl, refr)
+        return p1, p1 + dvec
+
+    opt = tf.optimizers.SGD(learning_rate=1e-6, momentum=0.8, nesterov=True)
+
+    def one_step():
+        with tf.GradientTape() as tape:
+            verts1 = zero1 + p1_var * vec                 # inside the tape,
+            verts2 = zero2 + p2_var * vec                 # as optimizer.py:216-218
+            tri = lambda verts: (tf.gather(verts, faces[:, 0]),
+                                 tf.gather(verts, faces[:, 1]),
+                                 tf.gather(verts, faces[:, 2]))
+            vp1, v11, v21 = tri(verts1)
+            vp2, v12, v22 = tri(verts2)
+            vp = tf.concat([vp1, vp2, tgt_vp], 0)
+            v1 = tf.concat([v11, v12, tgt_v1], 0)
+            v2 = tf.concat([v21, v22, tgt_v2], 0)
+            nrm = tf.linalg.cross(v1 - vp, v2 - v1)
+
+            p0, p1, rank = r_p0, r_p1, rank0
+            finished_pts = []
+            finished_rank = []
+            for _ in range(3):
+                valid, ray_u, _, _ = tri_intersect_dense(p0, p1, vp, v1, v2)
+                inf = 2.0 * tf.reduce_max(ray_u) * tf.ones_like(ray_u)
+                ray_u = tf.where(valid, ray_u, inf)
+                closest = tf.argmin(ray_u, axis=0)
+                any_valid = tf.reduce_any(valid, axis=0)
+                rngi = tf.range(tf.shape(p0)[0], dtype=tf.int64)
+                gidx = tf.stack([closest, rngi], axis=1)
+                u_hit = tf.gather_nd(ray_u, gidx)
+                hit = p0 + u_hit[:, None] * (p1 - p0)
+                cat = tf.gather(category, closest)
+                hit_norm = tf.gather(nrm, closest)
+                is_fin = any_valid & (cat > 1.0)
+                is_act = any_valid & (cat < 1.0)
+                finished_pts.append(tf.boolean_mask(hit, is_fin))
+                finished_rank.append(tf.boolean_mask(rank, is_fin))
+                # compact to the reacting set (reference boolean_mask idiom)
+                p0a = tf.boolean_mask(p0, is_act)
+                hita = tf.boolean_mask(hit, is_act)
+                norma = tf.boolean_mask(hit_norm, is_act)
+                nina = tf.boolean_mask(tf.gather(n_in_tbl, closest), is_act)
+                nouta = tf.boolean_mask(tf.gather(n_out_tbl, closest), is_act)
+                rank = tf.boolean_mask(rank, is_act)
+                p0, p1 = snell3d(p0a, hita, norma, nina, nouta)
+            out = tf.concat(finished_pts, 0)
+            rk = tf.concat(finished_rank, 0)
+            goal = rk * (-2.0 * 0.2)
+            err = tf.reduce_sum(tf.square(out[:, 1:] - goal))
+        grads = tape.gradient(err, [p1_var, p2_var])
+        grads = [tf.where(tf.math.is_finite(g), g, tf.zeros_like(g))
+                 for g in grads]
+        opt.apply_gradients(zip(grads, [p1_var, p2_var]))
+        return err
+
+    print(f"TF-CPU float64 depth-3 lens training step "
+          f"({n_rays} rays x {n_tri} triangles, tape backward):")
+    one_step()  # warmup
+    times = []
+    for i in range(steps):
+        t0 = time.time()
+        err = one_step()
+        times.append(time.time() - t0)
+        print(f"  step {i}: err={float(err):.4f}  {times[-1]*1e3:8.1f} ms")
+    best = min(times)
+    print(f"  measured: {best*1e3:.0f} ms/step (min of {steps})")
+    return best
+
+
 if __name__ == "__main__":
+    import sys
+
     main()
+    if "--3d" in sys.argv:
+        lens_step_3d()
