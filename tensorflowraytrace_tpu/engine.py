@@ -370,8 +370,8 @@ def project_2d(rays: RaySet, scene: Scene2D, materials, cfg: TraceConfig) -> Pro
         search_p0, search_p1, scene, i_eps, s_eps, r_eps,
         surf_chunk=cfg.surf_chunk, ray_block=cfg.ray_block,
         use_pallas=cfg.use_pallas,
-        # conservative 2D chunk culling (segments only; arcs stay brute --
-        # arc scenes are tiny in practice).  cull is exact: results match.
+        # conservative 2D chunk culling (segments AND arcs; arcs use
+        # window-aware chunk AABBs).  cull is exact: results match brute.
         cull=cfg.cull,
     )
     if order is not None:

@@ -177,3 +177,70 @@ def chunk_aabbs(vp, v1, v2, chunk_size: int):
     out = jnp.zeros((8, c), dtype=vp.dtype)
     out = out.at[0:3].set(lo.T).at[3:6].set(hi.T)
     return out
+
+
+def arc_aabbs(center, angle_start, angle_end, radius):
+    """Tight per-arc 2D AABBs, window-aware.
+
+    An arc's extent is its two endpoints plus whichever axis extremes
+    (+x/+y/-x/-y directions) fall inside the angular window -- the same
+    ccw-interval semantics as geometry.angle_in_interval / the kernel's
+    cross-product window test.  |radius| is used (negative radius only flips
+    the norm, not the geometry).  Returns (lo (M,2), hi (M,2))."""
+    r = jnp.abs(radius)[:, None]
+    sweep = angle_end - angle_start
+    sweep = jnp.where(sweep < 0, sweep + 2 * jnp.pi, sweep)
+
+    def pt(theta):
+        return center + r * jnp.stack(
+            [jnp.cos(theta), jnp.sin(theta)], axis=-1)
+
+    p_start = pt(angle_start)
+    p_end = pt(angle_end)
+    lo = jnp.minimum(p_start, p_end)
+    hi = jnp.maximum(p_start, p_end)
+    for e, d in ((0.0, (1.0, 0.0)), (jnp.pi / 2, (0.0, 1.0)),
+                 (jnp.pi, (-1.0, 0.0)), (3 * jnp.pi / 2, (0.0, -1.0))):
+        in_window = (jnp.mod(e - angle_start, 2 * jnp.pi) <= sweep)[:, None]
+        ext = center + r * jnp.asarray(d, dtype=center.dtype)
+        lo = jnp.where(in_window, jnp.minimum(lo, ext), lo)
+        hi = jnp.where(in_window, jnp.maximum(hi, ext), hi)
+    return lo, hi
+
+
+def morton_sort_arcs(arc):
+    """Reorder an ArcSet by AABB-center Morton code (2D analogue of
+    ``morton_sort_triangles``).  Returns ``(sorted_set, permutation)``."""
+    lo, hi = arc_aabbs(arc.center, arc.angle_start, arc.angle_end, arc.radius)
+    mid = np.asarray((lo + hi) / 2.0)
+    perm = np.argsort(_morton_codes(mid), kind="stable")
+    permj = jnp.asarray(perm)
+    take = lambda a: jnp.take(a, permj, axis=0)
+    sorted_set = dataclasses.replace(
+        arc,
+        center=take(arc.center), angle_start=take(arc.angle_start),
+        angle_end=take(arc.angle_end), radius=take(arc.radius),
+        category=take(arc.category),
+        mat_in=take(arc.mat_in), mat_out=take(arc.mat_out),
+        fields={k: take(v) for k, v in arc.fields.items()},
+    )
+    return sorted_set, perm
+
+
+def chunk_aabbs_arcs(center, angle_start, angle_end, radius, chunk_size: int):
+    """Per-chunk 2D AABBs over window-aware arc boxes, padded to whole chunks
+    (same (8, C) layout contract as ``chunk_aabbs_2d``)."""
+    lo, hi = arc_aabbs(center, angle_start, angle_end, radius)
+    m = lo.shape[0]
+    c = -(-m // chunk_size)
+    pad = c * chunk_size - m
+
+    def prep(a):
+        return jnp.pad(a, ((0, pad), (0, 0)), mode="edge").reshape(
+            c, chunk_size, 2)
+
+    clo = jnp.min(prep(lo), axis=1)   # (C, 2)
+    chi = jnp.max(prep(hi), axis=1)
+    out = jnp.zeros((8, c), dtype=lo.dtype)
+    out = out.at[0:2].set(clo.T).at[2:4].set(chi.T)
+    return out

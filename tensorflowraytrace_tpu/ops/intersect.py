@@ -284,12 +284,13 @@ def refine_segment_hit(p0, p1, seg: SegmentSet, idx, intersect_eps):
 def nearest_hit_arcs(
     p0, p1, arc: ArcSet, intersect_eps, size_eps, ray_start_eps,
     surf_chunk=_DEF_SURF_CHUNK, ray_block=_DEF_RAY_BLOCK, use_pallas=False,
+    cull=False,
 ) -> HitRecord:
     if use_pallas:
         from tensorflowraytrace_tpu.ops.pallas_kernels import nearest_hit_arcs_pallas
 
         valid, idx, ray_u, branch = nearest_hit_arcs_pallas(
-            p0, p1, arc, intersect_eps, ray_start_eps
+            p0, p1, arc, intersect_eps, ray_start_eps, cull=cull
         )
         return HitRecord(valid=valid, idx=idx, ray_u=ray_u,
                          kind=jnp.ones_like(idx), branch=branch)
@@ -365,8 +366,7 @@ def nearest_hit_2d(p0, p1, scene: Scene2D, intersect_eps, size_eps, ray_start_ep
         )
     if scene.arcs is not None:
         arc_rec = nearest_hit_arcs(
-            p0, p1, scene.arcs, intersect_eps, size_eps, ray_start_eps,
-            **{k: v for k, v in kw.items() if k != "cull"},
+            p0, p1, scene.arcs, intersect_eps, size_eps, ray_start_eps, **kw
         )
     if arc_rec is None:
         return seg_rec

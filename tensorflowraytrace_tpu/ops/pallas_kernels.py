@@ -424,6 +424,148 @@ def _arc_kernel(i_eps, r_eps, rays_ref, arcs_ref, u_ref, idx_ref,
     branch_ref[0] = jnp.where(better, bbranch, branch_ref[0])
 
 
+def _arc_kernel_culled(i_eps, r_eps, rays_ref, arcs_ref, aabb_ref,
+                       u_ref, idx_ref, branch_ref):
+    """Arc kernel + conservative 2D chunk culling: slab-test the block's rays
+    against this chunk's window-aware arc AABB (models/acceleration.py
+    chunk_aabbs_arcs) and skip the chunk's quadratic + window math when no
+    ray can improve.  Exactly conservative: identical results to brute."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        u_ref[...] = jnp.full(u_ref.shape, _BIG, u_ref.dtype)
+        idx_ref[...] = jnp.zeros(idx_ref.shape, idx_ref.dtype)
+        branch_ref[...] = jnp.zeros(branch_ref.shape, branch_ref.dtype)
+
+    r = rays_ref[...]
+    xs = r[0][None, :]
+    ys = r[1][None, :]
+    dx0 = (r[2] - r[0])[None, :]
+    dy0 = (r[3] - r[1])[None, :]
+
+    tiny = 1e-30
+
+    def axis_slab(o, d, lo, hi):
+        inv = 1.0 / jnp.where(jnp.abs(d) < tiny,
+                              jnp.where(d < 0, -tiny, tiny), d)
+        t1 = (lo - o) * inv
+        t2 = (hi - o) * inv
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    ax0, bx0 = axis_slab(xs, dx0, aabb_ref[0, 0, 0], aabb_ref[0, 2, 0])
+    ay0, by0 = axis_slab(ys, dy0, aabb_ref[0, 1, 0], aabb_ref[0, 3, 0])
+    tmin = jnp.maximum(ax0, ay0)
+    tmax = jnp.minimum(bx0, by0)
+    can_hit = (tmax * (1 + 1e-6) + 1e-6 >= jnp.maximum(tmin, r_eps))
+    improving = tmin * (1 - 1e-6) - 1e-6 <= u_ref[0][None, :]
+    need = jnp.any(can_hit & improving)
+
+    @pl.when(need)
+    def _():
+        t = arcs_ref[...]
+        xc = t[0][:, None]
+        yc = t[1][:, None]
+        rad_r = t[2][:, None]
+        sx = t[3][:, None]
+        sy = t[4][:, None]
+        ex = t[5][:, None]
+        ey = t[6][:, None]
+        big = t[7][:, None] > 0.5
+        full = t[8][:, None] > 0.5
+        dead = t[9][:, None] > 0.5
+
+        inv_r = 1.0 / rad_r
+        xr = (xs - xc) * inv_r
+        yr = (ys - yc) * inv_r
+        xd = dx0 * inv_r
+        yd = dy0 * inv_r
+
+        a = xd * xd + yd * yd
+        b = 2.0 * (xr * xd + yr * yd)
+        c = xr * xr + yr * yr - 1.0
+        disc = b * b - 4.0 * a * c
+        disc = jnp.where(jnp.abs(disc) < i_eps, jnp.zeros_like(disc), disc)
+
+        ok = (disc >= 0) & (jnp.abs(a) >= i_eps)
+        inv2a = 1.0 / jnp.where(jnp.abs(a) >= i_eps, 2.0 * a, jnp.ones_like(a))
+        sq = jnp.sqrt(jnp.where(disc >= 0, disc, jnp.zeros_like(disc)))
+        u_plus = (-b + sq) * inv2a
+        u_minus = (-b - sq) * inv2a
+
+        def branch_valid(u):
+            x = xs + dx0 * u
+            y = ys + dy0 * u
+            px = x - xc
+            py = y - yc
+            c1 = sx * py - sy * px
+            c2 = px * ey - py * ex
+            narrow = (c1 >= 0) & (c2 >= 0)
+            wide = jnp.logical_not((c1 < 0) & (c2 < 0))
+            sel = (big & wide) | (jnp.logical_not(big) & narrow)
+            in_window = (sel | full) & jnp.logical_not(dead)
+            return ok & (u >= r_eps) & in_window
+
+        vp = branch_valid(u_plus)
+        vm = branch_valid(u_minus)
+        up = jnp.where(vp, u_plus, _BIG)
+        um = jnp.where(vm, u_minus, _BIG)
+        u = jnp.minimum(um, up)
+
+        bu = jnp.min(u, axis=0)
+        barg = jnp.argmin(u, axis=0).astype(jnp.int32)
+        gidx = j * arcs_ref.shape[1] + barg
+        bbranch = (jnp.min(um, axis=0) < jnp.min(up, axis=0)).astype(jnp.int32)
+
+        better = bu < u_ref[0]
+        u_ref[0] = jnp.where(better, bu, u_ref[0])
+        idx_ref[0] = jnp.where(better, gidx, idx_ref[0])
+        branch_ref[0] = jnp.where(better, bbranch, branch_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=("i_eps", "r_eps", "ray_block",
+                                             "arc_block", "interpret"))
+def _nearest_hit_arcs_culled_impl(rays8, arcs16, aabbs, i_eps, r_eps,
+                                  ray_block, arc_block, interpret):
+    n = rays8.shape[1]
+    m = arcs16.shape[1]
+    n_pad = -(-n // ray_block) * ray_block
+    m_pad = -(-m // arc_block) * arc_block
+    rays8 = _pad_to(rays8, n_pad, 1)
+    arcs16 = _pad_to(arcs16, m_pad, 1)
+    if m_pad > m:
+        pad_cols = jnp.zeros((16, m_pad - m), dtype=arcs16.dtype)
+        pad_cols = pad_cols.at[2].set(1.0)   # radius 1
+        pad_cols = pad_cols.at[9].set(1.0)   # dead
+        arcs16 = arcs16.at[:, m:].set(pad_cols)
+    grid = (n_pad // ray_block, m_pad // arc_block)
+    assert aabbs.shape == (8, grid[1]), (aabbs.shape, grid)
+    aabbs3 = jnp.broadcast_to(aabbs.T[:, :, None], aabbs.T.shape + (128,))
+
+    kernel = functools.partial(_arc_kernel_culled, i_eps, r_eps)
+    u, idx, branch = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            _vmem_spec((8, ray_block), lambda i, j: (0, i)),
+            _vmem_spec((16, arc_block), lambda i, j: (0, j)),
+            _vmem_spec((1, 8, 128), lambda i, j: (j, 0, 0)),
+        ],
+        out_specs=[
+            _vmem_spec((1, ray_block), lambda i, j: (0, i)),
+            _vmem_spec((1, ray_block), lambda i, j: (0, i)),
+            _vmem_spec((1, ray_block), lambda i, j: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), rays8.dtype),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(rays8, arcs16, aabbs3)
+    return u[0, :n] < _BIG * 0.5, idx[0, :n], u[0, :n], branch[0, :n] > 0
+
+
 @functools.partial(jax.jit, static_argnames=("i_eps", "r_eps", "ray_block",
                                              "arc_block", "interpret"))
 def _nearest_hit_arcs_impl(rays8, arcs16, i_eps, r_eps, ray_block, arc_block,
@@ -468,10 +610,15 @@ def _nearest_hit_arcs_impl(rays8, arcs16, i_eps, r_eps, ray_block, arc_block,
 
 def nearest_hit_arcs_pallas(p0, p1, arc, intersect_eps, ray_start_eps,
                             ray_block=DEFAULT_RAY_BLOCK,
-                            arc_block=DEFAULT_TRI_BLOCK, interpret=None):
+                            arc_block=DEFAULT_TRI_BLOCK, interpret=None,
+                            cull=False):
     """Tiled nearest ray-arc hit.  Returns (valid, idx, ray_u, branch) with
     branch True where the quadratic minus-branch won (matches the XLA
-    search's HitRecord.branch)."""
+    search's HitRecord.branch).
+
+    ``cull=True`` adds conservative per-chunk window-aware AABB culling
+    (sort the scene with morton_sort_arcs first for best effect).  Results
+    are identical either way."""
     if interpret is None:
         interpret = _auto_interpret()
     p0 = jax.lax.stop_gradient(p0)
@@ -495,6 +642,15 @@ def nearest_hit_arcs_pallas(p0, p1, arc, intersect_eps, ray_start_eps,
               .at[5].set(jnp.cos(a2)).at[6].set(jnp.sin(a2))
               .at[7].set((sweep > jnp.pi).astype(dtype))
               .at[8].set((sweep >= 2 * jnp.pi - 1e-6).astype(dtype)))
+    if cull:
+        from tensorflowraytrace_tpu.models.acceleration import chunk_aabbs_arcs
+
+        aabbs = chunk_aabbs_arcs(center, a1, a2, radius,
+                                 int(arc_block)).astype(dtype)
+        return _nearest_hit_arcs_culled_impl(
+            rays8, arcs16, aabbs, float(intersect_eps), float(ray_start_eps),
+            int(ray_block), int(arc_block), bool(interpret),
+        )
     return _nearest_hit_arcs_impl(
         rays8, arcs16, float(intersect_eps), float(ray_start_eps),
         int(ray_block), int(arc_block), bool(interpret),

@@ -321,3 +321,96 @@ def test_morton_2d_locality_and_aabbs(rng):
         allp = np.concatenate([p0[sl], p1[sl]])
         np.testing.assert_allclose(boxes[0:2, c], allp.min(0), rtol=1e-6)
         np.testing.assert_allclose(boxes[2:4, c], allp.max(0), rtol=1e-6)
+
+
+def test_culled_arc_kernel_matches_brute(rng):
+    """Window-aware arc chunk culling is exactly conservative: identical
+    (valid, idx, ray_u, branch) to the brute arc kernel."""
+    from tensorflowraytrace_tpu.models.acceleration import morton_sort_arcs
+    from tensorflowraytrace_tpu.models.surfaces import ArcSet
+    from tensorflowraytrace_tpu.ops.pallas_kernels import nearest_hit_arcs_pallas
+
+    n_arcs = 200
+    center = rng.uniform(-6, 6, (n_arcs, 2)).astype(np.float32)
+    a1 = rng.uniform(-math.pi, math.pi, n_arcs).astype(np.float32)
+    sweep = rng.uniform(0.3, 5.8, n_arcs).astype(np.float32)
+    a2 = ((a1 + sweep + math.pi) % (2 * math.pi) - math.pi).astype(np.float32)
+    radius = (rng.uniform(0.2, 1.0, n_arcs)
+              * rng.choice([-1.0, 1.0], n_arcs)).astype(np.float32)
+    arc = ArcSet.make(center, a1, a2, radius, mat_in=1, dtype=F32)
+    arc, _ = morton_sort_arcs(arc)
+
+    n = 700
+    q0 = rng.uniform(-7, 7, (n, 2)).astype(np.float32)
+    d = rng.normal(0, 1, (n, 2)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    q0j, q1j = jnp.asarray(q0), jnp.asarray(q0 + d)
+    eps = 1e-6
+
+    vb, ib, ub, brb = nearest_hit_arcs_pallas(
+        q0j, q1j, arc, eps, eps, ray_block=128, arc_block=32,
+        interpret=True, cull=False)
+    vc, ic, uc, brc = nearest_hit_arcs_pallas(
+        q0j, q1j, arc, eps, eps, ray_block=128, arc_block=32,
+        interpret=True, cull=True)
+    np.testing.assert_array_equal(np.asarray(vb), np.asarray(vc))
+    hit = np.asarray(vb)
+    np.testing.assert_array_equal(np.asarray(ib)[hit], np.asarray(ic)[hit])
+    np.testing.assert_array_equal(np.asarray(ub)[hit], np.asarray(uc)[hit])
+    np.testing.assert_array_equal(np.asarray(brb)[hit], np.asarray(brc)[hit])
+    assert hit.any()
+
+
+def test_arc_aabbs_contain_arc_points(rng):
+    """Property: every point on an arc lies inside its window-aware AABB."""
+    from tensorflowraytrace_tpu.models.acceleration import arc_aabbs
+
+    n_arcs = 60
+    center = rng.uniform(-3, 3, (n_arcs, 2))
+    a1 = rng.uniform(-math.pi, math.pi, n_arcs)
+    sweep = rng.uniform(0.1, 2 * math.pi, n_arcs)
+    a2 = (a1 + sweep + math.pi) % (2 * math.pi) - math.pi
+    radius = rng.uniform(0.2, 2.0, n_arcs) * rng.choice([-1.0, 1.0], n_arcs)
+    lo, hi = arc_aabbs(jnp.asarray(center), jnp.asarray(a1), jnp.asarray(a2),
+                       jnp.asarray(radius))
+    lo = np.asarray(lo)
+    hi = np.asarray(hi)
+    for k in range(n_arcs):
+        ts = a1[k] + np.linspace(0, sweep[k], 64)
+        pts = center[k] + abs(radius[k]) * np.stack(
+            [np.cos(ts), np.sin(ts)], axis=1)
+        assert (pts >= lo[k] - 1e-9).all() and (pts <= hi[k] + 1e-9).all(), k
+
+
+def test_full_2d_trace_arcs_with_cull(rng):
+    """End-to-end 2D mixed trace: cull=True == cull=False exactly."""
+    from tensorflowraytrace_tpu.models.surfaces import ArcSet
+
+    n_arcs = 80
+    center = rng.uniform(-5, 5, (n_arcs, 2)).astype(np.float32)
+    a1 = rng.uniform(-math.pi, math.pi, n_arcs).astype(np.float32)
+    a2 = ((a1 + rng.uniform(1.0, 5.0, n_arcs) + math.pi) % (2 * math.pi)
+          - math.pi).astype(np.float32)
+    radius = rng.uniform(0.3, 1.2, n_arcs).astype(np.float32)
+    arc = ArcSet.make(center, a1, a2, radius, mat_in=1, mat_out=0, dtype=F32)
+    segs = SegmentSet.make(
+        rng.uniform(-5, 5, (40, 2)).astype(np.float32),
+        rng.uniform(-5, 5, (40, 2)).astype(np.float32), mat_in=1, dtype=F32)
+    target = SegmentSet.make([[-8.0, -8.0]], [[8.0, -8.0]], dtype=F32)
+    scene = Scene2D.build(optical_segments=[segs], optical_arcs=[arc],
+                          target_segments=[target])
+
+    n = 500
+    q0 = rng.uniform(-5, 5, (n, 2)).astype(np.float32)
+    d = rng.normal(0, 1, (n, 2)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = RaySet.make(q0, q0 + d, 575.0, dtype=F32)
+    m = (mats.vacuum, mats.acrylic)
+
+    kw = dict(max_bounces=4, use_pallas=True, ray_block=128, surf_chunk=32)
+    r0 = trace(rays, scene, m, TraceConfig(cull=False, **kw))
+    r1 = trace(rays, scene, m, TraceConfig(cull=True, **kw))
+    np.testing.assert_array_equal(np.asarray(r0.rays.state),
+                                  np.asarray(r1.rays.state))
+    np.testing.assert_array_equal(np.asarray(r0.rays.p1),
+                                  np.asarray(r1.rays.p1))
