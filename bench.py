@@ -82,8 +82,8 @@ def build_workload(dtype):
     # FASTER than the inference path here, so bench the default; the full
     # acceleration stack (conservative AABB chunk culling + per-bounce ray
     # re-sorting) is exact, so the traced results equal brute force
-    cfg = TraceConfig(max_bounces=BOUNCES, use_pallas=on_tpu, cull=on_tpu,
-                      resort_rays=on_tpu)
+    cfg = TraceConfig(max_bounces=BOUNCES, use_pallas=on_tpu,
+                      cull="grid" if on_tpu else False, resort_rays=on_tpu)
     return rays, scene, materials, cfg
 
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 from tensorflowraytrace_tpu.config import default_epsilon
@@ -243,15 +244,15 @@ def _safe_direction_2d(dx, dy):
 
 
 def _safe_unit(v, axis=-1):
-    """Normalize ``v`` with the zero-vector rows replaced by e0 first, so the
-    norm's sqrt never sees 0 and its backward stays finite (same degenerate-
-    slot discipline as :func:`_safe_direction_2d`)."""
+    """Normalize ``v`` with the squared magnitude clamped away from zero, so
+    rsqrt's value AND partials stay finite for degenerate (masked-out) slots
+    (same discipline as :func:`_safe_direction_2d`).  Exact for any real ray:
+    the clamp only engages below |v| ~ finfo.eps.  One fused rsqrt -- cheaper
+    than substitute-then-renormalize, and this runs per bounce on every
+    slot."""
     eps = jnp.finfo(v.dtype).eps
     mag2 = jnp.sum(v * v, axis=axis, keepdims=True)
-    degenerate = mag2 < eps * eps
-    e0 = jnp.zeros_like(v).at[..., 0].set(1.0)
-    v = jnp.where(degenerate, e0, v)
-    return v / jnp.linalg.norm(v, axis=axis, keepdims=True)
+    return v * jax.lax.rsqrt(jnp.maximum(mag2, eps * eps))
 
 
 def snells_law_2D(x_start, y_start, x_end, y_end, norm, n_in, n_out, new_ray_length):

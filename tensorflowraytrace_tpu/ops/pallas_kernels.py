@@ -302,7 +302,10 @@ def nearest_hit_triangles_pallas(p0, p1, tri, intersect_eps, size_eps,
 
     ``cull=True`` adds conservative per-chunk AABB culling (see
     models/acceleration.py; sort the scene with morton_sort_triangles first
-    for best effect).  Results are identical either way.
+    for best effect).  ``cull="grid"`` selects the two-level kernel: a 1-D
+    grid over ray blocks with fine 128-triangle chunks DMA'd from HBM behind
+    the same conservative gate -- faster on structured scenes with coherent
+    rays.  Results are identical in every mode.
     """
     if interpret is None:
         interpret = _auto_interpret()
@@ -318,6 +321,16 @@ def nearest_hit_triangles_pallas(p0, p1, tri, intersect_eps, size_eps,
     v2 = jax.lax.stop_gradient(tri.v2)
     tris16 = jnp.zeros((16, m), dtype=dtype)
     tris16 = tris16.at[0:3].set(vp.T).at[3:6].set(v1.T).at[6:9].set(v2.T)
+    if cull == "grid":
+        from tensorflowraytrace_tpu.models.acceleration import chunk_aabbs
+
+        fine = min(FINE_CHUNK, max(128, m))
+        rb = max(int(ray_block), TWOLEVEL_RAY_BLOCK)
+        aabbs = chunk_aabbs(vp, v1, v2, fine).astype(dtype)
+        return _nearest_hit_triangles_twolevel_impl(
+            rays8, tris16, aabbs, float(intersect_eps), float(size_eps),
+            float(ray_start_eps), rb, fine, bool(interpret),
+        )
     if cull:
         from tensorflowraytrace_tpu.models.acceleration import chunk_aabbs
 
@@ -870,3 +883,238 @@ def nearest_hit_segments_pallas(p0, p1, seg, intersect_eps, size_eps,
         rays8, segs8, float(intersect_eps), float(size_eps),
         float(ray_start_eps), int(ray_block), int(seg_block), bool(interpret),
     )
+
+
+# ======================================================================
+# two-level triangle search: 1-D grid over ray blocks, fine chunks DMA'd
+# from HBM on demand behind a conservative slab gate
+# ======================================================================
+#
+# The block-cull kernel above ties the cull granularity to the compute tile
+# (512 triangles) and still pays the grid-step + chunk DMA for every culled
+# step.  This kernel runs ONE grid program per ray block and loops over FINE
+# chunks (128 triangles) inside the kernel: each chunk's AABB is slab-tested
+# against the block (using the per-ray running best, so chunks behind the
+# rays' current hits are pruned) and only surviving chunks are DMA'd
+# HBM -> VMEM (double-buffered) and intersected.  Fine granularity cuts the
+# computed pairs; the gate cuts the DMA; the 1-D grid cuts the step count
+# 32x.  Exactly conservative: bit-identical results to the brute kernel.
+
+# v5e-measured best on the 16k-tri guide scene: rb=1024 x fine=256 -> 828 G
+# equiv (sweep: 512x128 -> 649, 1024x128 -> 792, 2048x256 -> 791)
+FINE_CHUNK = 256
+TWOLEVEL_RAY_BLOCK = 1024
+# candidate-list cap: blocks needing more chunks than this fall back to a
+# full in-kernel sweep (still gated per chunk by the improving test).  Keeps
+# the scalar-prefetch table within the 1 MB SMEM budget.
+TWOLEVEL_MAX_CAND = 32
+
+
+def _twolevel_triangle_kernel(i_eps, s_eps, r_eps, n_chunks, max_cand,
+                              counts_ref, cand_ref,
+                              rays_ref, aabb_ref, tris_hbm,
+                              u_ref, idx_ref, scratch, sems):
+    i = pl.program_id(0)
+    cnt = counts_ref[i]
+    # cnt == n_chunks marks candidate-list overflow: sweep every chunk.
+    # cand_ref is the flattened (nb * max_cand,) candidate table -- SMEM
+    # pads 2-D minor dims to 128 lanes, so 2-D would cost 4x the budget.
+    full_sweep = cnt == n_chunks
+
+    def chunk_id(k):
+        kk = jnp.minimum(k, max_cand - 1)
+        return jnp.where(full_sweep, k, cand_ref[i * max_cand + kk])
+
+    r = rays_ref[...]          # (8, BN) VMEM
+    ox = r[0][None, :]
+    oy = r[1][None, :]
+    oz = r[2][None, :]
+    dx = (r[3] - r[0])[None, :]
+    dy = (r[4] - r[1])[None, :]
+    dz = (r[5] - r[2])[None, :]
+
+    tiny = 1e-30
+
+    def axis_slab(o, d, lo, hi):
+        inv = 1.0 / jnp.where(jnp.abs(d) < tiny,
+                              jnp.where(d < 0, -tiny, tiny), d)
+        t1 = (lo - o) * inv
+        t2 = (hi - o) * inv
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    def improving_any(c, best_u):
+        # can chunk c still contain a hit nearer than some ray's best?
+        ax0, bx0 = axis_slab(ox, dx, aabb_ref[0, c], aabb_ref[3, c])
+        ay0, by0 = axis_slab(oy, dy, aabb_ref[1, c], aabb_ref[4, c])
+        az0, bz0 = axis_slab(oz, dz, aabb_ref[2, c], aabb_ref[5, c])
+        tmin = jnp.maximum(jnp.maximum(ax0, ay0), az0)
+        tmax = jnp.minimum(jnp.minimum(bx0, by0), bz0)
+        can_hit = (tmax * (1 + 1e-6) + 1e-6 >= jnp.maximum(tmin, r_eps))
+        improving = tmin * (1 - 1e-6) - 1e-6 <= best_u
+        return jnp.any(can_hit & improving)
+
+    def dma(c, slot):
+        return pltpu.make_async_copy(tris_hbm.at[c], scratch.at[slot],
+                                     sems.at[slot])
+
+    best_u = jnp.full(u_ref.shape, _BIG, u_ref.dtype)
+    best_idx = jnp.zeros(idx_ref.shape, idx_ref.dtype)
+
+    @pl.when(cnt > 0)
+    def _():
+        dma(chunk_id(0), 0).start()
+
+    def body(k, carry):
+        best_u, best_idx = carry
+        c = chunk_id(k)
+
+        # stage candidate k+1 while k is being consumed
+        @pl.when(k + 1 < cnt)
+        def _():
+            dma(chunk_id(k + 1), (k + 1) % 2).start()
+
+        dma(c, k % 2).wait()
+
+        def with_chunk(args):
+            best_u, best_idx = args
+            t = scratch[k % 2]
+            v0x = t[0][:, None]
+            v0y = t[1][:, None]
+            v0z = t[2][:, None]
+            e1x = (t[3] - t[0])[:, None]
+            e1y = (t[4] - t[1])[:, None]
+            e1z = (t[5] - t[2])[:, None]
+            e2x = (t[6] - t[0])[:, None]
+            e2y = (t[7] - t[1])[:, None]
+            e2z = (t[8] - t[2])[:, None]
+
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+
+            ok = jnp.abs(det) >= i_eps
+            inv = 1.0 / jnp.where(ok, det, jnp.ones_like(det))
+
+            tx = ox - v0x
+            ty = oy - v0y
+            tz = oz - v0z
+            tu = (tx * px + ty * py + tz * pz) * inv
+
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            tv = (dx * qx + dy * qy + dz * qz) * inv
+            ray_u = (e2x * qx + e2y * qy + e2z * qz) * inv
+
+            ok = ok & (tu >= -s_eps) & (tv >= -s_eps)
+            ok = ok & (tu + tv <= 1 + s_eps) & (ray_u >= r_eps)
+
+            u = jnp.where(ok, ray_u, _BIG)
+            bu = jnp.min(u, axis=0)[None, :]
+            barg = jnp.argmin(u, axis=0).astype(jnp.int32)[None, :]
+            gidx = c * t.shape[1] + barg
+            better = bu < best_u
+            return (jnp.where(better, bu, best_u),
+                    jnp.where(better, gidx, best_idx))
+
+        # the dynamic improving-gate: skip the math (not the DMA, which is
+        # already overlapped) for chunks behind every ray's current best
+        best_u, best_idx = jax.lax.cond(
+            improving_any(c, best_u[0][None, :]), with_chunk,
+            lambda args: args, (best_u, best_idx))
+        return best_u, best_idx
+
+    best_u, best_idx = jax.lax.fori_loop(0, cnt, body, (best_u, best_idx))
+    u_ref[...] = best_u
+    idx_ref[...] = best_idx
+
+
+def _twolevel_candidates(rays8, aabbs, r_eps, ray_block,
+                         max_cand=TWOLEVEL_MAX_CAND):
+    """Static geometric candidate chunks per ray block, vectorized in XLA:
+    chunk c is a candidate for block b iff ANY of b's rays' slab test can hit
+    c's AABB with t >= r_eps (the same conservative test the kernel applies,
+    with best = inf).  Returns (counts (nb,) int32, cand (nb, C) int32) with
+    each row's candidate chunk ids (ascending = morton order) packed first."""
+    n_pad = rays8.shape[1]
+    nb = n_pad // ray_block
+    o = rays8[0:3].reshape(3, nb, 1, ray_block)
+    e = rays8[3:6].reshape(3, nb, 1, ray_block)
+    d = e - o
+    lo = aabbs[0:3][:, None, :, None]   # (3, 1, C, 1)
+    hi = aabbs[3:6][:, None, :, None]
+    tiny = 1e-30
+    inv = 1.0 / jnp.where(jnp.abs(d) < tiny,
+                          jnp.where(d < 0, -tiny, tiny), d)
+    t1 = (lo - o) * inv                 # (3, nb, C, B)
+    t2 = (hi - o) * inv
+    tmin = jnp.max(jnp.minimum(t1, t2), axis=0)   # (nb, C, B)
+    tmax = jnp.min(jnp.maximum(t1, t2), axis=0)
+    can_hit = (tmax * (1 + 1e-6) + 1e-6 >= jnp.maximum(tmin, r_eps))
+    need = jnp.any(can_hit, axis=-1)              # (nb, C)
+    n_chunks = need.shape[1]
+    counts = jnp.sum(need, axis=1).astype(jnp.int32)
+    # stable argsort of ~need packs candidate ids first, in ascending order
+    cand = jnp.argsort(~need, axis=1, stable=True).astype(jnp.int32)
+    if n_chunks > max_cand:
+        # cap the SMEM table; overflowing blocks sweep all chunks in-kernel
+        # (signalled by counts == n_chunks), gated per chunk as usual
+        cand = cand[:, :max_cand]
+        counts = jnp.where(counts > max_cand, n_chunks, counts)
+    return counts, cand.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("i_eps", "s_eps", "r_eps",
+                                             "ray_block", "fine_chunk",
+                                             "interpret"))
+def _nearest_hit_triangles_twolevel_impl(rays8, tris16, aabbs, i_eps, s_eps,
+                                         r_eps, ray_block, fine_chunk,
+                                         interpret):
+    n = rays8.shape[1]
+    m = tris16.shape[1]
+    n_pad = -(-n // ray_block) * ray_block
+    m_pad = -(-m // fine_chunk) * fine_chunk
+    rays8 = _pad_to(rays8, n_pad, 1)
+    tris16 = _pad_to(tris16, m_pad, 1)
+    n_chunks = m_pad // fine_chunk
+    assert aabbs.shape == (8, n_chunks), (aabbs.shape, n_chunks)
+    # (16, m_pad) -> (n_chunks, 16, F): one contiguous block per DMA
+    tris_chunked = jnp.transpose(
+        tris16.reshape(16, n_chunks, fine_chunk), (1, 0, 2))
+    counts, cand = _twolevel_candidates(rays8, aabbs, r_eps, ray_block)
+
+    grid = (n_pad // ray_block,)
+    max_cand = min(TWOLEVEL_MAX_CAND, n_chunks)
+    kernel = functools.partial(_twolevel_triangle_kernel, i_eps, s_eps, r_eps,
+                               n_chunks, max_cand)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, ray_block), lambda i, counts, cand: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # aabbs, whole
+            pl.BlockSpec(memory_space=pltpu.ANY),    # tris stay in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ray_block), lambda i, counts, cand: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_block), lambda i, counts, cand: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, fine_chunk), rays8.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    u, idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), rays8.dtype),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(counts, cand, rays8, aabbs, tris_chunked)
+    return u[0, :n] < _BIG * 0.5, idx[0, :n], u[0, :n]

@@ -414,3 +414,72 @@ def test_full_2d_trace_arcs_with_cull(rng):
                                   np.asarray(r1.rays.state))
     np.testing.assert_array_equal(np.asarray(r0.rays.p1),
                                   np.asarray(r1.rays.p1))
+
+
+def test_twolevel_kernel_matches_brute(rng):
+    """Two-level candidate-gather kernel == brute, including the
+    candidate-list path and mixed hit/miss rays."""
+    tri = random_tri_scene(rng, 5000)  # 20 fine chunks at 256
+    from tensorflowraytrace_tpu.models.acceleration import morton_sort_triangles
+
+    tri, _ = morton_sort_triangles(tri)
+    p0, p1 = random_rays(rng, 1500)
+    eps = 1e-6
+    vb, ib, ub = nearest_hit_triangles_pallas(
+        p0, p1, tri, eps, eps, eps, interpret=True, cull=False)
+    vg, ig, ug = nearest_hit_triangles_pallas(
+        p0, p1, tri, eps, eps, eps, interpret=True, cull="grid")
+    np.testing.assert_array_equal(np.asarray(vb), np.asarray(vg))
+    h = np.asarray(vb)
+    np.testing.assert_array_equal(np.asarray(ib)[h], np.asarray(ig)[h])
+    np.testing.assert_array_equal(np.asarray(ub)[h], np.asarray(ug)[h])
+    assert h.any()
+
+
+def test_twolevel_overflow_fallback_matches_brute(rng):
+    """Blocks whose candidate count exceeds the SMEM cap sweep every chunk
+    in-kernel; results stay identical."""
+    import tensorflowraytrace_tpu.ops.pallas_kernels as pk
+    from tensorflowraytrace_tpu.models.acceleration import morton_sort_triangles
+
+    old = pk.TWOLEVEL_MAX_CAND
+    pk.TWOLEVEL_MAX_CAND = 2  # force overflow on nearly every block
+    try:
+        tri = random_tri_scene(rng, 3000)
+        tri, _ = morton_sort_triangles(tri)
+        p0, p1 = random_rays(rng, 800)
+        eps = 1e-6
+        vb, ib, ub = nearest_hit_triangles_pallas(
+            p0, p1, tri, eps, eps, eps, interpret=True, cull=False)
+        vg, ig, ug = nearest_hit_triangles_pallas(
+            p0, p1, tri, eps, eps, eps, interpret=True, cull="grid")
+        np.testing.assert_array_equal(np.asarray(vb), np.asarray(vg))
+        h = np.asarray(vb)
+        np.testing.assert_array_equal(np.asarray(ib)[h], np.asarray(ig)[h])
+        np.testing.assert_array_equal(np.asarray(ub)[h], np.asarray(ug)[h])
+    finally:
+        pk.TWOLEVEL_MAX_CAND = old
+
+
+def test_full_3d_trace_with_grid_cull(rng):
+    """End-to-end 3D trace: cull='grid' == cull=False exactly (state + p1)."""
+    from tensorflowraytrace_tpu.models.acceleration import morton_sort_triangles
+
+    tri = random_tri_scene(rng, 2000)
+    tri, _ = morton_sort_triangles(tri)
+    half = 50.0
+    target = TriangleSet.make(
+        [[20.0, -half, -half], [20.0, half, half]],
+        [[20.0, half, -half], [20.0, -half, half]],
+        [[20.0, half, half], [20.0, -half, -half]], dtype=F32)
+    scene = Scene3D.build(optical=[tri], targets=[target])
+    p0, p1 = random_rays(rng, 1000)
+    rays = RaySet.make(p0, p1, 575.0, dtype=F32)
+    m = (mats.vacuum, mats.reflective)
+    kw = dict(max_bounces=4, use_pallas=True)
+    r0 = trace(rays, scene, m, TraceConfig(cull=False, **kw))
+    r1 = trace(rays, scene, m, TraceConfig(cull="grid", **kw))
+    np.testing.assert_array_equal(np.asarray(r0.rays.state),
+                                  np.asarray(r1.rays.state))
+    np.testing.assert_array_equal(np.asarray(r0.rays.p1),
+                                  np.asarray(r1.rays.p1))

@@ -185,3 +185,24 @@ def test_parallel_trace_with_pallas_kernels():
                                   np.asarray(res8.rays.state))
     np.testing.assert_allclose(np.asarray(res1.rays.p1),
                                np.asarray(res8.rays.p1), atol=1e-5)
+
+
+def test_parallel_trace_with_twolevel_grid_cull():
+    """shard_map over the two-level candidate-gather kernel (scalar prefetch
+    + manual DMA) matches the XLA path on the virtual mesh."""
+    mesh = par.ray_mesh(8)
+    scene, rays = make_scene_and_rays(16 * 8)
+    rays = jax.tree.map(lambda a: a.astype(jnp.float32)
+                        if a.dtype == jnp.float64 else a, rays)
+    scene = jax.tree.map(lambda a: a.astype(jnp.float32)
+                         if a.dtype == jnp.float64 else a, scene)
+    materials = (mats.vacuum, mats.reflective)
+    cfg = TraceConfig(max_bounces=3, use_pallas=True, cull="grid")
+
+    res1 = trace(rays, scene, materials, cfg)
+    res8 = par.parallel_trace(par.shard_rays(rays, mesh),
+                              par.replicate(scene, mesh), materials, cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(res1.rays.state),
+                                  np.asarray(res8.rays.state))
+    np.testing.assert_allclose(np.asarray(res1.rays.p1),
+                               np.asarray(res8.rays.p1), atol=1e-5)
