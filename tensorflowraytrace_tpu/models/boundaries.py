@@ -252,10 +252,12 @@ def manual_arc_boundary(x_center, y_center, angle_start, angle_end, radius,
 
 def manual_triangle_boundary(mesh=None, file_name=None, flip_norm=False,
                              dtype=None, **kw) -> TriangleSet:
-    """Static triangle boundary from a TriMesh or STL file
-    (ManualTriangleBoundary, boundaries.py:942-963)."""
+    """Static triangle boundary from a TriMesh, pyvista.PolyData, or STL
+    file (ManualTriangleBoundary, boundaries.py:942-963)."""
     if file_name is not None:
         mesh = mt.TriMesh.read(file_name)
+    else:
+        mesh = mt.as_trimesh(mesh)
     if flip_norm:
         mesh = mesh.flip_faces()
     return TriangleSet.from_vertices_faces(
@@ -390,7 +392,7 @@ class ParametricTriangleBoundary:
         self.dtype = dtype
         if isinstance(zero_points, str):
             zero_points = mt.TriMesh.read(zero_points)
-        mesh = zero_points.copy()
+        mesh = mt.as_trimesh(zero_points).copy()
         if flip_norm:
             mesh = mesh.flip_faces()
             if vertex_update_map is not None:

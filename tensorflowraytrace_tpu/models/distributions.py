@@ -206,7 +206,10 @@ class ManualBasePointDistribution(BasePointDistribution):
     def sample(self, key=None, dtype=None):
         dtype = resolve_dtype(dtype)
         if self.from_mesh is not None:
-            points = jnp.asarray(self.from_mesh.points, dtype=dtype)
+            from tensorflowraytrace_tpu.models import mesh as _mt
+
+            points = jnp.asarray(_mt.as_trimesh(self.from_mesh).points,
+                                 dtype=dtype)
         elif self._points is None:
             points = jnp.zeros((0, self.dimension), dtype=dtype)
         else:

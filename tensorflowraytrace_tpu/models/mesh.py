@@ -102,11 +102,56 @@ class TriMesh:
         else:
             raise ValueError(f"unsupported mesh format: {filename}")
 
+    # ---- pyvista interchange (reference boundaries.py:876-938 builds on
+    # pyvista.PolyData; the env here may not have pyvista, so both
+    # directions are guarded) ----
+
+    @staticmethod
+    def from_pyvista(polydata) -> "TriMesh":
+        """Build from a pyvista.PolyData (or anything with ``points`` and a
+        flat ``faces`` array in pyvista's [3, i, j, k, 3, ...] layout).
+        Requires an all-triangle mesh (``polydata.triangulate()`` first if
+        not)."""
+        faces = np.asarray(polydata.faces)
+        if faces.ndim != 1:
+            return TriMesh(np.asarray(polydata.points), faces)
+        if faces.size % 4 != 0 or (faces.size and (faces[::4] != 3).any()):
+            raise ValueError(
+                "from_pyvista: mesh has non-triangle faces; call "
+                ".triangulate() on the PolyData first")
+        return TriMesh(np.asarray(polydata.points), unpack_faces(faces))
+
+    def to_pyvista(self):
+        """Export as pyvista.PolyData (raises ImportError when pyvista is
+        not installed; STL via .save() is the dependency-free interchange)."""
+        try:
+            import pyvista
+        except ImportError as e:
+            raise ImportError(
+                "to_pyvista needs the optional pyvista package; use "
+                ".save('mesh.stl') for dependency-free interchange") from e
+        return pyvista.PolyData(np.asarray(self.points), pack_faces(self.faces))
+
     @staticmethod
     def read(filename: str) -> "TriMesh":
         if str(filename).lower().endswith(".stl"):
             return load_stl(filename)
         raise ValueError(f"unsupported mesh format: {filename}")
+
+
+def as_trimesh(obj) -> TriMesh:
+    """Coerce a mesh-like object to TriMesh: accepts TriMesh,
+    pyvista.PolyData (flat faces), any object with ``points`` + (F, 3)
+    ``faces``, or a ``(points, faces)`` pair.  This is the on-ramp for
+    reference users whose scripts pass PolyData into boundaries and
+    distributions."""
+    if isinstance(obj, TriMesh):
+        return obj
+    if hasattr(obj, "points") and hasattr(obj, "faces"):
+        return TriMesh.from_pyvista(obj)
+    if isinstance(obj, (tuple, list)) and len(obj) == 2:
+        return TriMesh(np.asarray(obj[0]), np.asarray(obj[1]))
+    raise TypeError(f"cannot interpret {type(obj).__name__} as a TriMesh")
 
 
 def pack_faces(faces) -> np.ndarray:

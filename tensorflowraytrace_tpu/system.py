@@ -173,6 +173,16 @@ class _BoundaryEntry(RecursivelyUpdatable):
     def __getitem__(self, key):
         return self._set[key]
 
+    def feed_segments(self, segments):
+        """Re-feed a manual segment boundary with rows of
+        ``(x_start, y_start, x_end, y_end)`` (the reference's
+        ``ManualSegmentBoundary.feed_segments``, boundaries.py:513-526).
+        Material overrides and extra-field annotations re-apply; call
+        ``system.update()`` afterwards to rebuild the merged scene."""
+        seg = jnp.asarray(segments, dtype=self._dtype).reshape(-1, 4)
+        self._obj = SegmentSet.make(seg[:, :2], seg[:, 2:], dtype=self._dtype)
+        self._update()
+
     def __setitem__(self, key, value):
         import dataclasses
 

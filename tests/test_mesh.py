@@ -2,6 +2,7 @@
 
 import math
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -226,3 +227,78 @@ def test_clean_mesh_raw_roundtrip():
     p, f = clean_mesh_raw(pts, faces)
     assert p.shape[0] == 4
     assert f.shape[0] == 2
+
+
+# ----------------------------------------------------------------------
+# pyvista interchange + mesh coercion (reference users' on-ramp)
+# ----------------------------------------------------------------------
+
+class _FakePolyData:
+    """Stands in for pyvista.PolyData: points + flat [3, i, j, k, ...] faces."""
+
+    def __init__(self, points, flat_faces):
+        self.points = np.asarray(points)
+        self.faces = np.asarray(flat_faces)
+
+
+def test_from_pyvista_flat_faces():
+    pts = np.asarray([[0., 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]])
+    flat = np.asarray([3, 0, 1, 2, 3, 1, 3, 2])
+    m = mt.TriMesh.from_pyvista(_FakePolyData(pts, flat))
+    np.testing.assert_array_equal(m.faces, [[0, 1, 2], [1, 3, 2]])
+    np.testing.assert_array_equal(m.points, pts)
+
+
+def test_from_pyvista_rejects_non_triangles():
+    import pytest
+
+    pts = np.zeros((4, 3))
+    quad = np.asarray([4, 0, 1, 2, 3])
+    with pytest.raises(ValueError, match="triangulate"):
+        mt.TriMesh.from_pyvista(_FakePolyData(pts, quad))
+
+
+def test_as_trimesh_coercions():
+    pts = np.asarray([[0., 0, 0], [1, 0, 0], [0, 1, 0]])
+    faces = np.asarray([[0, 1, 2]])
+    m0 = mt.TriMesh(pts, faces)
+    assert mt.as_trimesh(m0) is m0
+    m1 = mt.as_trimesh(_FakePolyData(pts, np.asarray([3, 0, 1, 2])))
+    np.testing.assert_array_equal(m1.faces, faces)
+    m2 = mt.as_trimesh((pts, faces))
+    np.testing.assert_array_equal(m2.points, pts)
+    import pytest
+
+    with pytest.raises(TypeError, match="TriMesh"):
+        mt.as_trimesh(42)
+
+
+def test_to_pyvista_guarded():
+    pts = np.asarray([[0., 0, 0], [1, 0, 0], [0, 1, 0]])
+    m = mt.TriMesh(pts, [[0, 1, 2]])
+    try:
+        import pyvista  # noqa: F401
+    except ImportError:
+        import pytest
+
+        with pytest.raises(ImportError, match="stl"):
+            m.to_pyvista()
+    else:  # pragma: no cover - env has pyvista
+        pd = m.to_pyvista()
+        back = mt.TriMesh.from_pyvista(pd)
+        np.testing.assert_array_equal(back.faces, m.faces)
+
+
+def test_polydata_into_boundary_and_distribution():
+    """A PolyData-shaped mesh flows into manual_triangle_boundary and
+    ManualBasePointDistribution.from_mesh (migration on-ramp)."""
+    from tensorflowraytrace_tpu.models import distributions as dist
+    from tensorflowraytrace_tpu.models.boundaries import manual_triangle_boundary
+
+    pts = np.asarray([[0., 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]])
+    pd = _FakePolyData(pts, np.asarray([3, 0, 1, 2, 3, 1, 3, 2]))
+    tri = manual_triangle_boundary(pd, dtype=jnp.float64)
+    assert tri.n_surfaces == 2
+    d = dist.ManualBasePointDistribution(3, from_mesh=pd)
+    points, ranks = d.sample(None, dtype=jnp.float64)
+    assert points.shape == (4, 3)

@@ -315,3 +315,33 @@ def test_validate_system_custom_op_target_signature():
     annotation_helper(entry, "goal_weight", 1.0, "x_start")
     system.update()
     engine.validate_system()
+
+
+def test_feed_segments_refeed():
+    """ManualSegmentBoundary.feed_segments parity (boundaries.py:513-526):
+    re-feed a manual boundary through the facade entry; material overrides
+    persist and the next trace uses the new geometry."""
+    system = build_single_arc_system()
+    # replace the arc with a mirror segment at x=1, annotated via override
+    seg = SegmentSet.make([[1.0, -5.0]], [[1.0, 5.0]], dtype=F64)
+    system.optical_arcs = []
+    system.optical_segments = [seg]
+    entry = system.optical_segments[0]
+    entry["mat_in"] = 1
+    entry["mat_out"] = 0
+    system.materials = [{"n": mats.reflective}, {"n": mats.reflective}]
+    system.update()
+    engine = OpticalEngine(2)
+    engine.optical_system = system
+    engine.ray_trace(2)
+    n_before = engine.finished_rays.n_rays
+
+    # move the mirror to x=2 via feed_segments; annotations re-apply
+    entry.feed_segments([[2.0, -5.0, 2.0, 5.0]])
+    system.update()
+    assert int(entry.surface_set.mat_in[0]) == 1
+    engine.ray_trace(2)
+    fin = engine.finished_rays
+    assert fin.n_rays == n_before
+    # rays now reflect off x=2 (mirror), so they traveled further
+    np.testing.assert_allclose(np.asarray(entry["x_start"]), 2.0)
