@@ -221,7 +221,9 @@ class TriangleDrawer:
     xp..z2 fields."""
 
     def __init__(self, ax, surface=None, color="cyan", show_edges=False,
-                 draw_norm_arrows=False, norm_arrow_length=0.1, alpha=0.7):
+                 draw_norm_arrows=False, norm_arrow_length=0.1, alpha=0.7,
+                 draw_parameter_arrows=False, parameter_arrow_length=0.1,
+                 boundary=None, params=None):
         self.ax = ax
         self.surface = surface
         self.color = color
@@ -229,8 +231,28 @@ class TriangleDrawer:
         self.draw_norm_arrows = draw_norm_arrows
         self.norm_arrow_length = norm_arrow_length
         self.alpha = alpha
+        # parameter-vector debug arrows (reference drawing.py:913-929):
+        # one arrow per vertex along the direction its parameter moves it.
+        # ``boundary`` is a parametric builder (models/boundaries.py) with
+        # .vectors and params_to_vertices; ``params`` the current parameters
+        # (None -> the zero mesh).
+        self.draw_parameter_arrows = draw_parameter_arrows
+        self.parameter_arrow_length = parameter_arrow_length
+        self.boundary = boundary
+        self.params = params
+        self.norm_arrow_visibility = True
+        self.parameter_arrow_visibility = True
         self._poly = None
         self._quiver = None
+        self._param_quiver = None
+
+    def toggle_norm_arrow_visibility(self):
+        self.norm_arrow_visibility = not self.norm_arrow_visibility
+        self.draw()
+
+    def toggle_parameter_arrow_visibility(self):
+        self.parameter_arrow_visibility = not self.parameter_arrow_visibility
+        self.draw()
 
     def _triangles(self):
         s = self.surface
@@ -250,6 +272,9 @@ class TriangleDrawer:
         if self._quiver is not None:
             self._quiver.remove()
             self._quiver = None
+        if self._param_quiver is not None:
+            self._param_quiver.remove()
+            self._param_quiver = None
         if self.surface is None:
             return
         tris = self._triangles()
@@ -257,7 +282,7 @@ class TriangleDrawer:
             tris, facecolor=self.color, alpha=self.alpha,
             edgecolor="black" if self.show_edges else None)
         self.ax.add_collection3d(self._poly)
-        if self.draw_norm_arrows:
+        if self.draw_norm_arrows and self.norm_arrow_visibility:
             centers = tris.mean(axis=1)
             n = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 1])
             n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-30)
@@ -265,6 +290,18 @@ class TriangleDrawer:
                 centers[:, 0], centers[:, 1], centers[:, 2],
                 n[:, 0], n[:, 1], n[:, 2],
                 length=self.norm_arrow_length, color=self.color)
+        if (self.draw_parameter_arrows and self.parameter_arrow_visibility
+                and self.boundary is not None):
+            b = self.boundary
+            if self.params is not None:
+                verts = np.asarray(b.params_to_vertices(self.params))
+            else:
+                verts = np.asarray(b.zero)
+            vecs = np.asarray(b.vectors)
+            self._param_quiver = self.ax.quiver(
+                verts[:, 0], verts[:, 1], verts[:, 2],
+                vecs[:, 0], vecs[:, 1], vecs[:, 2],
+                length=self.parameter_arrow_length, color="red")
 
 
 class GoalDrawer3D:

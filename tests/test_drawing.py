@@ -120,3 +120,38 @@ def test_history_rays_flatten(ax):
 def test_disable_key_commands():
     drawing.disable_figure_key_commands()
     assert plt.rcParams["keymap.save"] == []
+
+
+def test_triangle_drawer_parameter_arrows():
+    """Parameter-vector debug arrows (reference drawing.py:913-929): one
+    arrow per vertex along its parameter direction, toggleable."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from tensorflowraytrace_tpu.models import boundaries as bd
+    from tensorflowraytrace_tpu.models import mesh as mt
+
+    zm = mt.hexagonal_mesh(1.0, 2)
+    boundary = bd.ParametricTriangleBoundary(
+        zm, bd.FromVectorVG((0.0, 0.0, 1.0)), dtype=jnp.float64)
+    params = boundary.init_params()
+    surf = boundary.build(params)
+
+    fig = plt.figure()
+    ax = fig.add_subplot(projection="3d")
+    d = drawing.TriangleDrawer(
+        ax, surf, draw_norm_arrows=True, draw_parameter_arrows=True,
+        boundary=boundary, params=params)
+    d.draw()
+    assert d._param_quiver is not None
+    assert d._quiver is not None
+    d.toggle_parameter_arrow_visibility()
+    assert d._param_quiver is None
+    d.toggle_norm_arrow_visibility()
+    assert d._quiver is None
+    d.toggle_parameter_arrow_visibility()
+    assert d._param_quiver is not None
+    plt.close(fig)
