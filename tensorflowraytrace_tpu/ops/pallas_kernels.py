@@ -855,8 +855,9 @@ def nearest_hit_segments_pallas(p0, p1, seg, intersect_eps, size_eps,
     """Tiled nearest ray-segment hit.  Returns (valid, idx, ray_u).
 
     ``cull=True`` adds conservative per-chunk 2D AABB culling (sort the
-    scene with morton_sort_segments first for best effect).  Results are
-    identical either way."""
+    scene with morton_sort_segments first for best effect); ``cull="grid"``
+    selects the two-level candidate-gather kernel (fine 256-seg chunks DMA'd
+    behind a slab gate).  Results are identical in every mode."""
     if interpret is None:
         interpret = _auto_interpret()
     p0 = jax.lax.stop_gradient(p0)
@@ -870,6 +871,16 @@ def nearest_hit_segments_pallas(p0, p1, seg, intersect_eps, size_eps,
     sp1 = jax.lax.stop_gradient(seg.p1)
     segs8 = jnp.zeros((8, m), dtype=dtype)
     segs8 = segs8.at[0:2].set(sp0.T).at[2:4].set(sp1.T)
+    if cull == "grid":
+        from tensorflowraytrace_tpu.models.acceleration import chunk_aabbs_2d
+
+        fine = min(FINE_CHUNK, max(128, m))
+        rb = max(int(ray_block), TWOLEVEL_RAY_BLOCK)
+        aabbs = chunk_aabbs_2d(sp0, sp1, fine).astype(dtype)
+        return _nearest_hit_segments_twolevel_impl(
+            rays8, segs8, aabbs, float(intersect_eps), float(size_eps),
+            float(ray_start_eps), rb, fine, bool(interpret),
+        )
     if cull:
         from tensorflowraytrace_tpu.models.acceleration import chunk_aabbs_2d
 
@@ -1117,4 +1128,183 @@ def _nearest_hit_triangles_twolevel_impl(rays8, tris16, aabbs, i_eps, s_eps,
         ],
         interpret=interpret,
     )(counts, cand, rays8, aabbs, tris_chunked)
+    return u[0, :n] < _BIG * 0.5, idx[0, :n], u[0, :n]
+
+
+# ======================================================================
+# two-level segment search (2D analogue of the triangle kernel above)
+# ======================================================================
+
+def _twolevel_segment_kernel(i_eps, s_eps, r_eps, n_chunks, max_cand,
+                             counts_ref, cand_ref,
+                             rays_ref, aabb_ref, segs_hbm,
+                             u_ref, idx_ref, scratch, sems):
+    i = pl.program_id(0)
+    cnt = counts_ref[i]
+    full_sweep = cnt == n_chunks
+
+    def chunk_id(k):
+        kk = jnp.minimum(k, max_cand - 1)
+        return jnp.where(full_sweep, k, cand_ref[i * max_cand + kk])
+
+    r = rays_ref[...]
+    x1s = r[0][None, :]
+    y1s = r[1][None, :]
+    dx1 = (r[2] - r[0])[None, :]
+    dy1 = (r[3] - r[1])[None, :]
+
+    tiny = 1e-30
+
+    def axis_slab(o, d, lo, hi):
+        inv = 1.0 / jnp.where(jnp.abs(d) < tiny,
+                              jnp.where(d < 0, -tiny, tiny), d)
+        t1 = (lo - o) * inv
+        t2 = (hi - o) * inv
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    def improving_any(c, best_u):
+        ax0, bx0 = axis_slab(x1s, dx1, aabb_ref[0, c], aabb_ref[2, c])
+        ay0, by0 = axis_slab(y1s, dy1, aabb_ref[1, c], aabb_ref[3, c])
+        tmin = jnp.maximum(ax0, ay0)
+        tmax = jnp.minimum(bx0, by0)
+        can_hit = (tmax * (1 + 1e-6) + 1e-6 >= jnp.maximum(tmin, r_eps))
+        improving = tmin * (1 - 1e-6) - 1e-6 <= best_u
+        return jnp.any(can_hit & improving)
+
+    def dma(c, slot):
+        return pltpu.make_async_copy(segs_hbm.at[c], scratch.at[slot],
+                                     sems.at[slot])
+
+    best_u = jnp.full(u_ref.shape, _BIG, u_ref.dtype)
+    best_idx = jnp.zeros(idx_ref.shape, idx_ref.dtype)
+
+    @pl.when(cnt > 0)
+    def _():
+        dma(chunk_id(0), 0).start()
+
+    def body(k, carry):
+        best_u, best_idx = carry
+        c = chunk_id(k)
+
+        @pl.when(k + 1 < cnt)
+        def _():
+            dma(chunk_id(k + 1), (k + 1) % 2).start()
+
+        dma(c, k % 2).wait()
+
+        def with_chunk(args):
+            best_u, best_idx = args
+            t = scratch[k % 2]
+            x2s = t[0][:, None]
+            y2s = t[1][:, None]
+            dx2 = (t[2] - t[0])[:, None]
+            dy2 = (t[3] - t[1])[:, None]
+
+            den = dx1 * dy2 - dy1 * dx2
+            ok = jnp.abs(den) >= i_eps
+            inv = 1.0 / jnp.where(ok, den, jnp.ones_like(den))
+            ray_u = (dx2 * (y1s - y2s) - dy2 * (x1s - x2s)) * inv
+            seg_u = (dy1 * (x2s - x1s) - dx1 * (y2s - y1s)) * inv
+
+            ok = ok & (seg_u >= -s_eps) & (seg_u <= 1 + s_eps)
+            ok = ok & (ray_u >= r_eps)
+
+            u = jnp.where(ok, ray_u, _BIG)
+            bu = jnp.min(u, axis=0)[None, :]
+            barg = jnp.argmin(u, axis=0).astype(jnp.int32)[None, :]
+            gidx = c * t.shape[1] + barg
+            better = bu < best_u
+            return (jnp.where(better, bu, best_u),
+                    jnp.where(better, gidx, best_idx))
+
+        best_u, best_idx = jax.lax.cond(
+            improving_any(c, best_u[0][None, :]), with_chunk,
+            lambda args: args, (best_u, best_idx))
+        return best_u, best_idx
+
+    best_u, best_idx = jax.lax.fori_loop(0, cnt, body, (best_u, best_idx))
+    u_ref[...] = best_u
+    idx_ref[...] = best_idx
+
+
+def _twolevel_candidates_2d(rays8, aabbs, r_eps, ray_block,
+                            max_cand=TWOLEVEL_MAX_CAND):
+    """2D analogue of _twolevel_candidates (rows 0-1 lo, 2-3 hi)."""
+    n_pad = rays8.shape[1]
+    nb = n_pad // ray_block
+    o = rays8[0:2].reshape(2, nb, 1, ray_block)
+    e = rays8[2:4].reshape(2, nb, 1, ray_block)
+    d = e - o
+    lo = aabbs[0:2][:, None, :, None]
+    hi = aabbs[2:4][:, None, :, None]
+    tiny = 1e-30
+    inv = 1.0 / jnp.where(jnp.abs(d) < tiny,
+                          jnp.where(d < 0, -tiny, tiny), d)
+    t1 = (lo - o) * inv
+    t2 = (hi - o) * inv
+    tmin = jnp.max(jnp.minimum(t1, t2), axis=0)
+    tmax = jnp.min(jnp.maximum(t1, t2), axis=0)
+    can_hit = (tmax * (1 + 1e-6) + 1e-6 >= jnp.maximum(tmin, r_eps))
+    need = jnp.any(can_hit, axis=-1)
+    n_chunks = need.shape[1]
+    counts = jnp.sum(need, axis=1).astype(jnp.int32)
+    cand = jnp.argsort(~need, axis=1, stable=True).astype(jnp.int32)
+    if n_chunks > max_cand:
+        cand = cand[:, :max_cand]
+        counts = jnp.where(counts > max_cand, n_chunks, counts)
+    return counts, cand.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("i_eps", "s_eps", "r_eps",
+                                             "ray_block", "fine_chunk",
+                                             "interpret"))
+def _nearest_hit_segments_twolevel_impl(rays8, segs8, aabbs, i_eps, s_eps,
+                                        r_eps, ray_block, fine_chunk,
+                                        interpret):
+    n = rays8.shape[1]
+    m = segs8.shape[1]
+    n_pad = -(-n // ray_block) * ray_block
+    m_pad = -(-m // fine_chunk) * fine_chunk
+    rays8 = _pad_to(rays8, n_pad, 1)
+    segs8 = _pad_to(segs8, m_pad, 1)
+    n_chunks = m_pad // fine_chunk
+    assert aabbs.shape[1] == n_chunks, (aabbs.shape, n_chunks)
+    segs_chunked = jnp.transpose(
+        segs8.reshape(8, n_chunks, fine_chunk), (1, 0, 2))
+    max_cand = min(TWOLEVEL_MAX_CAND, n_chunks)
+    counts, cand = _twolevel_candidates_2d(rays8, aabbs, r_eps, ray_block,
+                                           max_cand)
+
+    grid = (n_pad // ray_block,)
+    kernel = functools.partial(_twolevel_segment_kernel, i_eps, s_eps, r_eps,
+                               n_chunks, max_cand)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, ray_block), lambda i, counts, cand: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ray_block), lambda i, counts, cand: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_block), lambda i, counts, cand: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, fine_chunk), rays8.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    u, idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), rays8.dtype),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(counts, cand, rays8, aabbs, segs_chunked)
     return u[0, :n] < _BIG * 0.5, idx[0, :n], u[0, :n]

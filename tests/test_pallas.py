@@ -483,3 +483,61 @@ def test_full_3d_trace_with_grid_cull(rng):
                                   np.asarray(r1.rays.state))
     np.testing.assert_array_equal(np.asarray(r0.rays.p1),
                                   np.asarray(r1.rays.p1))
+
+
+def test_twolevel_segment_kernel_matches_brute(rng):
+    """2D two-level candidate-gather kernel == brute (incl. overflow)."""
+    from tensorflowraytrace_tpu.models.acceleration import morton_sort_segments
+
+    M = 3000
+    p0s = np.stack([rng.uniform(-40, 40, M), rng.uniform(-2, 2, M)], 1)
+    p1s = p0s + rng.normal(0, 0.5, (M, 2))
+    seg = SegmentSet.make(p0s.astype(np.float32), p1s.astype(np.float32),
+                          dtype=F32)
+    seg, _ = morton_sort_segments(seg)
+    N = 1100
+    q0 = np.stack([rng.uniform(-40, 40, N), rng.uniform(-3, 3, N)], 1)
+    d = rng.normal(0, 1, (N, 2))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    q0j = jnp.asarray(q0.astype(np.float32))
+    q1j = jnp.asarray((q0 + d).astype(np.float32))
+    eps = 1e-6
+    vb, ib, ub = nearest_hit_segments_pallas(
+        q0j, q1j, seg, eps, eps, eps, interpret=True, cull=False)
+    vg, ig, ug = nearest_hit_segments_pallas(
+        q0j, q1j, seg, eps, eps, eps, interpret=True, cull="grid")
+    np.testing.assert_array_equal(np.asarray(vb), np.asarray(vg))
+    h = np.asarray(vb)
+    np.testing.assert_array_equal(np.asarray(ib)[h], np.asarray(ig)[h])
+    np.testing.assert_array_equal(np.asarray(ub)[h], np.asarray(ug)[h])
+    assert h.any()
+
+
+def test_full_2d_trace_with_grid_cull(rng):
+    """End-to-end 2D trace (segments + arcs): cull='grid' == cull=False
+    exactly.  Arcs fall back to block culling under 'grid'."""
+    from tensorflowraytrace_tpu.models.acceleration import morton_sort_segments
+    from tensorflowraytrace_tpu.models.surfaces import ArcSet
+
+    segs = SegmentSet.make(
+        rng.uniform(-5, 5, (300, 2)).astype(np.float32),
+        rng.uniform(-5, 5, (300, 2)).astype(np.float32), mat_in=1, dtype=F32)
+    segs, _ = morton_sort_segments(segs)
+    arc = ArcSet.make(rng.uniform(-5, 5, (20, 2)).astype(np.float32),
+                      -1.0, 2.0, 0.7, mat_in=1, mat_out=0, dtype=F32)
+    target = SegmentSet.make([[-8.0, -8.0]], [[8.0, -8.0]], dtype=F32)
+    scene = Scene2D.build(optical_segments=[segs], optical_arcs=[arc],
+                          target_segments=[target])
+    n = 600
+    q0 = rng.uniform(-5, 5, (n, 2)).astype(np.float32)
+    d = rng.normal(0, 1, (n, 2)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = RaySet.make(q0, q0 + d, 575.0, dtype=F32)
+    m = (mats.vacuum, mats.acrylic)
+    kw = dict(max_bounces=4, use_pallas=True)
+    r0 = trace(rays, scene, m, TraceConfig(cull=False, **kw))
+    r1 = trace(rays, scene, m, TraceConfig(cull="grid", **kw))
+    np.testing.assert_array_equal(np.asarray(r0.rays.state),
+                                  np.asarray(r1.rays.state))
+    np.testing.assert_array_equal(np.asarray(r0.rays.p1),
+                                  np.asarray(r1.rays.p1))
