@@ -89,6 +89,11 @@ class TraceConfig:
     # for 3D scenes (>=4k surfaces); measured LOSS for 2D scenes (the argsort
     # outweighs the cheap 2D kernel) -- leave False for 2D.
     resort_rays: bool = False
+    # stop bouncing once no ray is ACTIVE (the reference's early exit,
+    # engine.py:2324-2330) via lax.while_loop.  INFERENCE ONLY: while_loop
+    # is not reverse-mode differentiable, and it is incompatible with
+    # keep_history (no stacked ys).  Folds still work.
+    early_exit: bool = False
 
     def epsilons(self, dtype):
         e = default_epsilon(dtype)
@@ -527,6 +532,33 @@ def trace(rays: RaySet, scene, materials=None, cfg: TraceConfig = TraceConfig(),
     differentiable.  See ``path_length_fold`` / ``landing_sum_fold``.
     """
     materials = tuple(materials or ())
+
+    if cfg.early_exit:
+        # the reference's early exit (engine.py:2324-2330): stop bouncing
+        # once no slot is ACTIVE.  while_loop is forward-only -- use the
+        # scan path for anything that needs gradients or history.
+        if cfg.keep_history:
+            raise ValueError("early_exit is incompatible with keep_history "
+                             "(while_loop has no stacked outputs)")
+
+        def w_cond(carry):
+            rays_c, _, i = carry
+            return (i < cfg.max_bounces) & jnp.any(rays_c.state == ACTIVE)
+
+        def w_body(carry):
+            rays_c, acc, i = carry
+            new_rays, record = single_pass(rays_c, scene, materials, cfg,
+                                           reaction)
+            if fold_fn is not None:
+                acc = fold_fn(acc, record)
+            return new_rays, acc, i + 1
+
+        final, acc, _ = lax.while_loop(
+            w_cond, w_body, (rays, fold_init, jnp.asarray(0, jnp.int32)))
+        return TraceResult(
+            rays=final, history_p0=None, history_p1=None, history_state=None,
+            history_alive=None, fold=acc, n_bounces=cfg.max_bounces,
+        )
 
     def body(carry, _):
         rays_c, acc = carry

@@ -554,3 +554,36 @@ def test_facade_history_opt_in():
     engine_h.optical_system = system
     engine_h.ray_trace(10)
     assert engine_h.all_rays["x_start"].shape[0] > 0
+
+
+def test_early_exit_matches_full_scan():
+    """early_exit (the reference's engine.py:2324-2330 behavior) produces the
+    same final rays and fold as the fixed-budget scan."""
+    from tensorflowraytrace_tpu.engine import landing_sum_fold
+
+    scene = tir_guide_scene()
+    rays = guide_rays(300, key=5)
+    m = (mats.vacuum, mats.acrylic)
+    value_fn = lambda p1: p1[:, 0] ** 2
+    init, fn = landing_sum_fold(value_fn, F64)
+    # a 200-bounce budget the guide never exhausts
+    r_scan = trace(rays, scene, m, TraceConfig(max_bounces=200),
+                   fold_fn=fn, fold_init=init)
+    r_exit = trace(rays, scene, m, TraceConfig(max_bounces=200, early_exit=True),
+                   fold_fn=fn, fold_init=init)
+    np.testing.assert_array_equal(np.asarray(r_scan.rays.state),
+                                  np.asarray(r_exit.rays.state))
+    np.testing.assert_array_equal(np.asarray(r_scan.rays.p1),
+                                  np.asarray(r_exit.rays.p1))
+    np.testing.assert_allclose(float(r_scan.fold), float(r_exit.fold))
+    assert not bool(jnp.any(r_exit.rays.state == 0))  # all rays terminated
+
+
+def test_early_exit_rejects_history():
+    import pytest
+
+    scene = tir_guide_scene()
+    rays = guide_rays(10, key=6)
+    with pytest.raises(ValueError, match="early_exit"):
+        trace(rays, scene, (mats.vacuum, mats.acrylic),
+              TraceConfig(max_bounces=5, early_exit=True, keep_history=True))
