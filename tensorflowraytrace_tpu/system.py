@@ -387,7 +387,7 @@ class OpticalEngine:
                  compile_finished_rays=True, compile_active_rays=True,
                  dead_ray_length=None, new_ray_length=1.0,
                  simple_ray_inheritance=("wavelength",), reaction=None,
-                 keep_history=False):
+                 keep_history=False, trace_overrides=None):
         if dimension not in (2, 3):
             raise ValueError(
                 f"OpticalEngine: dimension must be 2 or 3, got {dimension}")
@@ -416,6 +416,9 @@ class OpticalEngine:
         # final-slot properties (finished/stopped/dead/active) never need it,
         # only all_rays / history drawing do (VERDICT.md round-1 weak #6)
         self.keep_history = keep_history
+        # explicit TraceConfig field overrides (e.g. {"use_pallas": False});
+        # applied on top of TraceConfig.recommended in trace_config
+        self.trace_overrides = dict(trace_overrides or {})
         self._result = None
 
     @property
@@ -612,7 +615,11 @@ class OpticalEngine:
             m = getattr(op, "refractive_index_type", None)
             if m is not None:
                 mode = m
-        return TraceConfig(
+        # start from the measured-best acceleration settings for this scene
+        # and platform (pallas + culling on TPU; nothing on CPU), then apply
+        # the facade's own knobs; self.trace_overrides wins over everything
+        return TraceConfig.recommended(
+            sys_.scene,
             max_bounces=max_iterations,
             new_ray_length=self.new_ray_length,
             dead_ray_length=self.dead_ray_length,
@@ -621,6 +628,10 @@ class OpticalEngine:
             intersect_epsilon=sys_.intersect_epsilion,
             size_epsilon=sys_.size_epsilion,
             ray_start_epsilon=sys_.ray_start_epsilion,
+            # the pallas kernels are f32; keep the XLA path for f64 systems
+            **({} if sys_.dtype == jnp.float32 else
+               {"use_pallas": False, "cull": False, "resort_rays": False}),
+            **self.trace_overrides,
         )
 
     def ray_trace(self, max_iterations=25):

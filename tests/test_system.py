@@ -345,3 +345,24 @@ def test_feed_segments_refeed():
     assert fin.n_rays == n_before
     # rays now reflect off x=2 (mirror), so they traveled further
     np.testing.assert_allclose(np.asarray(entry["x_start"]), 2.0)
+
+
+def test_trace_config_recommended_and_overrides():
+    """The facade starts from TraceConfig.recommended (acceleration on TPU,
+    plain XLA on CPU) and trace_overrides wins over everything."""
+    system = build_single_arc_system()
+    system.update()
+    engine = OpticalEngine(2)
+    engine.optical_system = system
+    cfg = engine.trace_config(6)
+    assert cfg.max_bounces == 6
+    # CPU test env: no pallas, no cull
+    assert not cfg.use_pallas and not cfg.cull
+
+    engine2 = OpticalEngine(2, trace_overrides={"remat": True,
+                                                "ray_block": 4096})
+    engine2.optical_system = system
+    cfg2 = engine2.trace_config(6)
+    assert cfg2.remat and cfg2.ray_block == 4096
+    engine2.ray_trace(2)
+    assert engine2.finished_rays.n_rays == 60
