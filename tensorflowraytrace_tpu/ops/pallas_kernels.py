@@ -1106,7 +1106,7 @@ def _nearest_hit_triangles_twolevel_impl(rays8, tris16, aabbs, i_eps, s_eps,
             pl.BlockSpec((8, ray_block), lambda i, counts, cand: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),   # aabbs, whole
-            pl.BlockSpec(memory_space=pltpu.ANY),    # tris stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),    # tris stay in HBM
         ],
         out_specs=[
             pl.BlockSpec((1, ray_block), lambda i, counts, cand: (0, i),
@@ -1285,7 +1285,7 @@ def _nearest_hit_segments_twolevel_impl(rays8, segs8, aabbs, i_eps, s_eps,
             pl.BlockSpec((8, ray_block), lambda i, counts, cand: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, ray_block), lambda i, counts, cand: (0, i),

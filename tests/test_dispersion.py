@@ -33,6 +33,21 @@ def test_material_index_lookup():
     np.testing.assert_allclose(float(n[1]), 1.0)
 
 
+def test_material_index_lookup_matches_gather_all_curves():
+    """The vectorized select-chain lookup equals an explicit stack+gather for
+    every material id over the full curve list (the TPU fast path replaced a
+    per-ray take_along_axis; semantics must be unchanged)."""
+    curves = [mats.vacuum, mats.acrylic, mats.crown_glass, mats.flint_glass,
+              mats.fused_silica, mats.polycarbonate, mats.reflective,
+              mats.soda_lime, mats.build_constant_material(1.62)]
+    rng = np.random.default_rng(7)
+    wl = jnp.asarray(rng.uniform(380.0, 780.0, 257), F64)
+    idx = jnp.asarray(rng.integers(0, len(curves), 257), jnp.int32)
+    got = mats.material_index_lookup(curves, wl, idx)
+    want = jnp.stack([m(wl) for m in curves], 0)[idx, jnp.arange(wl.shape[0])]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0)
+
+
 def test_prism_separates_wavelengths():
     """Rays of different wavelengths through a tilted glass interface land at
     different heights, ordered by refractive index."""
