@@ -116,26 +116,34 @@ class Optimizer:
             new_params = []
             new_velocity = []
             for i, (p, g, v) in enumerate(zip(params, grads, velocity)):
+                # everything multiplying into the update is cast to the
+                # parameter's dtype: lr_scale/momentum arrive as traced f64
+                # under jax_enable_x64 and would otherwise silently promote
+                # f32 params (and break the lax.scan carry in run_phase)
+                dt = p.dtype
+                lr_s = jnp.asarray(lr_scale, dt)
+                mom = jnp.asarray(momentum, dt)
                 # finite guard (optimizer.py:227-240)
                 g = jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g))
                 # learning rate scaling (:243)
-                g = g * (lr_scale * individual_lr[i] * learning_rate)
+                g = g * (lr_s * individual_lr[i] * learning_rate)
                 # clipping (:244-248)
                 if clip_mode == "common":
-                    clip = grad_clip
+                    clip = jnp.asarray(grad_clip, dt)
                 else:
-                    clip = individual_lr[i] * clip_scale * learning_rate * lr_scale
+                    clip = individual_lr[i] * clip_scale * learning_rate * lr_s
                 g = jnp.clip(g, -clip, clip)
                 # accumulator matmul (:251-256) -- MXU work
                 if accumulators[i] is not None:
-                    g = (accumulators[i] @ g.reshape(-1, 1)).reshape(g.shape)
+                    acc = accumulators[i].astype(dt)
+                    g = (acc @ g.reshape(-1, 1)).reshape(g.shape)
                 # Nesterov momentum update
-                v = momentum * v + g
-                step_g = g + momentum * v
+                v = mom * v + g
+                step_g = g + mom * v
                 p = p - step_g
                 # smoother matmul (:277-282)
                 if smoothers[i] is not None:
-                    p = (smoothers[i] @ p.reshape(-1, 1)).reshape(p.shape)
+                    p = (smoothers[i].astype(dt) @ p.reshape(-1, 1)).reshape(p.shape)
                 new_params.append(p)
                 new_velocity.append(v)
             return new_params, new_velocity, error
@@ -207,20 +215,28 @@ class Optimizer:
                 new_params = []
                 new_velocity = []
                 for i, (p, g, v) in enumerate(zip(params, grads, velocity)):
+                    # cast per-param (see _make_step): traced f64 lr_scale /
+                    # momentum under x64 would promote the scan carry and
+                    # fail the carry-type check
+                    dt = p.dtype
+                    lr_s = jnp.asarray(lr_scale, dt)
+                    mom = jnp.asarray(momentum, dt)
                     g = jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g))
-                    g = g * (lr_scale * individual_lr[i] * learning_rate)
+                    g = g * (lr_s * individual_lr[i] * learning_rate)
                     if clip_mode == "common":
-                        clip = grad_clip
+                        clip = jnp.asarray(grad_clip, dt)
                     else:
                         clip = (individual_lr[i] * clip_scale * learning_rate
-                                * lr_scale)
+                                * lr_s)
                     g = jnp.clip(g, -clip, clip)
                     if accumulators[i] is not None:
-                        g = (accumulators[i] @ g.reshape(-1, 1)).reshape(g.shape)
-                    v = momentum * v + g
-                    p = p - (g + momentum * v)
+                        acc = accumulators[i].astype(dt)
+                        g = (acc @ g.reshape(-1, 1)).reshape(g.shape)
+                    v = mom * v + g
+                    p = p - (g + mom * v)
                     if smoothers[i] is not None:
-                        p = (smoothers[i] @ p.reshape(-1, 1)).reshape(p.shape)
+                        p = (smoothers[i].astype(dt)
+                             @ p.reshape(-1, 1)).reshape(p.shape)
                     new_params.append(p)
                     new_velocity.append(v)
                 return (new_params, new_velocity, key), error
@@ -301,6 +317,8 @@ class Optimizer:
 
         for phase_idx, new_phase in enumerate(routine):
             phase.update(new_phase)
+            if phase["steps"] <= 0:
+                continue  # a scaled-down routine may round a phase to 0 steps
             lrs = _lr_schedule(phase["learning_rate"], phase["steps"])
             if phase["individual_lr"] is not None:
                 self.individual_lr = list(phase["individual_lr"])

@@ -1,0 +1,70 @@
+"""Smoke tests: every headless example runs end-to-end at tiny sizes.
+
+The reference's de-facto integration tests are its ~50 dev/ scripts run by
+hand (SURVEY.md section 4: "the de facto integration tests are the dev/
+scripts").  Here the equivalent examples/ scripts ARE importable modules with
+parameterized ``main``s, so CI can actually execute them: each test imports
+the script and runs ``main`` with the smallest sizes that still exercise the
+full pipeline.  Artifacts (PNGs, STLs, pickles) land in a tmp cwd.
+
+Skipped (with reasons): baseline_tf_cpu (imports TensorFlow; minutes),
+cpu_tpu_agreement (needs the real TPU), performance (fixed 1M-ray sweep),
+image_quality_3d (consumes the STL artifacts of a full hexalens run).
+"""
+
+import importlib.util
+import os
+import sys
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import matplotlib.pyplot as plt
+import pytest
+
+EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "examples")
+
+
+def load(name):
+    spec = importlib.util.spec_from_file_location(
+        f"example_{name}", os.path.join(EXAMPLES, name + ".py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(autouse=True)
+def _tmp_cwd(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    yield
+    plt.close("all")
+
+
+# (script, kwargs) -- sizes chosen so each runs in seconds on CPU float64
+CASES = [
+    ("optimize_single_arc", {}),
+    ("trace_3d", {}),
+    ("light_guide", {}),
+    ("mesh_graph_tools", {}),
+    ("engine_internals", {}),
+    ("cdf_demo", {}),
+    ("remesh", {}),
+    ("source_gallery", {}),
+    ("source_rotation_roll", {}),
+    ("precompile_pipeline", {}),
+    ("stepwise_optimize", {}),
+    ("hexalens", {"steps": 2, "ray_count": 128, "mesh_step": 0.3}),
+    ("simple_3d_optimize", {"steps": 2, "bp_count": 5, "mesh_steps": 3}),
+    ("sharded_light_guide", {"rays": 1024, "steps": 2, "bounces": 3}),
+    ("guide_trace_bench", {"n_rays": 512, "bounces": 3,
+                           "theta_res": 6, "z_res": 6}),
+]
+
+
+@pytest.mark.parametrize("name,kwargs", CASES, ids=[c[0] for c in CASES])
+def test_example_runs(name, kwargs):
+    mod = load(name)
+    mod.main(**kwargs)
