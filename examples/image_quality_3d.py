@@ -35,13 +35,14 @@ LENS_APERATURE = 1.0
 THETA_START, THETA_END = 0.0, PI / 6
 
 
-def main(batches=20, rays=4000, show=False):
-    # finished lens surfaces, as the reference loads its hexalens STLs
+def main(batches=20, rays=4000, show=False, first_stl=None, second_stl=None):
+    # finished lens surfaces, as the reference loads its hexalens STLs;
+    # default to the exports of examples/hexalens.py at the repo root
     first = manual_triangle_boundary(
-        file_name=os.path.join(REPO, "hexalens_first.stl"),
+        file_name=first_stl or os.path.join(REPO, "hexalens_first.stl"),
         mat_in=1, mat_out=0)
     second = manual_triangle_boundary(
-        file_name=os.path.join(REPO, "hexalens_second.stl"),
+        file_name=second_stl or os.path.join(REPO, "hexalens_second.stl"),
         mat_in=1, mat_out=0)
     half = 50.0
     td = SOURCE_DISTANCE
@@ -115,5 +116,8 @@ if __name__ == "__main__":
     ap.add_argument("--batches", type=int, default=20)
     ap.add_argument("--rays", type=int, default=4000)
     ap.add_argument("--show", action="store_true")
-    main(batches=ap.parse_args().batches, rays=ap.parse_args().rays,
-         show=ap.parse_args().show)
+    ap.add_argument("--first-stl", default=None)
+    ap.add_argument("--second-stl", default=None)
+    a = ap.parse_args()
+    main(batches=a.batches, rays=a.rays, show=a.show,
+         first_stl=a.first_stl, second_stl=a.second_stl)

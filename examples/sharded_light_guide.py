@@ -15,9 +15,15 @@ Run:  python examples/sharded_light_guide.py [--rays N] [--steps N]
 
 import argparse
 import math
+import os
 import time
 
 import jax
+
+os.makedirs(os.path.expanduser("~/.jax_bench_cache"), exist_ok=True)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.jax_bench_cache"))
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -75,6 +81,13 @@ def main(rays=1 << 20, steps=10, bounces=12):
     params = [guide.init_params()]
     velocity = [jnp.zeros_like(p) for p in params]
     key = jax.random.PRNGKey(0)
+    # warm up: the first step compiles (minutes through a remote-attached
+    # TPU tunnel, and highly variable) -- time steady-state steps only
+    key, sub = jax.random.split(key)
+    t0 = time.time()
+    params, velocity, loss = step(params, velocity, par.split_keys(sub, mesh))
+    print(f"warmup step (compile + run): {time.time() - t0:.1f}s, "
+          f"lost-flux = {float(loss) / n_dev:.4f}")
     t0 = time.time()
     for i in range(steps):
         key, sub = jax.random.split(key)

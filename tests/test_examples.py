@@ -8,8 +8,7 @@ the script and runs ``main`` with the smallest sizes that still exercise the
 full pipeline.  Artifacts (PNGs, STLs, pickles) land in a tmp cwd.
 
 Skipped (with reasons): baseline_tf_cpu (imports TensorFlow; minutes),
-cpu_tpu_agreement (needs the real TPU), performance (fixed 1M-ray sweep),
-image_quality_3d (consumes the STL artifacts of a full hexalens run).
+cpu_tpu_agreement (needs the real TPU), performance (fixed 1M-ray sweep).
 """
 
 import importlib.util
@@ -68,3 +67,14 @@ CASES = [
 def test_example_runs(name, kwargs):
     mod = load(name)
     mod.main(**kwargs)
+
+
+def test_image_quality_3d_runs(tmp_path):
+    """The full finished-lens workflow: hexalens exports its STLs, then
+    image_quality_3d loads them back and histograms the landing spots
+    (reference dev/hexalens.py -> dev/image_quality_3d.py chain)."""
+    load("hexalens").main(steps=2, ray_count=128, mesh_step=0.3)
+    assert os.path.exists("hexalens_first.stl")  # saved into the tmp cwd
+    load("image_quality_3d").main(
+        batches=2, rays=64,
+        first_stl="hexalens_first.stl", second_stl="hexalens_second.stl")

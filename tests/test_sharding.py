@@ -206,3 +206,37 @@ def test_parallel_trace_with_twolevel_grid_cull():
                                   np.asarray(res8.rays.state))
     np.testing.assert_allclose(np.asarray(res1.rays.p1),
                                np.asarray(res8.rays.p1), atol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# init_multihost contract (jax.distributed mocked: no cluster in CI)
+# ----------------------------------------------------------------------
+
+def test_init_multihost_passes_through_and_returns_process_index(monkeypatch):
+    calls = {}
+
+    def fake_init(coordinator_address=None, num_processes=None,
+                  process_id=None):
+        calls["args"] = (coordinator_address, num_processes, process_id)
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    got = par.init_multihost("coord:1234", 4, 2)
+    assert calls["args"] == ("coord:1234", 4, 2)
+    assert got == jax.process_index()
+
+
+def test_init_multihost_tolerates_already_initialized(monkeypatch):
+    def fake_init(**kw):
+        raise RuntimeError("jax.distributed is ALREADY initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    assert par.init_multihost() == jax.process_index()  # no raise
+
+
+def test_init_multihost_reraises_real_errors(monkeypatch):
+    def fake_init(**kw):
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    with pytest.raises(RuntimeError, match="unreachable"):
+        par.init_multihost("coord:1234", 2, 0)
