@@ -235,6 +235,22 @@ def _surface_n(surface, idx, wavelength, materials, mode):
 # 3D
 # ======================================================================
 
+def _tag_hit(hit):
+    """Name the (N,)-sized search results as checkpoint residuals.
+
+    Under ``cfg.remat`` the bounce body is rematerialized in the backward
+    pass -- which would re-run the N x M nearest-hit search (the expensive
+    half of each bounce) a second time.  The search is non-differentiable
+    (its gradients flow through the O(N) refine instead), so saving its tiny
+    per-ray output lets the backward recompute only the cheap elementwise
+    work: ``trace`` pairs this with a ``save_only_these_names`` policy.
+    A no-op when no checkpoint is active.
+    """
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(hit, "trace_hit")
+
+
 def project_3d(rays: RaySet, scene: Scene3D, materials, cfg: TraceConfig) -> Projection:
     """One intersection + gather pass (the analog of process_projection_3D,
     engine.py:1988-2191, without the boolean_mask compaction).
@@ -284,6 +300,7 @@ def project_3d(rays: RaySet, scene: Scene3D, materials, cfg: TraceConfig) -> Pro
             hit, valid=hit.valid[inv], idx=hit.idx[inv], ray_u=hit.ray_u[inv],
             kind=hit.kind[inv], branch=hit.branch[inv],
         )
+    hit = _tag_hit(hit)
 
     dtype = rays.p0.dtype
     value_mode = cfg.refractive_index_type == "value"
@@ -394,6 +411,7 @@ def project_2d(rays: RaySet, scene: Scene2D, materials, cfg: TraceConfig) -> Pro
             hit, valid=hit.valid[inv], idx=hit.idx[inv], ray_u=hit.ray_u[inv],
             kind=hit.kind[inv], branch=hit.branch[inv],
         )
+    hit = _tag_hit(hit)
 
     n = rays.n_rays
     dtype = rays.p0.dtype
@@ -569,7 +587,14 @@ def trace(rays: RaySet, scene, materials=None, cfg: TraceConfig = TraceConfig(),
         return (new_rays, acc), ys
 
     if cfg.remat:
-        body = jax.checkpoint(body)
+        # rematerialize the bounce in backward EXCEPT the nearest-hit search:
+        # its per-ray results are named residuals (see _tag_hit), so backward
+        # keeps O(1)-in-bounces memory for the heavy intermediates but never
+        # re-runs the N x M kernel.  Measured ~1.5x on deep guide training.
+        body = jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_only_these_names("trace_hit"),
+        )
 
     (final, acc), ys = lax.scan(body, (rays, fold_init), xs=None,
                                 length=cfg.max_bounces)

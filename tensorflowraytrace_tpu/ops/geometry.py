@@ -295,6 +295,13 @@ def snells_law_2D(x_start, y_start, x_end, y_end, norm, n_in, n_out, new_ray_len
     # double-where keeps the asin branch's gradient finite where it is unused
     refracts = (jnp.abs(theta2) <= 1.0) & (n != 0.0)
     safe_theta2 = jnp.where(refracts, theta2, zero)
+    # derivative guard: d/dx arcsin(x) -> inf at |x| == 1 (exactly-critical
+    # incidence passes the <= 1 refraction test); clamping by one dtype-eps
+    # bounds the derivative at ~1/sqrt(2*eps) with a forward change only for
+    # the measure-zero exactly-critical ray (same spirit as the radicand
+    # clamp in snells_law_3D)
+    lim = 1.0 - jnp.finfo(theta2.dtype).eps
+    safe_theta2 = jnp.clip(safe_theta2, -lim, lim)
     new_angle = jnp.where(refracts, norm - jnp.arcsin(safe_theta2), norm + theta1 + PI)
 
     x_start_new = x_end
@@ -335,6 +342,13 @@ def snells_law_3D(
     radicand = 1 - eta * eta + nu_eta * nu_eta
     do_tir = radicand < 0
     safe_radicand = jnp.where(do_tir, jnp.ones_like(radicand), radicand)
+    # clamp away from 0: d/dx sqrt(x) -> inf at exactly-critical incidence
+    # (radicand == 0 escapes the < 0 TIR guard).  eps**2 keeps the forward
+    # value bit-unchanged at the dtype's resolution while bounding the
+    # derivative at 0.5/eps.  Observed in the wild: TPU remat recompute
+    # rounds a near-critical radicand to exactly 0 -> NaN gradients.
+    tir_eps = jnp.finfo(radicand.dtype).eps ** 2
+    safe_radicand = jnp.maximum(safe_radicand, tir_eps)
     refract = (jnp.sign(nu) * jnp.sqrt(safe_radicand) - nu_eta) * n + eta * u
 
     reflect = -2 * nu * n + u
@@ -370,6 +384,9 @@ def snell_3d_vec(p0, p1, norm, n_in, n_out, new_ray_length):
     radicand = 1 - eta * eta + nu_eta * nu_eta
     do_tir = radicand < 0
     safe_radicand = jnp.where(do_tir, jnp.ones_like(radicand), radicand)
+    # derivative guard at exactly-critical incidence (see snells_law_3D)
+    safe_radicand = jnp.maximum(safe_radicand,
+                                jnp.finfo(radicand.dtype).eps ** 2)
     refract = (jnp.sign(nu) * jnp.sqrt(safe_radicand) - nu_eta) * n + eta * u
     reflect = -2 * nu * n + u
 

@@ -369,3 +369,66 @@ def test_angle_in_interval(angle, start, end, expected):
         jnp.asarray(angle, F64), jnp.asarray(start, F64), jnp.asarray(end, F64)
     )
     assert bool(got) == expected
+
+
+# ----------------------------------------------------------------------
+# exactly-critical incidence: the refraction radicand is EXACTLY 0 (passes
+# the < 0 TIR test) and d/dx sqrt(0) is inf.  eta = 1.25 with n.u = 0.6
+# gives radicand = 1 - 1.5625 + 0.5625 = 0 in exact float arithmetic.
+# Observed in the wild as NaN gradients in deep rematerialized TPU traces.
+# ----------------------------------------------------------------------
+
+def test_snell_3d_vec_critical_angle_gradient_finite():
+    from tensorflowraytrace_tpu.ops.geometry import snell_3d_vec
+
+    p0 = jnp.asarray([[0.0, 0.0, 0.0]], F64)
+    p1 = jnp.asarray([[0.8, 0.0, 0.6]], F64)     # unit: 0.64 + 0.36 exact
+    norm = jnp.asarray([[0.0, 0.0, 1.0]], F64)   # n.u = 0.6, internal
+    n_in = jnp.asarray([1.25], F64)
+    n_out = jnp.asarray([1.0], F64)
+
+    def loss(p1):
+        _, new_p1 = snell_3d_vec(p0, p1, norm, n_in, n_out, 1.0)
+        return jnp.sum(new_p1)
+
+    v = loss(p1)
+    g = jax.grad(loss)(p1)
+    assert bool(jnp.all(jnp.isfinite(v)))
+    assert bool(jnp.all(jnp.isfinite(g))), g
+
+
+def test_snells_law_3d_critical_angle_gradient_finite():
+    def loss(xe):
+        out = geometry.snells_law_3D(
+            jnp.asarray([0.0], F64), jnp.asarray([0.0], F64),
+            jnp.asarray([0.0], F64), xe, jnp.asarray([0.0], F64),
+            jnp.asarray([0.6], F64), jnp.asarray([[0.0, 0.0, 1.0]], F64),
+            jnp.asarray([1.25], F64), jnp.asarray([1.0], F64), 1.0)
+        return sum(jnp.sum(o) for o in out[3:])
+
+    g = jax.grad(loss)(jnp.asarray([0.8], F64))
+    assert bool(jnp.all(jnp.isfinite(g))), g
+
+
+def test_snells_law_2d_critical_angle_gradient_finite():
+    """2D analog: |n sin(theta1)| == 1 exactly passes the <= 1 refraction
+    test and d/dx arcsin(1) is inf."""
+    # ray traveling +x, surface normal at 3pi/4: the impl computes
+    # theta1 = norm - ray_angle = 3pi/4 - pi = -pi/4 (external branch),
+    # n = n_out/n_in; choose n_out = 1/|sin(theta1)| so |theta2| == 1
+    # (to within an ulp)
+    xs, ys = jnp.asarray([-1.0], F64), jnp.asarray([0.0], F64)
+    xe, ye = jnp.asarray([0.0], F64), jnp.asarray([0.0], F64)
+    norm = jnp.asarray([3 * PI / 4], F64)
+    theta1 = 3 * PI / 4 - math.pi
+    n_in = jnp.asarray([1.0], F64)
+    n_out = jnp.asarray([1.0 / abs(math.sin(theta1))], F64)
+
+    def loss(xe):
+        out = geometry.snells_law_2D(xs, ys, xe, ye, norm, n_in, n_out, 1.0)
+        return jnp.sum(out[2]) + jnp.sum(out[3])
+
+    v = loss(xe)
+    g = jax.grad(loss)(xe)
+    assert bool(jnp.all(jnp.isfinite(v)))
+    assert bool(jnp.all(jnp.isfinite(g))), g
