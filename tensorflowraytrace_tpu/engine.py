@@ -211,26 +211,6 @@ class TraceResult:
         return self.rays.dead
 
 
-def _surface_n(surface, idx, wavelength, materials, mode):
-    """Per-ray (n_in, n_out) for the hit surfaces.
-
-    "index" mode evaluates every material's dispersion curve at the ray
-    wavelengths and gathers (operation.py:260-272); "value" mode reads
-    per-surface floats (operation.py:273-275).
-    """
-    if mode == "value":
-        n_in = surface.fields["n_in"][idx]
-        n_out = surface.fields["n_out"][idx]
-    else:
-        if not materials:
-            raise ValueError("trace: refractive_index_type='index' needs materials")
-        mat_in = surface.mat_in[idx]
-        mat_out = surface.mat_out[idx]
-        n_in = material_index_lookup(materials, wavelength, mat_in)
-        n_out = material_index_lookup(materials, wavelength, mat_out)
-    return n_in, n_out
-
-
 # ======================================================================
 # 3D
 # ======================================================================
@@ -323,20 +303,23 @@ def project_3d(rays: RaySet, scene: Scene3D, materials, cfg: TraceConfig) -> Pro
                   + tri.mat_in * (1 << 10) + tri.mat_out)
         cols += [packed.astype(dtype)[:, None]]
     table = jnp.concatenate(cols, axis=1)
-    rows = table[hit.idx]                          # ONE gather per bounce
+    # one gather + one explicit transpose: the gathered (N, k) rows are
+    # row-major (lanes on the k-sized dim, heavy lane waste on TPU); a single
+    # relayout makes every downstream column a contiguous (N,) array
+    rows = table[hit.idx].T                        # ONE gather per bounce
 
     o = 9 if cfg.differentiable else 0
     if gather_norm:
-        norm = rows[:, o:o + 3]
+        norm = rows[o:o + 3].T
         o += 3
     if value_mode:
-        category = rows[:, o].astype(jnp.int32)
-        n_in = rows[:, o + 1]
-        n_out = rows[:, o + 2]
+        category = rows[o].astype(jnp.int32)
+        n_in = rows[o + 1]
+        n_out = rows[o + 2]
     else:
         if not materials:
             raise ValueError("trace: refractive_index_type='index' needs materials")
-        code = rows[:, o].astype(jnp.int32)
+        code = rows[o].astype(jnp.int32)
         category = code >> 20
         mat_in = (code >> 10) & 0x3FF
         mat_out = code & 0x3FF
@@ -345,9 +328,9 @@ def project_3d(rays: RaySet, scene: Scene3D, materials, cfg: TraceConfig) -> Pro
 
     extras = {}
     if cfg.differentiable:
-        vp = rows[:, 0:3]
-        v1 = rows[:, 3:6]
-        v2 = rows[:, 6:9]
+        vp = rows[0:3].T
+        v1 = rows[3:6].T
+        v2 = rows[6:9].T
         if not gather_norm:
             norm = compute_face_normals(vp, v1, v2)
         point, ray_u, tu, tv = isect.refine_triangle_hit_from(
@@ -422,32 +405,69 @@ def project_2d(rays: RaySet, scene: Scene2D, materials, cfg: TraceConfig) -> Pro
     category = jnp.zeros((n,), dtype=jnp.int32)
     extras = {"ray_u": hit.ray_u}
 
+    # One fused table gather per surface kind (same design as project_3d:
+    # geometry columns + one packed-or-value annotation column; separate
+    # per-ray gathers measured ~9 ms each per bounce at 1M rays on v5e,
+    # the fused row gather ~2 ms total)
+    value_mode = cfg.refractive_index_type == "value"
+    if not value_mode and not materials:
+        raise ValueError("trace: refractive_index_type='index' needs materials")
+
+    def annotation_cols(surface):
+        if value_mode:
+            return [surface.category.astype(dtype)[:, None],
+                    surface.fields["n_in"][:, None],
+                    surface.fields["n_out"][:, None]]
+        packed = (surface.category.astype(jnp.int32) * (1 << 20)
+                  + surface.mat_in * (1 << 10) + surface.mat_out)
+        return [packed.astype(dtype)[:, None]]
+
+    def unpack_annotation(rows, o):
+        # rows is the TRANSPOSED (k, N) gather -- each row is contiguous
+        if value_mode:
+            cat = rows[o].astype(jnp.int32)
+            return cat, rows[o + 1], rows[o + 2]
+        code = rows[o].astype(jnp.int32)
+        cat = code >> 20
+        nin = material_index_lookup(materials, rays.wavelength,
+                                    (code >> 10) & 0x3FF)
+        nout = material_index_lookup(materials, rays.wavelength, code & 0x3FF)
+        return cat, nin, nout
+
     if scene.segments is not None:
-        s_point, _, seg_u, s_norm = isect.refine_segment_hit(
-            rays.p0, rays.p1, scene.segments, hit.idx, i_eps
+        seg = scene.segments
+        table = jnp.concatenate([seg.p0, seg.p1] + annotation_cols(seg), axis=1)
+        # one gather + one explicit transpose: the gathered (N, k) rows are
+        # row-major (lanes on the k-sized dim, ~64x lane waste on TPU); a
+        # single relayout makes every downstream column a contiguous (N,)
+        rows = table[hit.idx].T
+        s_point, _, seg_u, s_norm = isect.refine_segment_hit_from(
+            rays.p0, rays.p1, rows[0:2].T, rows[2:4].T, i_eps
         )
-        s_nin, s_nout = _surface_n(scene.segments, hit.idx, rays.wavelength,
-                                   materials, cfg.refractive_index_type)
+        s_cat, s_nin, s_nout = unpack_annotation(rows, 4)
         is_seg = (hit.kind == isect.KIND_SEGMENT)
         point = jnp.where(is_seg[:, None], s_point, point)
         norm = jnp.where(is_seg, s_norm, norm)
         n_in = jnp.where(is_seg, s_nin, n_in)
         n_out = jnp.where(is_seg, s_nout, n_out)
-        category = jnp.where(is_seg, scene.segments.category[hit.idx], category)
+        category = jnp.where(is_seg, s_cat, category)
         extras["seg_u"] = seg_u
 
     if scene.arcs is not None:
-        a_point, _, arc_u, a_norm = isect.refine_arc_hit(
-            rays.p0, rays.p1, scene.arcs, hit.idx, hit.branch, i_eps
+        arc = scene.arcs
+        table = jnp.concatenate(
+            [arc.center, arc.radius[:, None]] + annotation_cols(arc), axis=1)
+        rows = table[hit.idx].T                        # see segments note
+        a_point, _, arc_u, a_norm = isect.refine_arc_hit_from(
+            rays.p0, rays.p1, rows[0:2].T, rows[2], hit.branch, i_eps
         )
-        a_nin, a_nout = _surface_n(scene.arcs, hit.idx, rays.wavelength,
-                                   materials, cfg.refractive_index_type)
+        a_cat, a_nin, a_nout = unpack_annotation(rows, 3)
         is_arc = (hit.kind == isect.KIND_ARC)
         point = jnp.where(is_arc[:, None], a_point, point)
         norm = jnp.where(is_arc, a_norm, norm)
         n_in = jnp.where(is_arc, a_nin, n_in)
         n_out = jnp.where(is_arc, a_nout, n_out)
-        category = jnp.where(is_arc, scene.arcs.category[hit.idx], category)
+        category = jnp.where(is_arc, a_cat, category)
         extras["arc_u"] = arc_u
 
     return Projection(

@@ -266,8 +266,13 @@ def nearest_hit_segments(
 def refine_segment_hit(p0, p1, seg: SegmentSet, idx, intersect_eps):
     """Differentiable recompute; returns ``(point (N,2), ray_u, seg_u, norm_angle)``."""
     idx = lax.stop_gradient(idx)
-    sp0 = seg.p0[idx]
-    sp1 = seg.p1[idx]
+    return refine_segment_hit_from(p0, p1, seg.p0[idx], seg.p1[idx],
+                                   intersect_eps)
+
+
+def refine_segment_hit_from(p0, p1, sp0, sp1, intersect_eps):
+    """Refine against already-gathered per-ray segment endpoints (used by the
+    engine's fused-table gather; see refine_triangle_hit_from)."""
     x, y, _, ray_u, seg_u = geometry.raw_line_intersect(
         p0[:, 0], p0[:, 1], p1[:, 0], p1[:, 1],
         sp0[:, 0], sp0[:, 1], sp1[:, 0], sp1[:, 1], intersect_eps,
@@ -333,9 +338,14 @@ def refine_arc_hit(p0, p1, arc: ArcSet, idx, branch, intersect_eps):
     wrapped to [-pi, pi] (engine.py:666-670).
     """
     idx = lax.stop_gradient(idx)
+    return refine_arc_hit_from(p0, p1, arc.center[idx], arc.radius[idx],
+                               branch, intersect_eps)
+
+
+def refine_arc_hit_from(p0, p1, center, radius, branch, intersect_eps):
+    """Refine against already-gathered per-ray arc center/radius (used by the
+    engine's fused-table gather)."""
     branch = lax.stop_gradient(branch)
-    center = arc.center[idx]
-    radius = arc.radius[idx]
     plus, minus = geometry.raw_line_circle_intersect(
         p0[:, 0], p0[:, 1], p1[:, 0], p1[:, 1],
         center[:, 0], center[:, 1], radius, intersect_eps,
