@@ -138,3 +138,54 @@ def test_optical_path_reversibility():
     orig = np.asarray([math.cos(t1), -math.sin(t1)])
     orig = -orig / np.linalg.norm(orig)
     np.testing.assert_allclose(back, -orig, atol=1e-10)
+
+def test_2d_and_3d_engines_agree_on_planar_interface():
+    """Engine-level cross-check (SURVEY section 4): the same planar
+    refracting interface traced as a 2D segment scene and as a 3D triangle
+    scene must land rays at the same (x, y), with z identically 0 in 3D."""
+    from tensorflowraytrace_tpu import Scene3D, TriangleSet
+
+    n = 41
+    angles = np.linspace(-0.5, 0.5, n)
+    d2 = np.stack([np.cos(angles), np.sin(angles)], axis=1)
+    p0_2d = np.zeros((n, 2))
+    rays2 = RaySet.make(jnp.asarray(p0_2d, F64), jnp.asarray(p0_2d + d2, F64),
+                        550.0, dtype=F64)
+
+    # interface at x = 1 (glass behind), target at x = 3
+    iface2 = SegmentSet.make([[1.0, -4.0]], [[1.0, 4.0]], mat_in=1, mat_out=0,
+                             dtype=F64)
+    tgt2 = SegmentSet.make([[3.0, -6.0]], [[3.0, 6.0]], dtype=F64)
+    scene2 = Scene2D.build(optical_segments=[iface2], target_segments=[tgt2])
+
+    d3 = np.concatenate([d2, np.zeros((n, 1))], axis=1)
+    p0_3d = np.zeros((n, 3))
+    rays3 = RaySet.make(jnp.asarray(p0_3d, F64), jnp.asarray(p0_3d + d3, F64),
+                        550.0, dtype=F64)
+
+    def plane(x, half, **kw):
+        # winding chosen so the face normal points -x, matching the 2D
+        # segment's norm (atan2(dy=8, dx=0) + pi/2 = pi): the engines'
+        # internal/external classification must see the same orientation
+        return TriangleSet.make(
+            [[x, -half, -half], [x, half, half]],
+            [[x, half, half], [x, -half, -half]],
+            [[x, half, -half], [x, -half, half]], dtype=F64, **kw)
+
+    scene3 = Scene3D.build(optical=[plane(1.0, 4.0, mat_in=1, mat_out=0)],
+                           targets=[plane(3.0, 6.0)])
+
+    m = (mats.vacuum, mats.acrylic)
+    cfg = TraceConfig(max_bounces=2)
+    res2 = trace(rays2, scene2, m, cfg)
+    res3 = trace(rays3, scene3, m, cfg)
+
+    s2 = np.asarray(res2.rays.state)
+    s3 = np.asarray(res3.rays.state)
+    np.testing.assert_array_equal(s2, s3)
+    assert (s2 == FINISHED).all()
+
+    e2 = np.asarray(res2.rays.p1)
+    e3 = np.asarray(res3.rays.p1)
+    np.testing.assert_allclose(e3[:, 2], 0.0, atol=1e-9)   # stays planar
+    np.testing.assert_allclose(e3[:, :2], e2, atol=1e-9)   # same landing
