@@ -640,8 +640,11 @@ def nearest_hit_arcs_pallas(p0, p1, arc, intersect_eps, ray_start_eps,
     search's HitRecord.branch).
 
     ``cull=True`` adds conservative per-chunk window-aware AABB culling
-    (sort the scene with morton_sort_arcs first for best effect).  Results
-    are identical either way."""
+    (sort the scene with morton_sort_arcs first for best effect).
+    ``cull="grid"`` (any truthy value) falls back to the same block culling:
+    arcs have no two-level kernel -- arc-heavy scenes at grid scale are rare
+    and the block cull already wins (docs/notes.md).  Results are identical
+    in every mode."""
     if interpret is None:
         interpret = _auto_interpret()
     p0 = jax.lax.stop_gradient(p0)
