@@ -83,10 +83,10 @@ def main(n_rays=1 << 20, bounces=24, theta_res=64, z_res=128):
             out = f(rays, scene)
             float(out)
         per = (time.time() - t0) / reps
-        checksums.add(f"{float(out):.6g}")
+        checksums.add(repr(float(out)))  # full precision: catch any divergence
         print(f"{name:14s}: {per * 1e3:7.0f} ms "
               f"-> {n_rays * m * bounces / per / 1e9:6.0f} G equiv int/s "
-              f"(checksum {float(out):.6g})", flush=True)
+              f"(checksum {float(out)!r})", flush=True)
     assert len(checksums) == 1, f"modes disagree: {checksums}"
     print("all modes bit-identical OK")
 

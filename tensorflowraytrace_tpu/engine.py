@@ -215,6 +215,34 @@ class TraceResult:
 # 3D
 # ======================================================================
 
+def _annotation_cols(surface, dtype, value_mode):
+    """Annotation columns for the fused per-bounce surface-table gather:
+    either per-surface (category, n_in, n_out) floats ("value" mode) or ONE
+    column with category<<20 | mat_in<<10 | mat_out packed into the f32
+    mantissa (exact below 2^24; ids are range-checked at scene build).
+    Shared by project_2d and project_3d -- the bit layout must stay in one
+    place."""
+    if value_mode:
+        return [surface.category.astype(dtype)[:, None],
+                surface.fields["n_in"][:, None],
+                surface.fields["n_out"][:, None]]
+    packed = (surface.category.astype(jnp.int32) * (1 << 20)
+              + surface.mat_in * (1 << 10) + surface.mat_out)
+    return [packed.astype(dtype)[:, None]]
+
+
+def _unpack_annotation(rows, o, value_mode, materials, wavelength):
+    """Inverse of :func:`_annotation_cols` on the TRANSPOSED (k, N) gathered
+    rows; returns per-ray ``(category, n_in, n_out)``."""
+    if value_mode:
+        return rows[o].astype(jnp.int32), rows[o + 1], rows[o + 2]
+    code = rows[o].astype(jnp.int32)
+    category = code >> 20
+    n_in = material_index_lookup(materials, wavelength, (code >> 10) & 0x3FF)
+    n_out = material_index_lookup(materials, wavelength, code & 0x3FF)
+    return category, n_in, n_out
+
+
 def _tag_hit(hit):
     """Name the (N,)-sized search results as checkpoint residuals.
 
@@ -295,13 +323,9 @@ def project_3d(rays: RaySet, scene: Scene3D, materials, cfg: TraceConfig) -> Pro
         cols += [tri.vp, tri.v1, tri.v2]
     if gather_norm:
         cols += [tri.norm]
-    if value_mode:
-        cols += [tri.category.astype(dtype)[:, None],
-                 tri.fields["n_in"][:, None], tri.fields["n_out"][:, None]]
-    else:
-        packed = (tri.category.astype(jnp.int32) * (1 << 20)
-                  + tri.mat_in * (1 << 10) + tri.mat_out)
-        cols += [packed.astype(dtype)[:, None]]
+    if not value_mode and not materials:
+        raise ValueError("trace: refractive_index_type='index' needs materials")
+    cols += _annotation_cols(tri, dtype, value_mode)
     table = jnp.concatenate(cols, axis=1)
     # one gather + one explicit transpose: the gathered (N, k) rows are
     # row-major (lanes on the k-sized dim, heavy lane waste on TPU); a single
@@ -312,19 +336,8 @@ def project_3d(rays: RaySet, scene: Scene3D, materials, cfg: TraceConfig) -> Pro
     if gather_norm:
         norm = rows[o:o + 3].T
         o += 3
-    if value_mode:
-        category = rows[o].astype(jnp.int32)
-        n_in = rows[o + 1]
-        n_out = rows[o + 2]
-    else:
-        if not materials:
-            raise ValueError("trace: refractive_index_type='index' needs materials")
-        code = rows[o].astype(jnp.int32)
-        category = code >> 20
-        mat_in = (code >> 10) & 0x3FF
-        mat_out = code & 0x3FF
-        n_in = material_index_lookup(materials, rays.wavelength, mat_in)
-        n_out = material_index_lookup(materials, rays.wavelength, mat_out)
+    category, n_in, n_out = _unpack_annotation(rows, o, value_mode, materials,
+                                               rays.wavelength)
 
     extras = {}
     if cfg.differentiable:
@@ -413,30 +426,10 @@ def project_2d(rays: RaySet, scene: Scene2D, materials, cfg: TraceConfig) -> Pro
     if not value_mode and not materials:
         raise ValueError("trace: refractive_index_type='index' needs materials")
 
-    def annotation_cols(surface):
-        if value_mode:
-            return [surface.category.astype(dtype)[:, None],
-                    surface.fields["n_in"][:, None],
-                    surface.fields["n_out"][:, None]]
-        packed = (surface.category.astype(jnp.int32) * (1 << 20)
-                  + surface.mat_in * (1 << 10) + surface.mat_out)
-        return [packed.astype(dtype)[:, None]]
-
-    def unpack_annotation(rows, o):
-        # rows is the TRANSPOSED (k, N) gather -- each row is contiguous
-        if value_mode:
-            cat = rows[o].astype(jnp.int32)
-            return cat, rows[o + 1], rows[o + 2]
-        code = rows[o].astype(jnp.int32)
-        cat = code >> 20
-        nin = material_index_lookup(materials, rays.wavelength,
-                                    (code >> 10) & 0x3FF)
-        nout = material_index_lookup(materials, rays.wavelength, code & 0x3FF)
-        return cat, nin, nout
-
     if scene.segments is not None:
         seg = scene.segments
-        table = jnp.concatenate([seg.p0, seg.p1] + annotation_cols(seg), axis=1)
+        table = jnp.concatenate(
+            [seg.p0, seg.p1] + _annotation_cols(seg, dtype, value_mode), axis=1)
         # one gather + one explicit transpose: the gathered (N, k) rows are
         # row-major (lanes on the k-sized dim, ~64x lane waste on TPU); a
         # single relayout makes every downstream column a contiguous (N,)
@@ -444,7 +437,8 @@ def project_2d(rays: RaySet, scene: Scene2D, materials, cfg: TraceConfig) -> Pro
         s_point, _, seg_u, s_norm = isect.refine_segment_hit_from(
             rays.p0, rays.p1, rows[0:2].T, rows[2:4].T, i_eps
         )
-        s_cat, s_nin, s_nout = unpack_annotation(rows, 4)
+        s_cat, s_nin, s_nout = _unpack_annotation(rows, 4, value_mode,
+                                                  materials, rays.wavelength)
         is_seg = (hit.kind == isect.KIND_SEGMENT)
         point = jnp.where(is_seg[:, None], s_point, point)
         norm = jnp.where(is_seg, s_norm, norm)
@@ -456,12 +450,14 @@ def project_2d(rays: RaySet, scene: Scene2D, materials, cfg: TraceConfig) -> Pro
     if scene.arcs is not None:
         arc = scene.arcs
         table = jnp.concatenate(
-            [arc.center, arc.radius[:, None]] + annotation_cols(arc), axis=1)
+            [arc.center, arc.radius[:, None]]
+            + _annotation_cols(arc, dtype, value_mode), axis=1)
         rows = table[hit.idx].T                        # see segments note
         a_point, _, arc_u, a_norm = isect.refine_arc_hit_from(
             rays.p0, rays.p1, rows[0:2].T, rows[2], hit.branch, i_eps
         )
-        a_cat, a_nin, a_nout = unpack_annotation(rows, 3)
+        a_cat, a_nin, a_nout = _unpack_annotation(rows, 3, value_mode,
+                                                  materials, rays.wavelength)
         is_arc = (hit.kind == isect.KIND_ARC)
         point = jnp.where(is_arc[:, None], a_point, point)
         norm = jnp.where(is_arc, a_norm, norm)

@@ -6,9 +6,10 @@ curves from refractiveindex.info; same coefficients, same nm convention).
 (geometry.py:574-576 in the reference; ops/geometry.py here).
 
 A material is any callable ``n(wavelength)``; the trace engine evaluates the
-whole material list against every ray's wavelength and gathers by per-surface
+whole material list against every ray's wavelength and selects by per-surface
 material index (reference operation.py:260-272).  ``material_index_lookup``
-implements that gather as a single stacked take, which XLA fuses.
+implements that as a vectorized select chain (see its docstring for why a
+dynamic gather is the wrong tool on TPU).
 """
 
 from __future__ import annotations
@@ -93,4 +94,8 @@ def material_index_lookup(materials, wavelength, mat_idx):
     out = materials[0](wavelength)
     for k, m in enumerate(materials[1:], start=1):
         out = jnp.where(mat_idx == k, m(wavelength), out)
-    return out
+    # fail loud on out-of-range ids, matching the old take_along_axis
+    # behavior (NaN n -> the ray dies at the engine's finite-child backstop)
+    # instead of silently treating unknown ids as materials[0]
+    in_range = (mat_idx >= 0) & (mat_idx < len(materials))
+    return jnp.where(in_range, out, jnp.nan)

@@ -51,6 +51,37 @@ def _lr_schedule(lr, steps):
     return [lr] * steps
 
 
+def _apply_param_update(p, g, v, lr_scale, momentum, ind_lr, learning_rate,
+                        clip_mode, clip_scale, grad_clip, accumulator,
+                        smoother):
+    """One parameter's gradient-hygiene + Nesterov update (optimizer.py:
+    227-282 pipeline): finite-guard -> lr scale -> clip -> accumulator
+    matmul -> momentum -> smoother matmul.  Shared by the per-step and the
+    chained (lax.scan) step builders so the two can never diverge.
+
+    Everything multiplying into the update is cast to the parameter's dtype:
+    lr_scale/momentum arrive as traced f64 under jax_enable_x64 and would
+    otherwise silently promote f32 params (and break the scan carry types).
+    """
+    dt = p.dtype
+    lr_s = jnp.asarray(lr_scale, dt)
+    mom = jnp.asarray(momentum, dt)
+    g = jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g))
+    g = g * (lr_s * ind_lr * learning_rate)
+    if clip_mode == "common":
+        clip = jnp.asarray(grad_clip, dt)
+    else:
+        clip = ind_lr * clip_scale * learning_rate * lr_s
+    g = jnp.clip(g, -clip, clip)
+    if accumulator is not None:
+        g = (accumulator.astype(dt) @ g.reshape(-1, 1)).reshape(g.shape)
+    v = mom * v + g
+    p = p - (g + mom * v)
+    if smoother is not None:
+        p = (smoother.astype(dt) @ p.reshape(-1, 1)).reshape(p.shape)
+    return p, v
+
+
 class Optimizer:
     """Gradient-descent driver for parametric optics.
 
@@ -116,34 +147,10 @@ class Optimizer:
             new_params = []
             new_velocity = []
             for i, (p, g, v) in enumerate(zip(params, grads, velocity)):
-                # everything multiplying into the update is cast to the
-                # parameter's dtype: lr_scale/momentum arrive as traced f64
-                # under jax_enable_x64 and would otherwise silently promote
-                # f32 params (and break the lax.scan carry in run_phase)
-                dt = p.dtype
-                lr_s = jnp.asarray(lr_scale, dt)
-                mom = jnp.asarray(momentum, dt)
-                # finite guard (optimizer.py:227-240)
-                g = jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g))
-                # learning rate scaling (:243)
-                g = g * (lr_s * individual_lr[i] * learning_rate)
-                # clipping (:244-248)
-                if clip_mode == "common":
-                    clip = jnp.asarray(grad_clip, dt)
-                else:
-                    clip = individual_lr[i] * clip_scale * learning_rate * lr_s
-                g = jnp.clip(g, -clip, clip)
-                # accumulator matmul (:251-256) -- MXU work
-                if accumulators[i] is not None:
-                    acc = accumulators[i].astype(dt)
-                    g = (acc @ g.reshape(-1, 1)).reshape(g.shape)
-                # Nesterov momentum update
-                v = mom * v + g
-                step_g = g + mom * v
-                p = p - step_g
-                # smoother matmul (:277-282)
-                if smoothers[i] is not None:
-                    p = (smoothers[i].astype(dt) @ p.reshape(-1, 1)).reshape(p.shape)
+                p, v = _apply_param_update(
+                    p, g, v, lr_scale, momentum, individual_lr[i],
+                    learning_rate, clip_mode, clip_scale, grad_clip,
+                    accumulators[i], smoothers[i])
                 new_params.append(p)
                 new_velocity.append(v)
             return new_params, new_velocity, error
@@ -215,28 +222,10 @@ class Optimizer:
                 new_params = []
                 new_velocity = []
                 for i, (p, g, v) in enumerate(zip(params, grads, velocity)):
-                    # cast per-param (see _make_step): traced f64 lr_scale /
-                    # momentum under x64 would promote the scan carry and
-                    # fail the carry-type check
-                    dt = p.dtype
-                    lr_s = jnp.asarray(lr_scale, dt)
-                    mom = jnp.asarray(momentum, dt)
-                    g = jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g))
-                    g = g * (lr_s * individual_lr[i] * learning_rate)
-                    if clip_mode == "common":
-                        clip = jnp.asarray(grad_clip, dt)
-                    else:
-                        clip = (individual_lr[i] * clip_scale * learning_rate
-                                * lr_s)
-                    g = jnp.clip(g, -clip, clip)
-                    if accumulators[i] is not None:
-                        acc = accumulators[i].astype(dt)
-                        g = (acc @ g.reshape(-1, 1)).reshape(g.shape)
-                    v = mom * v + g
-                    p = p - (g + mom * v)
-                    if smoothers[i] is not None:
-                        p = (smoothers[i].astype(dt)
-                             @ p.reshape(-1, 1)).reshape(p.shape)
+                    p, v = _apply_param_update(
+                        p, g, v, lr_scale, momentum, individual_lr[i],
+                        learning_rate, clip_mode, clip_scale, grad_clip,
+                        accumulators[i], smoothers[i])
                     new_params.append(p)
                     new_velocity.append(v)
                 return (new_params, new_velocity, key), error

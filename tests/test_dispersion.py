@@ -76,3 +76,14 @@ def test_prism_separates_wavelengths():
     n400 = float(mats.flint_glass(jnp.asarray(400.0, F64)))
     n700 = float(mats.flint_glass(jnp.asarray(700.0, F64)))
     assert n400 > n700
+
+
+def test_material_index_lookup_out_of_range_is_nan():
+    """Ids outside the material list must fail loud (NaN -> the ray dies at
+    the engine's finite-child backstop), not silently act as materials[0]."""
+    wl = jnp.asarray([550.0, 550.0, 550.0], F64)
+    idx = jnp.asarray([0, 2, -1], jnp.int32)
+    n = mats.material_index_lookup([mats.vacuum, mats.acrylic], wl, idx)
+    assert float(n[0]) == 1.0
+    assert np.isnan(float(n[1]))
+    assert np.isnan(float(n[2]))

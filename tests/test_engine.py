@@ -587,3 +587,45 @@ def test_early_exit_rejects_history():
     with pytest.raises(ValueError, match="early_exit"):
         trace(rays, scene, (mats.vacuum, mats.acrylic),
               TraceConfig(max_bounces=5, early_exit=True, keep_history=True))
+
+
+def test_value_mode_matches_index_mode_segments_and_arcs():
+    """'value' mode (per-surface n floats) must trace identically to 'index'
+    mode (material-list ids) on a mixed segment+arc scene -- covers both
+    branches of the engine's fused annotation column."""
+    n_glass = 1.52
+    rng = np.random.default_rng(3)
+    starts = np.zeros((16, 2))
+    dirs = np.stack([np.ones(16), rng.uniform(-0.4, 0.4, 16)], axis=1)
+    rays = make_rays_2d(starts, starts + dirs)
+
+    seg_idx = SegmentSet.make([[1.0, -4.0]], [[1.0, 4.0]], mat_in=1,
+                              mat_out=0, dtype=F64)
+    arc_idx = ArcSet.make([[4.0, 0.0]], -2.0, 2.0, 2.5, mat_in=1, mat_out=0,
+                          dtype=F64)
+    tgt = SegmentSet.make([[8.0, -8.0]], [[8.0, 8.0]], dtype=F64)
+    scene_idx = Scene2D.build(optical_segments=[seg_idx],
+                              optical_arcs=[arc_idx], target_segments=[tgt])
+
+    from tensorflowraytrace_tpu.ops.materials import build_constant_material, vacuum
+    res_idx = trace(rays, scene_idx, (vacuum, build_constant_material(n_glass)),
+                    TraceConfig(max_bounces=3))
+
+    nin = {"n_in": jnp.full(1, n_glass, F64), "n_out": jnp.ones(1, F64)}
+    seg_val = SegmentSet.make([[1.0, -4.0]], [[1.0, 4.0]], fields=dict(nin),
+                              dtype=F64)
+    arc_val = ArcSet.make([[4.0, 0.0]], -2.0, 2.0, 2.5, fields=dict(nin),
+                          dtype=F64)
+    tgt_val = SegmentSet.make([[8.0, -8.0]], [[8.0, 8.0]],
+                              fields={"n_in": jnp.zeros(1, F64),
+                                      "n_out": jnp.ones(1, F64)}, dtype=F64)
+    scene_val = Scene2D.build(optical_segments=[seg_val],
+                              optical_arcs=[arc_val],
+                              target_segments=[tgt_val])
+    res_val = trace(rays, scene_val, None,
+                    TraceConfig(max_bounces=3, refractive_index_type="value"))
+
+    np.testing.assert_array_equal(np.asarray(res_idx.rays.state),
+                                  np.asarray(res_val.rays.state))
+    np.testing.assert_allclose(np.asarray(res_idx.rays.p1),
+                               np.asarray(res_val.rays.p1), atol=1e-12)
