@@ -61,9 +61,10 @@ class TraceConfig:
     use_pallas: bool = False
     # conservative AABB chunk culling in the pallas search (exact results;
     # morton-sort the scene for best effect -- models/acceleration.py).
-    # True = block culling; "grid" (3D only) = two-level candidate-gather
-    # kernel (fine chunks DMA'd from HBM behind a slab gate) -- fastest on
-    # structured scenes, never slower than block culling in our measurements
+    # True = block culling; "grid" = two-level candidate-gather kernel
+    # (triangles, segments AND arcs: fine chunks DMA'd from HBM behind a
+    # slab gate) -- fastest on structured scenes, never slower than block
+    # culling in our measurements
     cull: object = False
     surf_chunk: int = 128
     ray_block: int = 32768
@@ -109,8 +110,9 @@ class TraceConfig:
         ``scene`` on the current platform:
 
         * pallas kernels + conservative chunk culling on TPU (exact
-          results); 3D scenes use the two-level candidate-gather kernel
-          (``cull="grid"``: fine 256-tri chunks DMA'd behind a slab gate --
+          results); 3D scenes and large 2D scenes use the two-level
+          candidate-gather kernel (``cull="grid"``: fine chunks DMA'd
+          behind a slab gate; covers triangles, segments and arcs --
           measured 1.0-2.0x over block culling, never slower);
         * per-bounce ray re-sorting only for LARGE 3D scenes (>= ~2k
           triangles) -- on smaller scenes or in 2D the per-bounce argsort

@@ -640,11 +640,10 @@ def nearest_hit_arcs_pallas(p0, p1, arc, intersect_eps, ray_start_eps,
     search's HitRecord.branch).
 
     ``cull=True`` adds conservative per-chunk window-aware AABB culling
-    (sort the scene with morton_sort_arcs first for best effect).
-    ``cull="grid"`` (any truthy value) falls back to the same block culling:
-    arcs have no two-level kernel -- arc-heavy scenes at grid scale are rare
-    and the block cull already wins (docs/notes.md).  Results are identical
-    in every mode."""
+    (sort the scene with morton_sort_arcs first for best effect);
+    ``cull="grid"`` selects the two-level candidate-gather kernel (fine
+    chunks DMA'd behind the slab gate, mirroring the segment/triangle
+    variants).  Results are identical in every mode."""
     if interpret is None:
         interpret = _auto_interpret()
     p0 = jax.lax.stop_gradient(p0)
@@ -670,6 +669,16 @@ def nearest_hit_arcs_pallas(p0, p1, arc, intersect_eps, ray_start_eps,
               .at[8].set((sweep >= 2 * jnp.pi - 1e-6).astype(dtype)))
     ray_block = _clamp_block(ray_block, n)
     arc_block = _clamp_block(arc_block, m)
+    if cull == "grid":
+        from tensorflowraytrace_tpu.models.acceleration import chunk_aabbs_arcs
+
+        fine = min(FINE_CHUNK, max(128, m))
+        rb = max(int(ray_block), TWOLEVEL_RAY_BLOCK)
+        aabbs = chunk_aabbs_arcs(center, a1, a2, radius, fine).astype(dtype)
+        return _nearest_hit_arcs_twolevel_impl(
+            rays8, arcs16, aabbs, float(intersect_eps), float(ray_start_eps),
+            rb, fine, bool(interpret),
+        )
     if cull:
         from tensorflowraytrace_tpu.models.acceleration import chunk_aabbs_arcs
 
@@ -1244,6 +1253,139 @@ def _twolevel_segment_kernel(i_eps, s_eps, r_eps, n_chunks, max_cand,
     idx_ref[...] = best_idx
 
 
+def _twolevel_arc_kernel(i_eps, r_eps, n_chunks, max_cand,
+                         counts_ref, cand_ref,
+                         rays_ref, aabb_ref, arcs_hbm,
+                         u_ref, idx_ref, branch_ref, scratch, sems):
+    """Two-level arc search: 1-D grid over ray blocks, fine arc chunks DMA'd
+    from HBM behind the conservative slab gate (same scheme as
+    _twolevel_segment_kernel; chunk AABBs are window-aware,
+    models/acceleration.py chunk_aabbs_arcs).  Exactly conservative."""
+    i = pl.program_id(0)
+    cnt = counts_ref[i]
+    full_sweep = cnt == n_chunks
+
+    def chunk_id(k):
+        kk = jnp.minimum(k, max_cand - 1)
+        return jnp.where(full_sweep, k, cand_ref[i * max_cand + kk])
+
+    r = rays_ref[...]
+    xs = r[0][None, :]
+    ys = r[1][None, :]
+    dx0 = (r[2] - r[0])[None, :]
+    dy0 = (r[3] - r[1])[None, :]
+
+    tiny = 1e-30
+
+    def axis_slab(o, d, lo, hi):
+        inv = 1.0 / jnp.where(jnp.abs(d) < tiny,
+                              jnp.where(d < 0, -tiny, tiny), d)
+        t1 = (lo - o) * inv
+        t2 = (hi - o) * inv
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    def improving_any(c, best_u):
+        ax0, bx0 = axis_slab(xs, dx0, aabb_ref[0, c], aabb_ref[2, c])
+        ay0, by0 = axis_slab(ys, dy0, aabb_ref[1, c], aabb_ref[3, c])
+        tmin = jnp.maximum(ax0, ay0)
+        tmax = jnp.minimum(bx0, by0)
+        can_hit = (tmax * (1 + 1e-6) + 1e-6 >= jnp.maximum(tmin, r_eps))
+        improving = tmin * (1 - 1e-6) - 1e-6 <= best_u
+        return jnp.any(can_hit & improving)
+
+    def dma(c, slot):
+        return pltpu.make_async_copy(arcs_hbm.at[c], scratch.at[slot],
+                                     sems.at[slot])
+
+    best_u = jnp.full(u_ref.shape, _BIG, u_ref.dtype)
+    best_idx = jnp.zeros(idx_ref.shape, idx_ref.dtype)
+    best_branch = jnp.zeros(branch_ref.shape, branch_ref.dtype)
+
+    @pl.when(cnt > 0)
+    def _():
+        dma(chunk_id(0), 0).start()
+
+    def body(k, carry):
+        best_u, best_idx, best_branch = carry
+        c = chunk_id(k)
+
+        @pl.when(k + 1 < cnt)
+        def _():
+            dma(chunk_id(k + 1), (k + 1) % 2).start()
+
+        dma(c, k % 2).wait()
+
+        def with_chunk(args):
+            best_u, best_idx, best_branch = args
+            t = scratch[k % 2]
+            xc = t[0][:, None]
+            yc = t[1][:, None]
+            rad_r = t[2][:, None]
+            sx = t[3][:, None]
+            sy = t[4][:, None]
+            ex = t[5][:, None]
+            ey = t[6][:, None]
+            big_w = t[7][:, None] > 0.5
+            full = t[8][:, None] > 0.5
+            dead = t[9][:, None] > 0.5
+
+            inv_r = 1.0 / rad_r
+            xr = (xs - xc) * inv_r
+            yr = (ys - yc) * inv_r
+            xd = dx0 * inv_r
+            yd = dy0 * inv_r
+
+            a = xd * xd + yd * yd
+            b = 2.0 * (xr * xd + yr * yd)
+            cc = xr * xr + yr * yr - 1.0
+            disc = b * b - 4.0 * a * cc
+            disc = jnp.where(jnp.abs(disc) < i_eps, jnp.zeros_like(disc), disc)
+
+            ok = (disc >= 0) & (jnp.abs(a) >= i_eps)
+            inv2a = 1.0 / jnp.where(jnp.abs(a) >= i_eps, 2.0 * a,
+                                    jnp.ones_like(a))
+            sq = jnp.sqrt(jnp.where(disc >= 0, disc, jnp.zeros_like(disc)))
+            u_plus = (-b + sq) * inv2a
+            u_minus = (-b - sq) * inv2a
+
+            def branch_valid(u):
+                x = xs + dx0 * u
+                y = ys + dy0 * u
+                px = x - xc
+                py = y - yc
+                c1 = sx * py - sy * px
+                c2 = px * ey - py * ex
+                narrow = (c1 >= 0) & (c2 >= 0)
+                wide = jnp.logical_not((c1 < 0) & (c2 < 0))
+                sel = (big_w & wide) | (jnp.logical_not(big_w) & narrow)
+                in_window = (sel | full) & jnp.logical_not(dead)
+                return ok & (u >= r_eps) & in_window
+
+            up = jnp.where(branch_valid(u_plus), u_plus, _BIG)
+            um = jnp.where(branch_valid(u_minus), u_minus, _BIG)
+            u = jnp.minimum(um, up)
+
+            bu = jnp.min(u, axis=0)[None, :]
+            barg = jnp.argmin(u, axis=0).astype(jnp.int32)[None, :]
+            gidx = c * t.shape[1] + barg
+            bbranch = (jnp.min(um, axis=0)
+                       < jnp.min(up, axis=0)).astype(jnp.int32)[None, :]
+            better = bu < best_u
+            return (jnp.where(better, bu, best_u),
+                    jnp.where(better, gidx, best_idx),
+                    jnp.where(better, bbranch, best_branch))
+
+        return jax.lax.cond(
+            improving_any(c, best_u[0][None, :]), with_chunk,
+            lambda args: args, (best_u, best_idx, best_branch))
+
+    best_u, best_idx, best_branch = jax.lax.fori_loop(
+        0, cnt, body, (best_u, best_idx, best_branch))
+    u_ref[...] = best_u
+    idx_ref[...] = best_idx
+    branch_ref[...] = best_branch
+
+
 def _twolevel_candidates_2d(rays8, aabbs, r_eps, ray_block,
                             max_cand=TWOLEVEL_MAX_CAND):
     """2D analogue of _twolevel_candidates (rows 0-1 lo, 2-3 hi)."""
@@ -1325,3 +1467,64 @@ def _nearest_hit_segments_twolevel_impl(rays8, segs8, aabbs, i_eps, s_eps,
         interpret=interpret,
     )(counts, cand, rays8, aabbs, segs_chunked)
     return u[0, :n] < _BIG * 0.5, idx[0, :n], u[0, :n]
+
+
+@functools.partial(jax.jit, static_argnames=("i_eps", "r_eps", "ray_block",
+                                             "fine_chunk", "interpret"))
+def _nearest_hit_arcs_twolevel_impl(rays8, arcs16, aabbs, i_eps, r_eps,
+                                    ray_block, fine_chunk, interpret):
+    n = rays8.shape[1]
+    m = arcs16.shape[1]
+    n_pad = -(-n // ray_block) * ray_block
+    m_pad = -(-m // fine_chunk) * fine_chunk
+    rays8 = _pad_to(rays8, n_pad, 1)
+    arcs16 = _pad_to(arcs16, m_pad, 1)
+    if m_pad > m:
+        pad_cols = jnp.zeros((16, m_pad - m), dtype=arcs16.dtype)
+        pad_cols = pad_cols.at[2].set(1.0)   # radius 1
+        pad_cols = pad_cols.at[9].set(1.0)   # dead
+        arcs16 = arcs16.at[:, m:].set(pad_cols)
+    n_chunks = m_pad // fine_chunk
+    assert aabbs.shape[1] == n_chunks, (aabbs.shape, n_chunks)
+    arcs_chunked = jnp.transpose(
+        arcs16.reshape(16, n_chunks, fine_chunk), (1, 0, 2))
+    max_cand = min(TWOLEVEL_MAX_CAND, n_chunks)
+    counts, cand = _twolevel_candidates_2d(rays8, aabbs, r_eps, ray_block,
+                                           max_cand)
+
+    grid = (n_pad // ray_block,)
+    kernel = functools.partial(_twolevel_arc_kernel, i_eps, r_eps,
+                               n_chunks, max_cand)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, ray_block), lambda i, counts, cand: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ray_block), lambda i, counts, cand: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_block), lambda i, counts, cand: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_block), lambda i, counts, cand: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, fine_chunk), rays8.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    u, idx, branch = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), rays8.dtype),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(counts, cand, rays8, aabbs, arcs_chunked)
+    return u[0, :n] < _BIG * 0.5, idx[0, :n], u[0, :n], branch[0, :n] > 0

@@ -541,3 +541,39 @@ def test_full_2d_trace_with_grid_cull(rng):
                                   np.asarray(r1.rays.state))
     np.testing.assert_array_equal(np.asarray(r0.rays.p1),
                                   np.asarray(r1.rays.p1))
+
+
+def test_twolevel_arc_kernel_matches_brute(rng):
+    """The two-level candidate-gather arc kernel (cull="grid") is exactly
+    conservative: identical (valid, idx, ray_u, branch) to brute."""
+    from tensorflowraytrace_tpu.models.acceleration import morton_sort_arcs
+    from tensorflowraytrace_tpu.models.surfaces import ArcSet
+    from tensorflowraytrace_tpu.ops.pallas_kernels import nearest_hit_arcs_pallas
+
+    n_arcs = 600  # > one fine chunk so the candidate machinery engages
+    center = rng.uniform(-8, 8, (n_arcs, 2)).astype(np.float32)
+    a1 = rng.uniform(-math.pi, math.pi, n_arcs).astype(np.float32)
+    sweep = rng.uniform(0.3, 5.8, n_arcs).astype(np.float32)
+    a2 = ((a1 + sweep + math.pi) % (2 * math.pi) - math.pi).astype(np.float32)
+    radius = (rng.uniform(0.2, 1.0, n_arcs)
+              * rng.choice([-1.0, 1.0], n_arcs)).astype(np.float32)
+    arc = ArcSet.make(center, a1, a2, radius, mat_in=1, dtype=F32)
+    arc, _ = morton_sort_arcs(arc)
+
+    n = 700
+    q0 = rng.uniform(-9, 9, (n, 2)).astype(np.float32)
+    d = rng.normal(0, 1, (n, 2)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    q0j, q1j = jnp.asarray(q0), jnp.asarray(q0 + d)
+    eps = 1e-6
+
+    vb, ib, ub, brb = nearest_hit_arcs_pallas(
+        q0j, q1j, arc, eps, eps, interpret=True, cull=False)
+    vg, ig, ug, brg = nearest_hit_arcs_pallas(
+        q0j, q1j, arc, eps, eps, interpret=True, cull="grid")
+    np.testing.assert_array_equal(np.asarray(vb), np.asarray(vg))
+    hit = np.asarray(vb)
+    np.testing.assert_array_equal(np.asarray(ib)[hit], np.asarray(ig)[hit])
+    np.testing.assert_array_equal(np.asarray(ub)[hit], np.asarray(ug)[hit])
+    np.testing.assert_array_equal(np.asarray(brb)[hit], np.asarray(brg)[hit])
+    assert hit.any()
