@@ -45,6 +45,7 @@ def _tmp_cwd(tmp_path, monkeypatch):
 # (script, kwargs) -- sizes chosen so each runs in seconds on CPU float64
 CASES = [
     ("optimize_single_arc", {}),
+    ("design_sweep", {"population": 8, "steps": 5, "top_k": 2}),
     ("trace_3d", {}),
     ("light_guide", {}),
     ("mesh_graph_tools", {}),
