@@ -945,6 +945,10 @@ TWOLEVEL_RAY_BLOCK = 1024
 # full in-kernel sweep (still gated per chunk by the improving test).  Keeps
 # the scalar-prefetch table within the 1 MB SMEM budget.
 TWOLEVEL_MAX_CAND = 32
+# the scalar-prefetched candidate table lives in SMEM (~1 MB on v5e):
+# blocks * max_cand * 4 B must fit, so two-level calls slab the ray axis at
+# this many ray blocks per pallas_call (4096 * 32 * 4 B = 512 KB)
+TWOLEVEL_MAX_BLOCKS = 4096
 
 
 def _twolevel_triangle_kernel(i_eps, s_eps, r_eps, n_chunks, max_cand,
@@ -1109,6 +1113,19 @@ def _nearest_hit_triangles_twolevel_impl(rays8, tris16, aabbs, i_eps, s_eps,
                                          r_eps, ray_block, fine_chunk,
                                          interpret):
     n = rays8.shape[1]
+    max_rays = TWOLEVEL_MAX_BLOCKS * ray_block
+    if n > max_rays:
+        # slab the ray axis: the SMEM candidate table scales with the ray-
+        # block count and overflows at ~>4M rays per call (measured: a 33M-
+        # ray call fails AOT compile with 'would exceed memory (space=smem)')
+        parts = [
+            _nearest_hit_triangles_twolevel_impl(
+                rays8[:, s:s + max_rays], tris16, aabbs, i_eps, s_eps, r_eps,
+                ray_block, fine_chunk, interpret)
+            for s in range(0, n, max_rays)
+        ]
+        return tuple(jnp.concatenate(xs) for xs in zip(*parts))
+
     m = tris16.shape[1]
     n_pad = -(-n // ray_block) * ray_block
     m_pad = -(-m // fine_chunk) * fine_chunk
@@ -1421,6 +1438,19 @@ def _nearest_hit_segments_twolevel_impl(rays8, segs8, aabbs, i_eps, s_eps,
                                         r_eps, ray_block, fine_chunk,
                                         interpret):
     n = rays8.shape[1]
+    max_rays = TWOLEVEL_MAX_BLOCKS * ray_block
+    if n > max_rays:
+        # slab the ray axis: the SMEM candidate table scales with the ray-
+        # block count and overflows at ~>4M rays per call (measured: a 33M-
+        # ray call fails AOT compile with 'would exceed memory (space=smem)')
+        parts = [
+            _nearest_hit_segments_twolevel_impl(
+                rays8[:, s:s + max_rays], segs8, aabbs, i_eps, s_eps, r_eps,
+                ray_block, fine_chunk, interpret)
+            for s in range(0, n, max_rays)
+        ]
+        return tuple(jnp.concatenate(xs) for xs in zip(*parts))
+
     m = segs8.shape[1]
     n_pad = -(-n // ray_block) * ray_block
     m_pad = -(-m // fine_chunk) * fine_chunk
@@ -1474,6 +1504,17 @@ def _nearest_hit_segments_twolevel_impl(rays8, segs8, aabbs, i_eps, s_eps,
 def _nearest_hit_arcs_twolevel_impl(rays8, arcs16, aabbs, i_eps, r_eps,
                                     ray_block, fine_chunk, interpret):
     n = rays8.shape[1]
+    max_rays = TWOLEVEL_MAX_BLOCKS * ray_block
+    if n > max_rays:
+        # slab the ray axis (see _nearest_hit_triangles_twolevel_impl)
+        parts = [
+            _nearest_hit_arcs_twolevel_impl(
+                rays8[:, s:s + max_rays], arcs16, aabbs, i_eps, r_eps,
+                ray_block, fine_chunk, interpret)
+            for s in range(0, n, max_rays)
+        ]
+        return tuple(jnp.concatenate(xs) for xs in zip(*parts))
+
     m = arcs16.shape[1]
     n_pad = -(-n // ray_block) * ray_block
     m_pad = -(-m // fine_chunk) * fine_chunk

@@ -577,3 +577,37 @@ def test_twolevel_arc_kernel_matches_brute(rng):
     np.testing.assert_array_equal(np.asarray(ub)[hit], np.asarray(ug)[hit])
     np.testing.assert_array_equal(np.asarray(brb)[hit], np.asarray(brg)[hit])
     assert hit.any()
+
+
+def test_twolevel_ray_slabbing_matches_single_call(rng, monkeypatch):
+    """The SMEM candidate table caps the ray blocks per two-level call; above
+    the cap the ray axis is slabbed across multiple pallas_calls.  Force a
+    tiny cap and check slabbed == unslabbed exactly (triangles)."""
+    from tensorflowraytrace_tpu.models.acceleration import morton_sort_triangles
+    from tensorflowraytrace_tpu.ops import pallas_kernels as pk
+
+    n_tris = 300
+    c = rng.uniform(-4, 4, (n_tris, 3)).astype(np.float32)
+    vp = c + rng.normal(0, 0.4, c.shape).astype(np.float32)
+    v1 = c + rng.normal(0, 0.4, c.shape).astype(np.float32)
+    v2 = c + rng.normal(0, 0.4, c.shape).astype(np.float32)
+    tri = TriangleSet.make(vp, v1, v2, dtype=F32)
+    tri, _ = morton_sort_triangles(tri)
+
+    n = 5000  # > 2 blocks of 1024 -> slabs under a cap of 2
+    q0 = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    q0j, q1j = jnp.asarray(q0), jnp.asarray(q0 + d)
+    eps = 1e-6
+
+    v1_, i1, u1 = pk.nearest_hit_triangles_pallas(
+        q0j, q1j, tri, eps, eps, eps, interpret=True, cull="grid")
+    monkeypatch.setattr(pk, "TWOLEVEL_MAX_BLOCKS", 2)
+    v2_, i2, u2 = pk.nearest_hit_triangles_pallas(
+        q0j, q1j, tri, eps, eps, eps, interpret=True, cull="grid")
+    np.testing.assert_array_equal(np.asarray(v1_), np.asarray(v2_))
+    hit = np.asarray(v1_)
+    np.testing.assert_array_equal(np.asarray(i1)[hit], np.asarray(i2)[hit])
+    np.testing.assert_array_equal(np.asarray(u1)[hit], np.asarray(u2)[hit])
+    assert hit.any()
