@@ -61,8 +61,13 @@ def main(rays=1 << 20, steps=10, bounces=12):
     # kernel chunks -- on a few-hundred-triangle guide the argsort of every
     # ray every bounce costs more than the skipped chunks save
     big_scene = guide.mesh.n_faces >= 2048
+    # remat is REQUIRED at this scale: without it the backward pass saves
+    # every per-bounce intermediate (measured 40.3 GB at 10.5M rays x 12
+    # bounces -- 2.5x the chip).  With the save-hit checkpoint policy the
+    # backward rematerializes the cheap elementwise work and never re-runs
+    # the N x M search (see engine._tag_hit).
     cfg = TraceConfig(max_bounces=bounces, use_pallas=on_tpu, cull=on_tpu,
-                      resort_rays=on_tpu and big_scene)
+                      resort_rays=on_tpu and big_scene, remat=True)
 
     sphere = dist.RandomLambertianSphere(PI / 2.001, local_rays)
     source = src.PointSource(3, (0.0, 0.0, 0.05), (0.0, 0.0, 1.0), sphere,
@@ -73,8 +78,16 @@ def main(rays=1 << 20, steps=10, bounces=12):
                               targets=[target])
         res = trace(source.sample(key), scene, materials, cfg)
         finished = res.rays.state == FINISHED
-        # maximize flux through the exit disk: penalize non-finished rays
-        return jnp.sum(jnp.where(finished, 0.0, 1.0)) / local_rays
+        # differentiable flux objective: pull every LOST ray's final
+        # position toward the exit-disk center.  (A pure lost-flux count,
+        # where(finished, 0, 1), is piecewise-CONSTANT in the parameters --
+        # its gradient is identically zero and the optimizer would no-op.
+        # The squared landing distance is the standard differentiable
+        # surrogate: the mask is fixed per trajectory fate, gradients flow
+        # through the geometry of the lost rays.)
+        exit_center = jnp.asarray([0.0, 0.0, 6.05], res.rays.p1.dtype)
+        dist2 = jnp.sum((res.rays.p1 - exit_center) ** 2, axis=1)
+        return jnp.sum(jnp.where(finished, 0.0, dist2)) / local_rays
 
     step = par.parallel_train_step(local_loss, mesh, learning_rate=3e-3,
                                    grad_clip=0.05, momentum=0.8)
@@ -87,12 +100,12 @@ def main(rays=1 << 20, steps=10, bounces=12):
     t0 = time.time()
     params, velocity, loss = step(params, velocity, par.split_keys(sub, mesh))
     print(f"warmup step (compile + run): {time.time() - t0:.1f}s, "
-          f"lost-flux = {float(loss) / n_dev:.4f}")
+          f"loss = {float(loss) / n_dev:.4f}")
     t0 = time.time()
     for i in range(steps):
         key, sub = jax.random.split(key)
         params, velocity, loss = step(params, velocity, par.split_keys(sub, mesh))
-        print(f"step {i}: lost-flux fraction (mean over devices) = "
+        print(f"step {i}: lost-ray exit-distance loss (mean over devices) = "
               f"{float(loss) / n_dev:.4f}")
     dt = time.time() - t0
     n_tris = guide.mesh.n_faces + 2
