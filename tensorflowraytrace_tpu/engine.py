@@ -245,6 +245,38 @@ def _unpack_annotation(rows, o, value_mode, materials, wavelength):
     return category, n_in, n_out
 
 
+@jax.custom_vjp
+def _gather_rows_t(table, idx):
+    """``table[idx].T`` with a TPU-fast backward.
+
+    The VJP of a row gather is a scatter-add of N cotangent rows into the
+    (M, k) table; XLA's TPU scatter serializes row updates and cost
+    ~8 ms/bounce per million rays -- the largest single backward cost of a
+    guide training step.  For the small per-surface tables here the sum is
+    an MXU matmul instead (pallas_kernels.segment_sum_pallas), ~10x faster;
+    large tables and CPU fall back to the scatter."""
+    return table[idx].T
+
+
+def _gather_rows_t_fwd(table, idx):
+    return table[idx].T, (idx, table.shape[0])
+
+
+def _gather_rows_t_bwd(res, ct):
+    idx, m = res
+    from tensorflowraytrace_tpu.ops import pallas_kernels as pk
+
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    if on_tpu and m <= pk.SEGSUM_MAX_M:
+        dtable = pk.segment_sum_pallas(ct, idx, m)
+    else:
+        dtable = jnp.zeros((m, ct.shape[0]), ct.dtype).at[idx].add(ct.T)
+    return dtable, None
+
+
+_gather_rows_t.defvjp(_gather_rows_t_fwd, _gather_rows_t_bwd)
+
+
 def _tag_hit(hit):
     """Name the (N,)-sized search results as checkpoint residuals.
 
@@ -332,7 +364,7 @@ def project_3d(rays: RaySet, scene: Scene3D, materials, cfg: TraceConfig) -> Pro
     # one gather + one explicit transpose: the gathered (N, k) rows are
     # row-major (lanes on the k-sized dim, heavy lane waste on TPU); a single
     # relayout makes every downstream column a contiguous (N,) array
-    rows = table[hit.idx].T                        # ONE gather per bounce
+    rows = _gather_rows_t(table, hit.idx)          # ONE gather per bounce
 
     o = 9 if cfg.differentiable else 0
     if gather_norm:
@@ -435,7 +467,7 @@ def project_2d(rays: RaySet, scene: Scene2D, materials, cfg: TraceConfig) -> Pro
         # one gather + one explicit transpose: the gathered (N, k) rows are
         # row-major (lanes on the k-sized dim, ~64x lane waste on TPU); a
         # single relayout makes every downstream column a contiguous (N,)
-        rows = table[hit.idx].T
+        rows = _gather_rows_t(table, hit.idx)
         s_point, _, seg_u, s_norm = isect.refine_segment_hit_from(
             rays.p0, rays.p1, rows[0:2].T, rows[2:4].T, i_eps
         )
@@ -454,7 +486,7 @@ def project_2d(rays: RaySet, scene: Scene2D, materials, cfg: TraceConfig) -> Pro
         table = jnp.concatenate(
             [arc.center, arc.radius[:, None]]
             + _annotation_cols(arc, dtype, value_mode), axis=1)
-        rows = table[hit.idx].T                        # see segments note
+        rows = _gather_rows_t(table, hit.idx)          # see segments note
         a_point, _, arc_u, a_norm = isect.refine_arc_hit_from(
             rays.p0, rays.p1, rows[0:2].T, rows[2], hit.branch, i_eps
         )

@@ -1569,3 +1569,70 @@ def _nearest_hit_arcs_twolevel_impl(rays8, arcs16, aabbs, i_eps, r_eps,
         interpret=interpret,
     )(counts, cand, rays8, aabbs, arcs_chunked)
     return u[0, :n] < _BIG * 0.5, idx[0, :n], u[0, :n], branch[0, :n] > 0
+
+
+# ======================================================================
+# MXU segment-sum: the backward of the engine's fused table gather
+# ======================================================================
+#
+# The VJP of ``rows = table[idx]`` is a scatter-add of N cotangent rows
+# into the (M, k) table.  XLA's TPU scatter serializes row updates
+# (collisions), costing ~8 ms per million rays REGARDLESS of M -- it was
+# the single largest backward cost of a guide training step.  For the
+# small per-surface tables this workload has, the sum is better expressed
+# as a matmul: onehot(idx) (m, BN) contracted with the cotangent block
+# (k, BN) on the MXU, accumulated across ray blocks.  flops = 2 N m k, so
+# this wins only for small m -- the wrapper falls back to scatter above
+# SEGSUM_MAX_M.
+
+SEGSUM_MAX_M = 2048
+SEGSUM_RAY_BLOCK = 1024
+
+
+def _segsum_kernel(m_pad, ct_ref, idx_ref, out_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    idx = idx_ref[...]                      # (1, BN) int32
+    ct = ct_ref[...]                        # (k, BN)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m_pad, idx.shape[1]), 0)
+    onehot = (rows == idx).astype(ct.dtype)         # (m, BN)
+    # contract the ray-block dim of both operands on the MXU
+    part = jax.lax.dot_general(
+        onehot, ct, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                       # (m, k)
+    out_ref[...] += part.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+def segment_sum_pallas(ct, idx, m, interpret=None):
+    """``out[j] = sum over i with idx[i] == j of ct[:, i]`` -- i.e. the
+    transpose-scatter-add, as an MXU matmul.  ``ct`` is (k, N) (lane-
+    contiguous cotangents), ``idx`` (N,) int32 in [0, m); returns (m, k).
+    """
+    if interpret is None:
+        interpret = _auto_interpret()
+    k, n = ct.shape
+    bn = SEGSUM_RAY_BLOCK
+    n_pad = -(-n // bn) * bn
+    ct = _pad_to(ct, n_pad, 1)              # zero cotangents add nothing
+    idx = _pad_to(idx.astype(jnp.int32)[None, :], n_pad, 1)
+    m_pad = -(-m // 8) * 8                  # sublane tile
+
+    out = pl.pallas_call(
+        functools.partial(_segsum_kernel, m_pad),
+        grid=(n_pad // bn,),
+        in_specs=[
+            _vmem_spec((k, bn), lambda i: (0, i)),
+            _vmem_spec((1, bn), lambda i: (0, i)),
+        ],
+        out_specs=_vmem_spec((m_pad, k), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, k), ct.dtype),
+        interpret=interpret,
+    )(ct, idx)
+    return out[:m]

@@ -611,3 +611,32 @@ def test_twolevel_ray_slabbing_matches_single_call(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(i1)[hit], np.asarray(i2)[hit])
     np.testing.assert_array_equal(np.asarray(u1)[hit], np.asarray(u2)[hit])
     assert hit.any()
+
+
+def test_segment_sum_pallas_matches_scatter(rng):
+    """The MXU segment-sum (backward of the engine's fused table gather)
+    equals the scatter-add formulation."""
+    from tensorflowraytrace_tpu.ops.pallas_kernels import segment_sum_pallas
+
+    k, n, m = 13, 5000, 242
+    ct = jnp.asarray(rng.normal(0, 1, (k, n)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, m, n), jnp.int32)
+    got = segment_sum_pallas(ct, idx, m, interpret=True)
+    want = jnp.zeros((m, k), jnp.float32).at[idx].add(ct.T)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gather_rows_t_gradient_matches_plain_gather(rng):
+    """engine._gather_rows_t (custom VJP) must produce the same table
+    gradient as the plain jnp gather+transpose."""
+    from tensorflowraytrace_tpu.engine import _gather_rows_t
+
+    m, k, n = 50, 7, 900
+    table = jnp.asarray(rng.normal(0, 1, (m, k)))
+    idx = jnp.asarray(rng.integers(0, m, n), jnp.int32)
+    w = jnp.asarray(rng.normal(0, 1, (k, n)))
+
+    g1 = jax.grad(lambda t: jnp.sum(w * _gather_rows_t(t, idx) ** 2))(table)
+    g2 = jax.grad(lambda t: jnp.sum(w * (t[idx].T) ** 2))(table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-12)
