@@ -132,8 +132,9 @@ class TraceConfig:
         cfg = dict(
             max_bounces=max_bounces,
             use_pallas=on_tpu,
-            # two-level kernel for 3D and for LARGE 2D segment scenes
-            # (small 2D scenes are latency-bound; block culling suffices)
+            # two-level kernel for 3D and for LARGE 2D scenes (segments
+            # and arcs; small 2D scenes are latency-bound -- block culling
+            # suffices)
             cull=(("grid" if (is_3d or n_surf >= 1024) else True)
                   if on_tpu else False),
             resort_rays=on_tpu and is_3d and n_surf >= 2048,
