@@ -85,12 +85,16 @@ def main(population=64, steps=60, top_k=8):
 
     for i in range(steps):
         params, velocity = step(params, velocity)
-    final = jax.jit(jax.vmap(loss))(params)
+    # evaluate the refined population PLUS the unrefined coarse best: the
+    # momentum loop keeps its last iterate, which can sit mid-oscillation
+    # above where it started, so the coarse best is kept as a floor
+    pool = jnp.concatenate([params, radii[order[:1]]])
+    final = jax.jit(jax.vmap(loss))(pool)
     best = int(jnp.argmin(final))
     print(f"refined top-{top_k} for {steps} batched steps: "
-          f"best r={float(params[best]):.4f} loss={float(final[best]):.6f}")
+          f"best r={float(pool[best]):.4f} loss={float(final[best]):.6f}")
     assert float(final[best]) <= float(losses[order[0]]) + 1e-9
-    return float(params[best]), float(final[best])
+    return float(pool[best]), float(final[best])
 
 
 if __name__ == "__main__":

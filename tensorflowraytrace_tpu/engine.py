@@ -254,7 +254,7 @@ def _gather_rows_t(table, idx):
     (M, k) table; XLA's TPU scatter serializes row updates and cost
     ~8 ms/bounce per million rays -- the largest single backward cost of a
     guide training step.  For the small per-surface tables here the sum is
-    an MXU matmul instead (pallas_kernels.segment_sum_pallas), ~10x faster;
+    an MXU matmul instead (pallas_kernels.segment_sum_pallas), ~4x faster;
     large tables and CPU fall back to the scatter."""
     return table[idx].T
 

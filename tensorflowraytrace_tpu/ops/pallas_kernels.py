@@ -951,6 +951,21 @@ TWOLEVEL_MAX_CAND = 32
 TWOLEVEL_MAX_BLOCKS = 4096
 
 
+def _slab_ray_axis(impl, rays8, ray_block, *rest):
+    """Split a two-level call along the ray axis when the scalar-prefetched
+    SMEM candidate table would overflow (blocks * max_cand * 4 B against a
+    ~1 MB budget; measured: a 33M-ray call fails AOT compile with 'would
+    exceed memory (space=smem)').  Returns None when no slabbing is needed.
+    """
+    n = rays8.shape[1]
+    max_rays = TWOLEVEL_MAX_BLOCKS * ray_block
+    if n <= max_rays:
+        return None
+    parts = [impl(rays8[:, s:s + max_rays], *rest)
+             for s in range(0, n, max_rays)]
+    return tuple(jnp.concatenate(xs) for xs in zip(*parts))
+
+
 def _twolevel_triangle_kernel(i_eps, s_eps, r_eps, n_chunks, max_cand,
                               counts_ref, cand_ref,
                               rays_ref, aabb_ref, tris_hbm,
@@ -1112,19 +1127,13 @@ def _twolevel_candidates(rays8, aabbs, r_eps, ray_block,
 def _nearest_hit_triangles_twolevel_impl(rays8, tris16, aabbs, i_eps, s_eps,
                                          r_eps, ray_block, fine_chunk,
                                          interpret):
+    slabbed = _slab_ray_axis(
+        lambda r8, *a: _nearest_hit_triangles_twolevel_impl(r8, *a),
+        rays8, ray_block, tris16, aabbs, i_eps, s_eps, r_eps, ray_block,
+        fine_chunk, interpret)
+    if slabbed is not None:
+        return slabbed
     n = rays8.shape[1]
-    max_rays = TWOLEVEL_MAX_BLOCKS * ray_block
-    if n > max_rays:
-        # slab the ray axis: the SMEM candidate table scales with the ray-
-        # block count and overflows at ~>4M rays per call (measured: a 33M-
-        # ray call fails AOT compile with 'would exceed memory (space=smem)')
-        parts = [
-            _nearest_hit_triangles_twolevel_impl(
-                rays8[:, s:s + max_rays], tris16, aabbs, i_eps, s_eps, r_eps,
-                ray_block, fine_chunk, interpret)
-            for s in range(0, n, max_rays)
-        ]
-        return tuple(jnp.concatenate(xs) for xs in zip(*parts))
 
     m = tris16.shape[1]
     n_pad = -(-n // ray_block) * ray_block
@@ -1437,19 +1446,13 @@ def _twolevel_candidates_2d(rays8, aabbs, r_eps, ray_block,
 def _nearest_hit_segments_twolevel_impl(rays8, segs8, aabbs, i_eps, s_eps,
                                         r_eps, ray_block, fine_chunk,
                                         interpret):
+    slabbed = _slab_ray_axis(
+        lambda r8, *a: _nearest_hit_segments_twolevel_impl(r8, *a),
+        rays8, ray_block, segs8, aabbs, i_eps, s_eps, r_eps, ray_block,
+        fine_chunk, interpret)
+    if slabbed is not None:
+        return slabbed
     n = rays8.shape[1]
-    max_rays = TWOLEVEL_MAX_BLOCKS * ray_block
-    if n > max_rays:
-        # slab the ray axis: the SMEM candidate table scales with the ray-
-        # block count and overflows at ~>4M rays per call (measured: a 33M-
-        # ray call fails AOT compile with 'would exceed memory (space=smem)')
-        parts = [
-            _nearest_hit_segments_twolevel_impl(
-                rays8[:, s:s + max_rays], segs8, aabbs, i_eps, s_eps, r_eps,
-                ray_block, fine_chunk, interpret)
-            for s in range(0, n, max_rays)
-        ]
-        return tuple(jnp.concatenate(xs) for xs in zip(*parts))
 
     m = segs8.shape[1]
     n_pad = -(-n // ray_block) * ray_block
@@ -1503,17 +1506,13 @@ def _nearest_hit_segments_twolevel_impl(rays8, segs8, aabbs, i_eps, s_eps,
                                              "fine_chunk", "interpret"))
 def _nearest_hit_arcs_twolevel_impl(rays8, arcs16, aabbs, i_eps, r_eps,
                                     ray_block, fine_chunk, interpret):
+    slabbed = _slab_ray_axis(
+        lambda r8, *a: _nearest_hit_arcs_twolevel_impl(r8, *a),
+        rays8, ray_block, arcs16, aabbs, i_eps, r_eps, ray_block,
+        fine_chunk, interpret)
+    if slabbed is not None:
+        return slabbed
     n = rays8.shape[1]
-    max_rays = TWOLEVEL_MAX_BLOCKS * ray_block
-    if n > max_rays:
-        # slab the ray axis (see _nearest_hit_triangles_twolevel_impl)
-        parts = [
-            _nearest_hit_arcs_twolevel_impl(
-                rays8[:, s:s + max_rays], arcs16, aabbs, i_eps, r_eps,
-                ray_block, fine_chunk, interpret)
-            for s in range(0, n, max_rays)
-        ]
-        return tuple(jnp.concatenate(xs) for xs in zip(*parts))
 
     m = arcs16.shape[1]
     n_pad = -(-n // ray_block) * ray_block
