@@ -629,3 +629,26 @@ def test_value_mode_matches_index_mode_segments_and_arcs():
                                   np.asarray(res_val.rays.state))
     np.testing.assert_allclose(np.asarray(res_idx.rays.p1),
                                np.asarray(res_val.rays.p1), atol=1e-12)
+
+
+def test_traceconfig_recommended_tpu_policy(monkeypatch):
+    """The TPU-side policy matrix (mocked platform: tests force CPU):
+    grid+resort for large 3D, grid for large 2D (segments OR arcs),
+    block culling for small 2D."""
+    class _FakeTpu:
+        platform = "tpu"
+
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [_FakeTpu()])
+
+    tri = TriangleSet.make(np.zeros((3000, 3)), np.ones((3000, 3)),
+                           np.full((3000, 3), 2.0))
+    cfg = TraceConfig.recommended(Scene3D.build(optical=[tri]))
+    assert cfg.use_pallas and cfg.cull == "grid" and cfg.resort_rays
+
+    arcs = ArcSet.make(np.zeros((2000, 2)), -1.0, 1.0, 1.0)
+    cfg = TraceConfig.recommended(Scene2D.build(optical_arcs=[arcs]))
+    assert cfg.cull == "grid" and not cfg.resort_rays
+
+    seg = SegmentSet.make(np.zeros((10, 2)), np.ones((10, 2)))
+    cfg = TraceConfig.recommended(Scene2D.build(optical_segments=[seg]))
+    assert cfg.cull is True and not cfg.resort_rays
