@@ -87,6 +87,64 @@ def build_workload(dtype):
     return rays, scene, materials, cfg
 
 
+def build_structured_workload(dtype):
+    """The structured-scene benchmark: a 16k-triangle cylindrical light guide
+    traced 24 bounces deep (examples/guide_trace_bench.py's scene).  This is
+    where the acceleration stack (two-level grid culling + per-bounce ray
+    re-sorting) actually pays -- the random-soup headline scene is
+    culling-neutral, so this second metric records the structured-scene
+    throughput the kernels were built for."""
+    import math
+
+    from tensorflowraytrace_tpu import RaySet, Scene3D, TraceConfig, TriangleSet
+    from tensorflowraytrace_tpu.models import boundaries as bd
+    from tensorflowraytrace_tpu.models.acceleration import morton_sort_triangles
+    from tensorflowraytrace_tpu.ops import materials as mats
+
+    guide = bd.ParametricCylindricalGuide(
+        (0.0, 0.0, 0.0), (0.0, 0.0, 40.0), minimum_radius=0.3,
+        theta_res=64, z_res=128, rotationally_symmetric=True,
+        initial_taper=(0.7, 0.0), mat_in=1, mat_out=0)
+    surf = guide.build(guide.init_params())
+    surf, _ = morton_sort_triangles(surf)
+    half = 0.35
+    target = TriangleSet.make(
+        [[-half, -half, 40.05], [half, half, 40.05]],
+        [[half, -half, 40.05], [-half, half, 40.05]],
+        [[half, half, 40.05], [-half, -half, 40.05]], dtype=dtype)
+    scene = Scene3D.build(optical=[surf], targets=[target])
+
+    n_rays = 1 << 20
+    rng = np.random.default_rng(0)
+    r = 0.2 * np.sqrt(rng.uniform(0, 1, n_rays))
+    th = rng.uniform(0, 2 * math.pi, n_rays)
+    p0 = np.stack([r * np.cos(th), r * np.sin(th), np.full(n_rays, 0.1)],
+                  1).astype(np.float32)
+    d = rng.normal(0, 1, (n_rays, 3))
+    d[:, 2] = np.abs(d[:, 2]) * 3 + 1
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = RaySet.make(jnp.asarray(p0), jnp.asarray(p0 + d.astype(np.float32)),
+                       575.0, dtype=dtype)
+    materials = (mats.vacuum, mats.acrylic)
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    bounces = 24
+    cfg = TraceConfig(max_bounces=bounces, use_pallas=on_tpu,
+                      cull="grid" if on_tpu else False, resort_rays=on_tpu)
+    return rays, scene, materials, cfg, n_rays, bounces
+
+
+def _measure(run, rays, scene, reps=3):
+    t0 = time.time()
+    out = run(rays, scene)
+    float(out)
+    compile_and_first = time.time() - t0
+    t0 = time.time()
+    for _ in range(reps):
+        out = run(rays, scene)
+        float(out)  # host sync each rep (includes tunnel RTT)
+    return compile_and_first, (time.time() - t0) / reps
+
+
 def main():
     from tensorflowraytrace_tpu import trace
 
@@ -102,29 +160,41 @@ def main():
         # reduce to a scalar so only one value crosses the wire
         return jnp.sum(res.rays.p1) + jnp.sum(res.rays.state)
 
-    t0 = time.time()
-    out = run(rays, scene)
-    out.block_until_ready()
-    float(out)
-    compile_and_first = time.time() - t0
+    compile_and_first, per_call = _measure(run, rays, scene)
     log(f"first call (compile+run): {compile_and_first:.2f}s")
-
-    reps = 3
-    t0 = time.time()
-    for _ in range(reps):
-        out = run(rays, scene)
-        float(out)  # host sync each rep (includes tunnel RTT)
-    per_call = (time.time() - t0) / reps
     intersections = N_RAYS * N_TRIS * BOUNCES
     rate = intersections / per_call
     log(f"{per_call * 1e3:.1f} ms per {BOUNCES}-bounce trace of "
         f"{N_RAYS} rays x {N_TRIS} tris -> {rate / 1e9:.2f} G intersections/s")
+
+    # second metric: the structured light-guide scene where the grid-culling
+    # acceleration pays (the headline random-soup scene is culling-neutral)
+    s_rays, s_scene, s_materials, s_cfg, s_n, s_bounces = (
+        build_structured_workload(dtype))
+    s_m = s_scene.triangles.n_surfaces
+
+    @jax.jit
+    def run_s(rays, scene):
+        res = trace(rays, scene, s_materials, s_cfg)
+        return jnp.sum(res.rays.p1) + jnp.sum(res.rays.state)
+
+    s_first, s_per = _measure(run_s, s_rays, s_scene)
+    s_rate = s_n * s_m * s_bounces / s_per
+    log(f"structured guide: first {s_first:.2f}s; {s_per * 1e3:.1f} ms per "
+        f"{s_bounces}-bounce trace of {s_n} rays x {s_m} tris -> "
+        f"{s_rate / 1e9:.2f} G equiv intersections/s")
 
     print(json.dumps({
         "metric": "ray_triangle_intersections_per_sec_per_chip",
         "value": rate,
         "unit": "intersections/s (equivalent; exact-result AABB culling on)",
         "vs_baseline": rate / BASELINE,
+        "structured_scene": {
+            "metric": "guide_16k_tri_24_bounce_equiv_intersections_per_sec",
+            "value": s_rate,
+            "unit": "intersections/s (equivalent; grid culling + resort)",
+            "vs_baseline": s_rate / BASELINE,
+        },
     }))
 
 

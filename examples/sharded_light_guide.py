@@ -89,24 +89,26 @@ def main(rays=1 << 20, steps=10, bounces=12):
         dist2 = jnp.sum((res.rays.p1 - exit_center) ** 2, axis=1)
         return jnp.sum(jnp.where(finished, 0.0, dist2)) / local_rays
 
-    step = par.parallel_train_step(local_loss, mesh, learning_rate=3e-3,
-                                   grad_clip=0.05, momentum=0.8)
-    params = [guide.init_params()]
-    velocity = [jnp.zeros_like(p) for p in params]
-    key = jax.random.PRNGKey(0)
+    # data-parallel training through the FULL optimizer pipeline: the same
+    # Optimizer as single-chip scripts, handed the mesh -- psum-reduced
+    # grads, shared _apply_param_update, chained phases in one dispatch
+    from tensorflowraytrace_tpu.optim import Optimizer
+
+    opt = Optimizer(local_loss, [guide.init_params()], learning_rate=3e-3,
+                    grad_clip=0.05, momentum=0.8, mesh=mesh,
+                    key=jax.random.PRNGKey(0))
     # warm up: the first step compiles (minutes through a remote-attached
     # TPU tunnel, and highly variable) -- time steady-state steps only
-    key, sub = jax.random.split(key)
     t0 = time.time()
-    params, velocity, loss = step(params, velocity, par.split_keys(sub, mesh))
+    loss = opt.single_step()
     print(f"warmup step (compile + run): {time.time() - t0:.1f}s, "
-          f"loss = {float(loss) / n_dev:.4f}")
+          f"loss = {loss / n_dev:.4f}")
     t0 = time.time()
-    for i in range(steps):
-        key, sub = jax.random.split(key)
-        params, velocity, loss = step(params, velocity, par.split_keys(sub, mesh))
+    # run_phase = whole schedule in ONE device dispatch (lax.scan)
+    errors = opt.run_phase(steps)
+    for i, e in enumerate(errors):
         print(f"step {i}: lost-ray exit-distance loss (mean over devices) = "
-              f"{float(loss) / n_dev:.4f}")
+              f"{e / n_dev:.4f}")
     dt = time.time() - t0
     n_tris = guide.mesh.n_faces + 2
     inter = n_dev * local_rays * n_tris * bounces * steps

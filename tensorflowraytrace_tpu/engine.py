@@ -171,8 +171,8 @@ class Projection:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["rays", "history_p0", "history_p1", "history_state",
-                 "history_alive", "fold"],
-    meta_fields=["n_bounces"],
+                 "history_alive", "fold", "n_bounces"],
+    meta_fields=[],
 )
 @dataclass
 class TraceResult:
@@ -622,11 +622,14 @@ def trace(rays: RaySet, scene, materials=None, cfg: TraceConfig = TraceConfig(),
                 acc = fold_fn(acc, record)
             return new_rays, acc, i + 1
 
-        final, acc, _ = lax.while_loop(
+        final, acc, n_done = lax.while_loop(
             w_cond, w_body, (rays, fold_init, jnp.asarray(0, jnp.int32)))
+        # n_bounces reports how deep the trace actually went (the loop's
+        # early-exit observability win); on the scan path it is the static
+        # cfg.max_bounces
         return TraceResult(
             rays=final, history_p0=None, history_p1=None, history_state=None,
-            history_alive=None, fold=acc, n_bounces=cfg.max_bounces,
+            history_alive=None, fold=acc, n_bounces=n_done,
         )
 
     def body(carry, _):

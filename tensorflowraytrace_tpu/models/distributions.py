@@ -461,12 +461,17 @@ class RandomUniformSphere(_SphereBase):
     is_random = True
 
     def _angles(self, key, dtype):
+        # azimuth is 2*pi*uniform, NOT GOLDEN_ANGLE*uniform: the reference
+        # draws theta = golden_angle * uniform (~[0, 10.17) rad,
+        # distributions.py:1763-1766), which after mod 2*pi makes azimuths in
+        # [0, 3.88) twice as likely as the rest.  The golden angle is only
+        # meaningful for *static* spirals; random draws need uniform [0, 2*pi).
         kp, kt = jax.random.split(_key(key))
         cos_phi = jax.random.uniform(
             kp, (self.sample_count,), dtype=dtype,
             minval=math.cos(self.angular_size), maxval=1.0,
         )
-        theta = GOLDEN_ANGLE * jax.random.uniform(kt, (self.sample_count,), dtype=dtype)
+        theta = 2 * PI * jax.random.uniform(kt, (self.sample_count,), dtype=dtype)
         return jnp.arccos(cos_phi), theta
 
 
@@ -490,7 +495,8 @@ class RandomLambertianSphere(_SphereBase):
             kp, (self.sample_count,), dtype=dtype,
             minval=math.cos(self.angular_size) ** 2, maxval=1.0,
         )
-        theta = GOLDEN_ANGLE * jax.random.uniform(kt, (self.sample_count,), dtype=dtype)
+        # uniform azimuth; see RandomUniformSphere for the reference-bug note
+        theta = 2 * PI * jax.random.uniform(kt, (self.sample_count,), dtype=dtype)
         return jnp.arccos(jnp.sqrt(u)), theta
 
 

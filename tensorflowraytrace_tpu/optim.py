@@ -95,13 +95,29 @@ class Optimizer:
         system.update + ray_trace rolled into one pure function.
     parameters : list of arrays
         Initial parameter values (one entry per optic surface).
+    mesh : jax.sharding.Mesh, optional
+        A 1-D ray mesh (``parallel.sharding.ray_mesh()``).  When given, every
+        step runs data-parallel under ``shard_map``: ``loss_fn(params, key)``
+        computes the loss of ONE device's ray shard (sample your per-device
+        batch from ``key`` -- each device gets its own key), losses and
+        gradients are psum-reduced over ICI, and the full update pipeline
+        (finite-guard, individual_lr, clip modes, accumulators, smoothers,
+        LR ramps, chained phases, training_routine) runs replicated on every
+        device -- the single-device and data-parallel paths share
+        ``_apply_param_update`` and can never diverge.  Requires
+        ``pass_key=True``.
     """
 
     def __init__(self, loss_fn, parameters, learning_rate=1.0, momentum=0.0,
                  individual_lr=None, grad_clip="default", clip_mode="common",
-                 clip_scale=10.0, pass_key=True, key=None):
+                 clip_scale=10.0, pass_key=True, key=None, mesh=None):
         if not isinstance(parameters, (list, tuple)):
             raise ValueError("Optimizer: parameters must be a list of arrays")
+        if mesh is not None and not pass_key:
+            raise ValueError(
+                "Optimizer(mesh=...) needs pass_key=True: data parallelism "
+                "works by giving every device its own sampling key")
+        self.mesh = mesh
         self.loss_fn = loss_fn
         self.parameters = [jnp.asarray(p) for p in parameters]
         self.learning_rate = learning_rate
@@ -118,9 +134,83 @@ class Optimizer:
         self.key = key if key is not None else jax.random.PRNGKey(0)
         self.iterations = 0
         self._velocity = [jnp.zeros_like(p) for p in self.parameters]
+        if mesh is not None and jax.process_count() > 1:
+            # multi-controller: locally-created arrays are only addressable
+            # on this process; replicate params/velocity onto the global mesh
+            from tensorflowraytrace_tpu.parallel.sharding import (
+                replicate_from_host)
+
+            self.parameters = replicate_from_host(self.parameters, mesh)
+            self._velocity = replicate_from_host(self._velocity, mesh)
         self._step_cache = {}
 
     # ------------------------------------------------------------------
+
+    def _vag(self):
+        """value_and_grad of the loss; under a mesh the per-device loss and
+        grads are psum-reduced over the ray axis (the workload's ONE
+        collective, replacing the implicit whole-batch reduction of
+        reference optimizer.py:220,258)."""
+        loss_fn = self.loss_fn
+        pass_key = self.pass_key
+        mesh = self.mesh
+
+        def vag(params, key, args, kwargs):
+            if pass_key:
+                error, grads = jax.value_and_grad(loss_fn)(
+                    params, key, *args, **kwargs)
+            else:
+                error, grads = jax.value_and_grad(loss_fn)(
+                    params, *args, **kwargs)
+            if mesh is not None:
+                from tensorflowraytrace_tpu.parallel.sharding import RAY_AXIS
+
+                error = jax.lax.psum(error, RAY_AXIS)
+                grads = jax.tree.map(
+                    lambda x: jax.lax.psum(x, RAY_AXIS), grads)
+            return error, grads
+
+        return vag
+
+    def _mesh_wrap(self, fn, keys_spec, n_out):
+        """Wrap a step/phase body in shard_map over the ray mesh: params,
+        hygiene matrices, schedules and extra args are replicated; only the
+        PRNG keys are per-device.  The body runs identically on every device
+        after its psum, so every output is replicated."""
+        from jax.sharding import PartitionSpec as P
+
+        from tensorflowraytrace_tpu.parallel.sharding import _shard_map
+
+        in_specs = (P(), P(), P(), P(), keys_spec, P(), P(), P(), P())
+        out_specs = tuple([P()] * n_out)
+        return _shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                          out_specs=out_specs)
+
+    def _device_keys(self, sub, steps=None):
+        """Per-device sampling keys, sharded over the mesh: (n_dev,) for one
+        step or (steps, n_dev) scanned over by a chained phase.
+
+        Multi-controller safe: every process derives the same key table from
+        the same host PRNG stream and contributes its addressable shards, so
+        the mesh may span processes (a pod)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tensorflowraytrace_tpu.parallel.sharding import RAY_AXIS
+
+        nd = self.mesh.devices.size
+        if steps is None:
+            keys = jax.random.split(sub, nd)
+            spec = P(RAY_AXIS)
+        else:
+            keys = jax.random.split(sub, steps * nd)
+            keys = keys.reshape((steps, nd) + keys.shape[1:])
+            spec = P(None, RAY_AXIS)
+        sharding = NamedSharding(self.mesh, spec)
+        if jax.process_count() > 1:
+            host = np.asarray(keys)
+            return jax.make_array_from_callback(host.shape, sharding,
+                                                lambda idx: host[idx])
+        return jax.device_put(keys, sharding)
 
     def _make_step(self, acc_struct, smooth_struct, n_args, kwarg_names):
         """Build + cache the jitted update step for a given static config."""
@@ -130,19 +220,11 @@ class Optimizer:
         clip_scale = self.clip_scale
         grad_clip = self.grad_clip
         learning_rate = self.learning_rate
-        loss_fn = self.loss_fn
-        pass_key = self.pass_key
+        vag = self._vag()
 
         def step(params, velocity, accumulators, smoothers, key, lr_scale,
                  momentum, args, kwargs):
-            if pass_key:
-                error, grads = jax.value_and_grad(loss_fn)(
-                    params, key, *args, **kwargs
-                )
-            else:
-                error, grads = jax.value_and_grad(loss_fn)(
-                    params, *args, **kwargs
-                )
+            error, grads = vag(params, key, args, kwargs)
 
             new_params = []
             new_velocity = []
@@ -155,7 +237,19 @@ class Optimizer:
                 new_velocity.append(v)
             return new_params, new_velocity, error
 
-        return jax.jit(step)
+        if self.mesh is None:
+            return jax.jit(step)
+
+        from jax.sharding import PartitionSpec as P
+
+        from tensorflowraytrace_tpu.parallel.sharding import RAY_AXIS
+
+        def sharded(params, velocity, accumulators, smoothers, keys, lr_scale,
+                    momentum, args, kwargs):
+            return step(params, velocity, accumulators, smoothers, keys[0],
+                        lr_scale, momentum, args, kwargs)
+
+        return jax.jit(self._mesh_wrap(sharded, P(RAY_AXIS), 3))
 
     def single_step(self, accumulators=None, *args, lr_scale=1.0,
                     momentum=None, smoothers=None, verbose=False, sync=True,
@@ -179,6 +273,8 @@ class Optimizer:
         step = self._step_cache[cache_key]
 
         self.key, sub = jax.random.split(self.key)
+        if self.mesh is not None:
+            sub = self._device_keys(sub)
         self.parameters, self._velocity, error = step(
             self.parameters, self._velocity, accumulators, smoothers, sub,
             jnp.asarray(lr_scale), jnp.asarray(momentum), args, kwargs,
@@ -205,36 +301,63 @@ class Optimizer:
         clip_scale = self.clip_scale
         grad_clip = self.grad_clip
         learning_rate = self.learning_rate
-        loss_fn = self.loss_fn
-        pass_key = self.pass_key
+        vag = self._vag()
+
+        def apply_updates(params, velocity, grads, lr_scale, momentum,
+                          accumulators, smoothers):
+            new_params = []
+            new_velocity = []
+            for i, (p, g, v) in enumerate(zip(params, grads, velocity)):
+                p, v = _apply_param_update(
+                    p, g, v, lr_scale, momentum, individual_lr[i],
+                    learning_rate, clip_mode, clip_scale, grad_clip,
+                    accumulators[i], smoothers[i])
+                new_params.append(p)
+                new_velocity.append(v)
+            return new_params, new_velocity
 
         def chained(params, velocity, accumulators, smoothers, key, lr_scales,
                     momentum, args, kwargs):
             def body(carry, lr_scale):
                 params, velocity, key = carry
                 key, sub = jax.random.split(key)
-                if pass_key:
-                    error, grads = jax.value_and_grad(loss_fn)(
-                        params, sub, *args, **kwargs)
-                else:
-                    error, grads = jax.value_and_grad(loss_fn)(
-                        params, *args, **kwargs)
-                new_params = []
-                new_velocity = []
-                for i, (p, g, v) in enumerate(zip(params, grads, velocity)):
-                    p, v = _apply_param_update(
-                        p, g, v, lr_scale, momentum, individual_lr[i],
-                        learning_rate, clip_mode, clip_scale, grad_clip,
-                        accumulators[i], smoothers[i])
-                    new_params.append(p)
-                    new_velocity.append(v)
-                return (new_params, new_velocity, key), error
+                error, grads = vag(params, sub, args, kwargs)
+                params, velocity = apply_updates(
+                    params, velocity, grads, lr_scale, momentum,
+                    accumulators, smoothers)
+                return (params, velocity, key), error
 
             (params, velocity, key), errors = jax.lax.scan(
                 body, (params, velocity, key), lr_scales)
             return params, velocity, key, errors
 
-        return jax.jit(chained)
+        if self.mesh is None:
+            return jax.jit(chained)
+
+        from jax.sharding import PartitionSpec as P
+
+        from tensorflowraytrace_tpu.parallel.sharding import RAY_AXIS
+
+        def chained_mesh(params, velocity, accumulators, smoothers, keys,
+                         lr_scales, momentum, args, kwargs):
+            # keys: (steps, 1) per-device slice of the (steps, n_dev) key
+            # schedule -- scanned alongside the lr ramp so the host stays in
+            # charge of the PRNG stream (no in-device splitting to keep
+            # replicated-carry types simple under shard_map)
+            def body(carry, xs):
+                params, velocity = carry
+                lr_scale, keys_t = xs
+                error, grads = vag(params, keys_t[0], args, kwargs)
+                params, velocity = apply_updates(
+                    params, velocity, grads, lr_scale, momentum,
+                    accumulators, smoothers)
+                return (params, velocity), error
+
+            (params, velocity), errors = jax.lax.scan(
+                body, (params, velocity), (lr_scales, keys))
+            return params, velocity, errors
+
+        return jax.jit(self._mesh_wrap(chained_mesh, P(None, RAY_AXIS), 3))
 
     def run_phase(self, steps, accumulators=None, *args, lr_scale=1.0,
                   momentum=None, smoothers=None, **kwargs):
@@ -261,9 +384,16 @@ class Optimizer:
             self._step_cache[cache_key] = self._make_chained(*cache_key[1:])
         chained = self._step_cache[cache_key]
 
-        self.parameters, self._velocity, self.key, errors = chained(
-            self.parameters, self._velocity, accumulators, smoothers,
-            self.key, lr_scales, jnp.asarray(momentum), args, kwargs)
+        if self.mesh is None:
+            self.parameters, self._velocity, self.key, errors = chained(
+                self.parameters, self._velocity, accumulators, smoothers,
+                self.key, lr_scales, jnp.asarray(momentum), args, kwargs)
+        else:
+            self.key, sub = jax.random.split(self.key)
+            keys = self._device_keys(sub, steps)
+            self.parameters, self._velocity, errors = chained(
+                self.parameters, self._velocity, accumulators, smoothers,
+                keys, lr_scales, jnp.asarray(momentum), args, kwargs)
         self.iterations += steps
         return np.asarray(errors)
 

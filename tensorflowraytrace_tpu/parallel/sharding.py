@@ -86,9 +86,47 @@ def ray_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_rays(rays, mesh: Mesh):
-    """Place a RaySet with its leading (ray) axis sharded across the mesh."""
+    """Place a RaySet with its leading (ray) axis sharded across the mesh.
+
+    Single-controller only: assumes this process holds the GLOBAL ray array.
+    On a multi-controller run (pod / multi-host) no process does -- use
+    ``shard_rays_from_local`` with each process's own shard instead.
+    """
     sharding = ray_sharding(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, sharding), rays)
+
+
+def shard_rays_from_local(local_rays, mesh: Mesh):
+    """Build a globally ray-sharded RaySet from THIS PROCESS's local shard.
+
+    The multi-controller data path: after ``init_multihost`` each process
+    samples/loads only its own rays (global count = local count x
+    process_count); this assembles them into one global ``jax.Array`` per
+    leaf without any process ever holding the full batch.  Wraps
+    ``jax.make_array_from_process_local_data``.  Works (as a plain
+    device_put) under a single controller too.
+    """
+    sharding = ray_sharding(mesh)
+    return jax.tree.map(
+        lambda a: jax.make_array_from_process_local_data(
+            sharding, np.asarray(a)),
+        local_rays)
+
+
+def replicate_from_host(tree, mesh: Mesh):
+    """Replicate host values onto every device of a (possibly
+    multi-controller) mesh.  Every process must pass the same values; each
+    contributes its addressable shards, so this works when ``mesh`` spans
+    processes (where a plain device_put of a committed local array cannot).
+    """
+    sharding = NamedSharding(mesh, P())
+
+    def put(a):
+        a = np.asarray(a)
+        return jax.make_array_from_callback(a.shape, sharding,
+                                            lambda idx: a[idx])
+
+    return jax.tree.map(put, tree)
 
 
 def replicate(tree, mesh: Mesh):
@@ -105,45 +143,82 @@ def split_keys(key, mesh: Mesh):
     return jax.device_put(keys, ray_sharding(mesh))
 
 
-def _result_specs(fn, mesh, *example_args):
-    """Build an out_specs pytree for fn by shape inspection: leaves whose
-    leading axis is the ray axis get P('rays'); per-bounce history leaves
-    (bounce, ray, ...) get P(None, 'rays'); scalars/replicated get P()."""
-    shapes = jax.eval_shape(fn, *example_args)
-    n_rays = None
-    for leaf in jax.tree.leaves(example_args[0]):
-        n_rays = leaf.shape[0]
-        break
+def _trace_out_specs(result_shapes, n_local, fold_out_specs=None):
+    """out_specs for a local ``trace`` call, derived from the TraceResult
+    STRUCTURE (field names), never from shape coincidence:
 
-    def spec(leaf):
-        if leaf.ndim >= 1 and leaf.shape[0] == n_rays:
+    * ``rays``           -> every leaf ray-sharded ``P('rays')``
+    * ``history_*``      -> per-bounce stacks ``P(None, 'rays')``
+    * ``n_bounces``      -> replicated scalar ``P()``
+    * ``fold``           -> by ``fold_out_specs`` if given; otherwise a
+      per-leaf heuristic (leading axis == local ray count -> ray-sharded,
+      else replicated) -- the ONLY place shape inference remains, because a
+      user fold accumulator has no declared structure.  Pass explicit
+      ``fold_out_specs`` (a matching pytree of PartitionSpec) for
+      accumulators whose shape coincidentally matches the ray count.
+    """
+    import dataclasses as _dc
+
+    def fold_spec(leaf):
+        if leaf.ndim >= 1 and leaf.shape[0] == n_local:
             return P(RAY_AXIS)
-        if leaf.ndim >= 2 and leaf.shape[1] == n_rays:
+        if leaf.ndim >= 2 and leaf.shape[1] == n_local:
             return P(None, RAY_AXIS)
         return P()
 
-    return jax.tree.map(spec, shapes)
+    if fold_out_specs is None:
+        fold_out_specs = jax.tree.map(fold_spec, result_shapes.fold)
+    return _dc.replace(
+        result_shapes,
+        rays=jax.tree.map(lambda _: P(RAY_AXIS), result_shapes.rays),
+        history_p0=(None if result_shapes.history_p0 is None
+                    else P(None, RAY_AXIS)),
+        history_p1=(None if result_shapes.history_p1 is None
+                    else P(None, RAY_AXIS)),
+        history_state=(None if result_shapes.history_state is None
+                       else P(None, RAY_AXIS)),
+        history_alive=(None if result_shapes.history_alive is None
+                       else P(None, RAY_AXIS)),
+        fold=fold_out_specs,
+        n_bounces=P(),
+    )
 
 
 def parallel_trace(rays, scene, materials=None, cfg: TraceConfig = TraceConfig(),
-                   mesh: Optional[Mesh] = None, reaction=default_reaction):
+                   mesh: Optional[Mesh] = None, reaction=default_reaction,
+                   fold_fn=None, fold_init=None, fold_out_specs=None):
     """Trace with rays sharded across the mesh, scene replicated.
 
     The per-device program is the single-chip ``trace``; no collectives are
-    needed in the forward pass (surfaces are replicated).
+    needed in the forward pass (surfaces are replicated), except under
+    ``cfg.early_exit`` where the per-device actual bounce counts are pmax'd
+    so ``result.n_bounces`` reports the global trace depth.
     """
     if mesh is None:
         mesh = ray_mesh()
     materials = tuple(materials or ())
 
-    def local(r, s):
-        return trace(r, s, materials, cfg, reaction)
+    def local_trace(r, s):
+        return trace(r, s, materials, cfg, reaction,
+                     fold_fn=fold_fn, fold_init=fold_init)
 
-    # out specs depend on history shapes; derive from a local-shaped example
+    def local(r, s):
+        res = local_trace(r, s)
+        if cfg.early_exit:
+            import dataclasses as _dc
+
+            res = _dc.replace(res, n_bounces=lax.pmax(
+                jnp.asarray(res.n_bounces), RAY_AXIS))
+        return res
+
+    # out specs depend on history/fold shapes; derive from a local-shaped
+    # example (structure-driven: see _trace_out_specs).  eval_shape runs
+    # outside shard_map, so use the pmax-free body (same structure).
     n_local = jax.tree.leaves(rays)[0].shape[0] // mesh.devices.size
     local_rays = jax.tree.map(lambda a: jax.ShapeDtypeStruct(
         (n_local,) + a.shape[1:], a.dtype), rays)
-    out_specs = _result_specs(local, mesh, local_rays, scene)
+    shapes = jax.eval_shape(local_trace, local_rays, scene)
+    out_specs = _trace_out_specs(shapes, n_local, fold_out_specs)
 
     return _shard_map(
         local, mesh=mesh, in_specs=(P(RAY_AXIS), P()), out_specs=out_specs,
@@ -174,39 +249,9 @@ def parallel_value_and_grad(local_loss: Callable, mesh: Mesh):
     return jax.jit(mapped)
 
 
-def parallel_train_step(local_loss: Callable, mesh: Mesh, learning_rate=1.0,
-                        grad_clip=None, accumulators=None, momentum=0.0):
-    """A full jitted data-parallel SGD step: psum-reduced gradients, the
-    reference's finite-guard + clip + accumulator pipeline
-    (optimizer.py:227-256), Nesterov momentum, replicated parameter update.
-
-    Returns ``step(params, velocity, keys) -> (params, velocity, loss)``.
-    """
-    vag = None  # build lazily so the shard_map closes over nothing traced
-
-    def shard_fn(params, velocity, keys):
-        l, g = jax.value_and_grad(local_loss)(params, keys[0])
-        l = lax.psum(l, RAY_AXIS)
-        g = jax.tree.map(lambda x: lax.psum(x, RAY_AXIS), g)
-
-        new_params = []
-        new_velocity = []
-        for i, (p, gi, v) in enumerate(zip(params, g, velocity)):
-            gi = jnp.where(jnp.isfinite(gi), gi, jnp.zeros_like(gi))
-            gi = gi * learning_rate
-            if grad_clip is not None:
-                gi = jnp.clip(gi, -grad_clip, grad_clip)
-            if accumulators is not None and accumulators[i] is not None:
-                acc = jnp.asarray(accumulators[i], dtype=gi.dtype)
-                gi = (acc @ gi.reshape(-1, 1)).reshape(gi.shape)
-            v = momentum * v + gi
-            new_params.append(p - (gi + momentum * v))
-            new_velocity.append(v)
-        return new_params, new_velocity, l
-
-    mapped = _shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(RAY_AXIS)),
-        out_specs=(P(), P(), P()),
-    )
-    return jax.jit(mapped)
+# Data-parallel TRAINING lives in optim.Optimizer(mesh=...): the full
+# reference pipeline (finite-guard/individual_lr/clip modes/accumulators/
+# smoothers/LR ramps/chained phases/training_routine) runs under shard_map
+# with one psum, sharing _apply_param_update with the single-device path.
+# (A reduced parallel_train_step fork used to live here; it was deleted so
+# the two pipelines can never diverge.)

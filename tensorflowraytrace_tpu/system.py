@@ -275,6 +275,24 @@ class OpticalSystemBase(RecursivelyUpdatable):
     def _entries(self, objs):
         return [_BoundaryEntry(o, self.dtype) for o in objs]
 
+    def _intersect_epsilons(self):
+        """(intersect, size, ray_start) epsilons with the system's overrides
+        applied, defaulting per-dtype exactly as the trace does."""
+        cfg = TraceConfig(
+            intersect_epsilon=self.intersect_epsilion,
+            size_epsilon=self.size_epsilion,
+            ray_start_epsilon=self.ray_start_epsilion,
+        )
+        return cfg.epsilons(self.dtype)
+
+    def _intersect_rays(self, rays):
+        if rays is None:
+            rays = self.sources
+        if rays is None:
+            raise ValueError("intersect: no rays given and the system has "
+                             "no sources")
+        return rays
+
     def _update_entries(self):
         for e in self._all_entries():
             e.update()
@@ -341,6 +359,56 @@ class OpticalSystem2D(OpticalSystemBase):
             self.update()
         return self._scene
 
+    def intersect(self, rays=None):
+        """Single-shot intersection of rays with every surface in the system
+        (reference engine.py:523-866).
+
+        Returns ``(segment_intersections, arc_intersections)``: two dicts of
+        per-ray 1-D arrays (empty dict when the system has no surfaces of
+        that geometry).  Fields mirror the reference: ``x``, ``y``,
+        ``valid``, ``ray_u``, ``segment_u``/``arc_u``, ``gather_ray``,
+        ``gather_segment``/``gather_arc``, ``norm``.  Entries where
+        ``valid`` is False are garbage and must be masked, exactly as the
+        reference documents.  ``gather_ray`` is the identity here (the
+        static-slot design never compacts), kept for drop-in parity.
+        """
+        from tensorflowraytrace_tpu.ops import intersect as isect
+
+        rays = self._intersect_rays(rays)
+        if not self._all_entries():
+            return {}, {}  # reference returns empties when nothing is merged
+        scene = self.scene
+        i_eps, s_eps, r_eps = self._intersect_epsilons()
+        n = rays.p0.shape[0]
+        gather_ray = jnp.arange(n)
+
+        seg_result = {}
+        if scene.segments is not None and scene.segments.n_surfaces:
+            hit = isect.nearest_hit_segments(
+                rays.p0, rays.p1, scene.segments, i_eps, s_eps, r_eps)
+            point, ray_u, seg_u, norm = isect.refine_segment_hit(
+                rays.p0, rays.p1, scene.segments, hit.idx, i_eps)
+            seg_result = {
+                "x": point[:, 0], "y": point[:, 1], "valid": hit.valid,
+                "ray_u": ray_u, "segment_u": seg_u,
+                "gather_ray": gather_ray, "gather_segment": hit.idx,
+                "norm": norm,
+            }
+
+        arc_result = {}
+        if scene.arcs is not None and scene.arcs.n_surfaces:
+            hit = isect.nearest_hit_arcs(
+                rays.p0, rays.p1, scene.arcs, i_eps, s_eps, r_eps)
+            point, ray_u, arc_u, norm = isect.refine_arc_hit(
+                rays.p0, rays.p1, scene.arcs, hit.idx, hit.branch, i_eps)
+            arc_result = {
+                "x": point[:, 0], "y": point[:, 1], "valid": hit.valid,
+                "ray_u": ray_u, "arc_u": arc_u,
+                "gather_ray": gather_ray, "gather_arc": hit.idx,
+                "norm": norm,
+            }
+        return seg_result, arc_result
+
 
 class OpticalSystem3D(OpticalSystemBase):
     """Three triangle lists merged into a Scene3D (engine.py:871-1018)."""
@@ -376,6 +444,39 @@ class OpticalSystem3D(OpticalSystemBase):
         if self._scene is None:
             self.update()
         return self._scene
+
+    def intersect(self, rays=None):
+        """Single-shot intersection of rays with every triangle in the system
+        (reference engine.py:1020-1100).
+
+        Returns a dict of per-ray 1-D arrays (empty when the system has no
+        triangles): ``x``, ``y``, ``z``, ``valid``, ``ray_u``, ``trig_u``,
+        ``trig_v``, ``gather_ray``, ``gather_trig``, ``norm`` (the gathered
+        (N, 3) surface normal).  Entries where ``valid`` is False are
+        garbage and must be masked.  ``gather_ray`` is the identity here
+        (static slots, no compaction), kept for drop-in parity.
+        """
+        from tensorflowraytrace_tpu.ops import intersect as isect
+
+        rays = self._intersect_rays(rays)
+        if not self._all_entries():
+            return {}  # reference returns {} when nothing is merged
+        tri = self.scene.triangles
+        if tri is None or not tri.n_surfaces:
+            return {}
+        i_eps, s_eps, r_eps = self._intersect_epsilons()
+        hit = isect.nearest_hit_triangles(
+            rays.p0, rays.p1, tri, i_eps, s_eps, r_eps)
+        point, ray_u, trig_u, trig_v = isect.refine_triangle_hit(
+            rays.p0, rays.p1, tri, hit.idx, i_eps)
+        return {
+            "x": point[:, 0], "y": point[:, 1], "z": point[:, 2],
+            "valid": hit.valid, "ray_u": ray_u,
+            "trig_u": trig_u, "trig_v": trig_v,
+            "gather_ray": jnp.arange(rays.p0.shape[0]),
+            "gather_trig": hit.idx,
+            "norm": tri.norm[hit.idx],
+        }
 
 
 class OpticalEngine:

@@ -579,6 +579,28 @@ def test_early_exit_matches_full_scan():
     assert not bool(jnp.any(r_exit.rays.state == 0))  # all rays terminated
 
 
+def test_early_exit_reports_true_bounce_count():
+    """A trace that terminates at bounce 3 of a 100-bounce budget reports
+    n_bounces=3 (the early-exit observability win; scan path reports the
+    static budget)."""
+    from tensorflowraytrace_tpu.ops.materials import vacuum
+
+    # two pass-through interfaces (vacuum on both sides) then a target:
+    # every ray finishes on bounce 3
+    s1 = SegmentSet.make([[1.0, -5.0]], [[1.0, 5.0]], mat_in=0, mat_out=0,
+                         dtype=F64)
+    s2 = SegmentSet.make([[2.0, -5.0]], [[2.0, 5.0]], mat_in=0, mat_out=0,
+                         dtype=F64)
+    tgt = SegmentSet.make([[3.0, -5.0]], [[3.0, 5.0]], dtype=F64)
+    scene = Scene2D.build(optical_segments=[s1, s2], target_segments=[tgt])
+    starts = np.stack([np.zeros(8), np.linspace(-1, 1, 8)], axis=1)
+    rays = make_rays_2d(starts, starts + np.array([1.0, 0.0]))
+    r = trace(rays, scene, (vacuum,),
+              TraceConfig(max_bounces=100, early_exit=True))
+    assert int(r.n_bounces) == 3
+    assert bool(jnp.all(r.rays.state == 1))  # FINISHED
+
+
 def test_early_exit_rejects_history():
     import pytest
 

@@ -116,8 +116,103 @@ def test_parallel_value_and_grad_sums_shards():
                                rtol=1e-10)
 
 
-def test_parallel_train_step_runs_and_improves():
-    """Full sharded training step on the simple_3d_optimize problem shape."""
+def test_parallel_trace_structural_specs_fold_and_history():
+    """Out-specs are derived from TraceResult STRUCTURE, not shape
+    coincidence: a per-ray fold accumulator whose length equals the local ray
+    count round-trips correctly, and history leaves stay (bounce, ray, ...)
+    even when bounce count == local ray count (the case that broke the old
+    shape-matching heuristic)."""
+    mesh = par.ray_mesh(8)
+    n_local = 3
+    scene, rays = make_scene_and_rays(8 * n_local)
+    materials = (mats.vacuum, mats.reflective)
+    # bounce count == n_local on purpose
+    cfg = TraceConfig(max_bounces=n_local, keep_history=True)
+
+    def fold_fn(acc, record):
+        p0, p1, state, alive = record
+        return acc + jnp.where(alive, 1.0, 0.0)
+
+    res1 = trace(rays, scene, materials, cfg, fold_fn=fold_fn,
+                 fold_init=jnp.zeros((8 * n_local,), F64))
+    res8 = par.parallel_trace(
+        par.shard_rays(rays, mesh), par.replicate(scene, mesh), materials,
+        cfg, mesh, fold_fn=fold_fn, fold_init=jnp.zeros((n_local,), F64))
+
+    assert res8.fold.shape == (8 * n_local,)
+    np.testing.assert_allclose(np.asarray(res1.fold), np.asarray(res8.fold))
+    assert res8.history_p1.shape == res1.history_p1.shape
+    np.testing.assert_allclose(np.asarray(res1.history_p1),
+                               np.asarray(res8.history_p1), atol=1e-12)
+
+
+def test_parallel_trace_early_exit_reports_global_depth():
+    """Under early_exit the per-device bounce counts are pmax'd so the
+    replicated n_bounces is the global trace depth."""
+    mesh = par.ray_mesh(8)
+    scene, rays = make_scene_and_rays(8 * 4)
+    materials = (mats.vacuum, mats.reflective)
+    cfg = TraceConfig(max_bounces=50, early_exit=True)
+    res1 = trace(rays, scene, materials, cfg)
+    res8 = par.parallel_trace(par.shard_rays(rays, mesh),
+                              par.replicate(scene, mesh), materials, cfg, mesh)
+    assert int(res8.n_bounces) == int(res1.n_bounces)
+    assert int(res8.n_bounces) < 50
+
+
+def test_mesh_optimizer_step_matches_summed_single_device():
+    """One data-parallel Optimizer step must equal the single-device update
+    pipeline applied to the psum of per-device losses/grads -- the unified
+    pipeline (shared _apply_param_update) is EXACT, not approximately
+    equivalent."""
+    from tensorflowraytrace_tpu.optim import Optimizer, _apply_param_update
+
+    mesh = par.ray_mesh(8)
+    scene, _ = make_scene_and_rays(8)
+    materials = (mats.vacuum, mats.reflective)
+    cfg = TraceConfig(max_bounces=3)
+
+    def local_loss(params, key):
+        shift = params[0]
+        p0 = jax.random.uniform(key, (16, 3), F64, -1.0, 1.0) * jnp.asarray(
+            [0.0, 1.0, 1.0], F64)
+        p1 = p0 + jnp.asarray([1.0, 0.0, 0.0], F64)
+        rays = RaySet.make(p0, p1 + shift, 500.0, dtype=F64)
+        res = trace(rays, scene, materials, cfg)
+        fin = res.rays.state == FINISHED
+        return jnp.sum(jnp.where(fin, res.rays.p1[:, 1] ** 2, 0.0))
+
+    key0 = jax.random.PRNGKey(11)
+    p_init = jnp.full((3,), 0.05, F64)
+    opt = Optimizer(local_loss, [p_init], learning_rate=0.05, momentum=0.9,
+                    grad_clip=0.5, mesh=mesh, key=key0)
+    err = opt.single_step()
+
+    # host-side replay: the optimizer split key0 -> sub, then one key per
+    # device; the psum'd loss/grad is the sum over those 8 keys
+    _, sub = jax.random.split(key0)
+    subs = jax.random.split(sub, 8)
+    loss_sum = 0.0
+    grad_sum = jnp.zeros((3,), F64)
+    for k in subs:
+        l, g = jax.value_and_grad(local_loss)([p_init], k)
+        loss_sum += float(l)
+        grad_sum = grad_sum + g[0]
+    p_ref, v_ref = _apply_param_update(
+        p_init, grad_sum, jnp.zeros((3,), F64), lr_scale=1.0, momentum=0.9,
+        ind_lr=1.0, learning_rate=0.05, clip_mode="common", clip_scale=10.0,
+        grad_clip=0.5, accumulator=None, smoother=None)
+
+    np.testing.assert_allclose(err, loss_sum, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(opt.parameters[0]),
+                               np.asarray(p_ref), rtol=1e-12)
+
+
+def test_mesh_optimizer_training_routine_full_pipeline():
+    """The flagship simple_3d_optimize-style schedule running data-parallel
+    on the 8-device mesh through the FULL Optimizer: chained phases,
+    accumulators + smoothers, individual_lr, an LR ramp -- none of which the
+    deleted parallel_train_step fork supported."""
     mesh = par.ray_mesh(8)
     sd, mag, osz = 4.0, 2.0, 0.2
     bp = 4
@@ -152,17 +247,29 @@ def test_parallel_train_step_runs_and_improves():
         goal = res.rays.fields["rank"] * (-(mag * osz))
         return jnp.sum(jnp.where(fin, jnp.sum((out - goal) ** 2, axis=1), 0.0))
 
-    step = par.parallel_train_step(local_loss, mesh, learning_rate=2e-4,
-                                   grad_clip=1e-3, momentum=0.8)
-    params = lens.init_params()
-    velocity = [jnp.zeros_like(p) for p in params]
-    key = jax.random.PRNGKey(1)
-    losses = []
-    for i in range(30):
-        key, sub = jax.random.split(key)
-        params, velocity, loss = step(params, velocity, par.split_keys(sub, mesh))
-        losses.append(float(loss))
-    assert losses[-1] < 0.7 * max(losses[:5]), losses[:5] + losses[-3:]
+    from tensorflowraytrace_tpu.optim import Optimizer
+
+    top = mt.get_closest_point(zero_mesh, (0, 0, 0))
+    _, accumulator = mt.mesh_parametrization_tools(zero_mesh, top)
+    smoother = mt.mesh_smoothing_tool(zero_mesh, [300, 50, 20])
+
+    opt = Optimizer(local_loss, lens.init_params(), learning_rate=1.0,
+                    grad_clip=1e-3, momentum=0.8, mesh=mesh,
+                    key=jax.random.PRNGKey(1))
+    errors = opt.training_routine(
+        [
+            {"steps": 20, "learning_rate": 2e-4,
+             "accumulators": [accumulator, accumulator],
+             "smoothers": [smoother, smoother]},
+            {"steps": 10, "learning_rate": (1e-4, 5e-5), "momentum": 0.9,
+             "individual_lr": [1.0, 0.5],
+             "accumulators": [accumulator, accumulator],
+             "smoothers": [smoother, smoother]},
+        ],
+        report_frequency=0, show_time=False, chain=True,
+    )
+    assert len(errors) == 30
+    assert errors[-1] < 0.7 * max(errors[:5]), errors[:5] + errors[-3:]
 
 
 def test_parallel_trace_with_pallas_kernels():

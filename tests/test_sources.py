@@ -115,6 +115,27 @@ def test_lambertian_sphere_projection_is_uniform_disk():
     np.testing.assert_allclose(r.mean(), 2 / 3, rtol=0.02)
 
 
+@pytest.mark.parametrize("cls", [dist.RandomUniformSphere,
+                                 dist.RandomLambertianSphere])
+def test_random_sphere_azimuth_uniform(cls):
+    """Chi-square uniformity of the azimuth over 8 octants.
+
+    Catches the reference's golden-angle azimuth bug
+    (/root/reference/tfrt/distributions.py:1763-1766): theta drawn as
+    GOLDEN_ANGLE*uniform spans ~[0, 10.17) rad, so after mod 2*pi azimuths
+    in [0, 3.88) are twice as likely -- chi2 over octants blows up to
+    O(n/8) instead of staying at the ~7-dof level."""
+    n = 16000
+    d = cls(PI / 2, n)
+    _, ranks = d.sample(KEY, dtype=F64)
+    theta = np.asarray(ranks)[:, 1]  # theta mod 2*pi
+    counts, _ = np.histogram(theta, bins=8, range=(0.0, 2 * PI))
+    expected = n / 8
+    chi2 = float(np.sum((counts - expected) ** 2) / expected)
+    # 99.9% quantile of chi2(7 dof) is 24.3; the golden-angle bug gives ~2000
+    assert chi2 < 26.0, f"azimuth octant counts {counts} (chi2={chi2:.1f})"
+
+
 def test_base_point_transformation():
     base = dist.ManualBasePointDistribution(2, points=[[1.0, 0.0], [0.0, 1.0]])
     t = dist.BasePointTransformation(base, scale=2.0, rotation=PI / 2,

@@ -56,6 +56,96 @@ def test_2d_system_trace_via_engine():
     np.testing.assert_allclose(np.asarray(finished.p1[:, 0]), 10.0, atol=1e-9)
 
 
+def test_2d_system_intersect_facade():
+    """system.intersect(rays) mirrors the reference's per-geometry projection
+    dicts (engine.py:523-866): seg + arc results, garbage-under-valid
+    contract, and the ray-start epsilon rejecting self-intersections."""
+    from tensorflowraytrace_tpu.models.rays import RaySet
+
+    system = build_single_arc_system()
+    system.update()
+
+    # horizontal unit rays from x=-1 (the beam) plus one ray starting ON the
+    # target segment (ray_u=0 -> rejected by ray_start_epsilion)
+    ys = np.linspace(-1.5, 1.5, 7)
+    p0 = np.stack([np.full(7, -1.0), ys], axis=1)
+    p0 = np.vstack([p0, [[10.0, 0.0]]])
+    p1 = p0 + np.asarray([1.0, 0.0])
+    rays = RaySet.make(jnp.asarray(p0, F64), jnp.asarray(p1, F64), 575.0,
+                       dtype=F64)
+
+    seg, arc = system.intersect(rays)
+    assert set(seg) == {"x", "y", "valid", "ray_u", "segment_u",
+                        "gather_ray", "gather_segment", "norm"}
+    assert set(arc) == {"x", "y", "valid", "ray_u", "arc_u",
+                        "gather_ray", "gather_arc", "norm"}
+
+    # beam rays hit the target segment at x=10 (infinite-ray semantics,
+    # ray_u >> 1); segment_u parametrizes (10,-5)->(10,5)
+    sv = np.asarray(seg["valid"])
+    assert sv[:7].all()
+    assert not sv[7]  # start-on-surface rejected by ray_start_epsilion
+    np.testing.assert_allclose(np.asarray(seg["x"])[:7], 10.0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(seg["segment_u"])[:7],
+                               (ys + 5.0) / 10.0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(seg["ray_u"])[:7], 11.0, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(seg["gather_ray"]), np.arange(8))
+    np.testing.assert_array_equal(np.asarray(seg["gather_segment"])[:7], 0)
+
+    # arc hits: x = 5 - sqrt(25 - y^2); norm is the hit polar angle about the
+    # center (reference engine.py:666-670), ~ +-pi on this left-facing arc
+    av = np.asarray(arc["valid"])
+    assert av[:7].all()
+    np.testing.assert_allclose(np.asarray(arc["x"])[:7],
+                               5.0 - np.sqrt(25.0 - ys ** 2), atol=1e-9)
+    np.testing.assert_allclose(np.abs(np.asarray(arc["norm"])[:7]),
+                               np.abs(np.arctan2(
+                                   ys, np.asarray(arc["x"])[:7] - 5.0)),
+                               atol=1e-9)
+
+
+def test_3d_system_intersect_facade():
+    """3D system.intersect (reference engine.py:1020-1100): hit point,
+    barycentric params, gather indices, gathered norm."""
+    from tensorflowraytrace_tpu.models.rays import RaySet
+
+    half = 2.0
+    wall = TriangleSet.make(
+        [[1.0, -half, -half], [1.0, half, half]],
+        [[1.0, half, -half], [1.0, -half, half]],
+        [[1.0, half, half], [1.0, -half, -half]], mat_in=1, mat_out=0,
+        dtype=F64)
+    system = OpticalSystem3D(dtype=F64)
+    system.optical = [wall]
+    system.materials = [{"n": mats.vacuum}, {"n": mats.acrylic}]
+    system.update()
+
+    p0 = np.asarray([[0.0, 0.3, -0.2], [0.0, 0.0, 0.0], [0.0, 0.0, 5.0]])
+    p1 = p0 + np.asarray([[1.0, 0.0, 0.0]])
+    rays = RaySet.make(jnp.asarray(p0, F64), jnp.asarray(p1, F64), 575.0,
+                       dtype=F64)
+    res = system.intersect(rays)
+    v = np.asarray(res["valid"])
+    assert v[0] and v[1]
+    assert not v[2]  # passes beside the wall
+    np.testing.assert_allclose(np.asarray(res["x"])[:2], 1.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res["y"])[:2], p0[:2, 1], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res["z"])[:2], p0[:2, 2], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res["ray_u"])[:2], 1.0, atol=1e-12)
+    tu = np.asarray(res["trig_u"])[:2]
+    tv = np.asarray(res["trig_v"])[:2]
+    assert ((tu >= 0) & (tv >= 0) & (tu + tv <= 1)).all()
+    np.testing.assert_array_equal(np.asarray(res["gather_ray"]),
+                                  np.arange(3))
+    norm = np.asarray(res["norm"])[:2]
+    np.testing.assert_allclose(np.abs(norm[:, 0]), 1.0, atol=1e-12)
+
+    # an empty system returns an empty dict (reference returns {} when no
+    # merged surfaces exist)
+    empty = OpticalSystem3D(dtype=F64)
+    assert empty.intersect(rays) == {}
+
+
 def test_engine_all_rays_history():
     system = build_single_arc_system()
     engine = OpticalEngine(2, keep_history=True)
