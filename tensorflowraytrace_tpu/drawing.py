@@ -367,3 +367,167 @@ def disable_figure_key_commands():
 
 def redraw_current_figure():
     plt.gcf().canvas.draw()
+
+
+# ======================================================================
+# pyvista plotter drawers (guarded: the dev image has no pyvista, but
+# users who install it get the reference's live-plotter workflow)
+# ======================================================================
+
+try:  # pragma: no cover - exercised only where pyvista is installed
+    import pyvista as _pv
+
+    HAS_PYVISTA = True
+except ImportError:
+    _pv = None
+    HAS_PYVISTA = False
+
+
+def _require_pyvista(who):
+    if not HAS_PYVISTA:
+        raise ImportError(
+            f"{who} renders into a pyvista.Plotter, but pyvista is not "
+            "installed; use the matplotlib drawer of the same name instead")
+
+
+class PvRayDrawer3D:
+    """Draw a ray set into a live ``pyvista.Plotter``, colored by wavelength
+    (the reference's RayDrawer3D, drawing.py:221-344; the mpl ``RayDrawer3D``
+    above is the headless stand-in).  Same dict signature: x/y/z_start,
+    x/y/z_end, wavelength."""
+
+    def __init__(self, plot, rays=None, min_wavelength=VISIBLE_MIN,
+                 max_wavelength=VISIBLE_MAX, colormap=None):
+        _require_pyvista("PvRayDrawer3D")
+        self.plot = plot
+        self.rays = rays
+        self.colormap = colormap or spectrum_colormap()
+        self._min_wavelength = min_wavelength
+        self._max_wavelength = max_wavelength
+        self._mesh = None
+        self._actor = None
+
+    def set_wavelength_limits(self, lo, hi):
+        self._min_wavelength = lo
+        self._max_wavelength = hi
+
+    def draw(self):
+        if self.rays is None or len(_get(self.rays, "x_start")) == 0:
+            if self._actor is not None:
+                self.plot.remove_actor(self._actor)
+                self._actor = None
+                self._mesh = None
+            return
+        p0 = np.stack([_get(self.rays, "x_start"), _get(self.rays, "y_start"),
+                       _get(self.rays, "z_start")], axis=1)
+        p1 = np.stack([_get(self.rays, "x_end"), _get(self.rays, "y_end"),
+                       _get(self.rays, "z_end")], axis=1)
+        n = p0.shape[0]
+        # pyvista line cells: [2, start_idx, end_idx] per ray
+        cells = np.column_stack([np.full(n, 2), np.arange(n),
+                                 np.arange(n) + n]).astype(np.int64)
+        if self._mesh is None:
+            self._mesh = _pv.PolyData()
+        self._mesh.points = np.concatenate([p0, p1], axis=0)
+        self._mesh.lines = cells
+        self._mesh["wavelength"] = np.asarray(_get(self.rays, "wavelength"))
+        self._actor = self.plot.add_mesh(
+            self._mesh, cmap=self.colormap,
+            clim=(self._min_wavelength, self._max_wavelength))
+
+
+class PvTriangleDrawer:
+    """Draw a triangle boundary into a ``pyvista.Plotter`` with toggleable
+    norm / parameter debug arrows (reference TriangleDrawer,
+    drawing.py:811-949)."""
+
+    def __init__(self, plot, surface=None, color="cyan", show_edges=False,
+                 draw_norm_arrows=False, norm_arrow_length=0.1,
+                 draw_parameter_arrows=False, parameter_arrow_length=0.1,
+                 boundary=None, params=None, opacity=1.0):
+        _require_pyvista("PvTriangleDrawer")
+        self.plot = plot
+        self.surface = surface
+        self.color = color
+        self.show_edges = show_edges
+        self.draw_norm_arrows = draw_norm_arrows
+        self.norm_arrow_length = norm_arrow_length
+        self.draw_parameter_arrows = draw_parameter_arrows
+        self.parameter_arrow_length = parameter_arrow_length
+        self.boundary = boundary
+        self.params = params
+        self.opacity = opacity
+        self.norm_arrow_visibility = True
+        self.parameter_arrow_visibility = True
+        self._actor = None
+        self._norm_actor = None
+        self._param_actor = None
+
+    def toggle_norm_arrow_visibility(self):
+        self.norm_arrow_visibility = not self.norm_arrow_visibility
+        self.draw()
+
+    def toggle_parameter_arrow_visibility(self):
+        self.parameter_arrow_visibility = not self.parameter_arrow_visibility
+        self.draw()
+
+    # same surface-format tolerance as the mpl TriangleDrawer
+    _triangles = TriangleDrawer._triangles
+
+    def draw(self):
+        for name in ("_actor", "_norm_actor", "_param_actor"):
+            actor = getattr(self, name)
+            if actor is not None:
+                self.plot.remove_actor(actor)
+                setattr(self, name, None)
+        if self.surface is None:
+            return
+        tris = np.asarray(self._triangles())
+        n = tris.shape[0]
+        points = tris.reshape(-1, 3)
+        faces = np.column_stack(
+            [np.full(n, 3), np.arange(0, 3 * n, 3),
+             np.arange(1, 3 * n, 3), np.arange(2, 3 * n, 3)]).astype(np.int64)
+        mesh = _pv.PolyData(points, faces)
+        self._actor = self.plot.add_mesh(mesh, color=self.color,
+                                         show_edges=self.show_edges,
+                                         opacity=self.opacity)
+        if self.draw_norm_arrows and self.norm_arrow_visibility:
+            centers = tris.mean(axis=1)
+            nvec = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 1])
+            nvec /= np.maximum(np.linalg.norm(nvec, axis=1, keepdims=True),
+                               1e-30)
+            self._norm_actor = self.plot.add_arrows(
+                centers, nvec, mag=self.norm_arrow_length, color=self.color)
+        if (self.draw_parameter_arrows and self.parameter_arrow_visibility
+                and self.boundary is not None):
+            b = self.boundary
+            verts = np.asarray(b.params_to_vertices(self.params)
+                               if self.params is not None else b.zero)
+            vecs = np.asarray(b.vectors)
+            self._param_actor = self.plot.add_arrows(
+                verts, vecs, mag=self.parameter_arrow_length, color="red")
+
+
+class PvGoalDrawer3D:
+    """Arrows from trace outputs to goal points in a ``pyvista.Plotter``
+    (reference GoalDrawer3D, drawing.py:952-1024)."""
+
+    def __init__(self, plot, color="green"):
+        _require_pyvista("PvGoalDrawer3D")
+        self.plot = plot
+        self.color = color
+        self.output = None
+        self.goal = None
+        self._actor = None
+
+    def draw(self):
+        if self._actor is not None:
+            self.plot.remove_actor(self._actor)
+            self._actor = None
+        if self.output is None or self.goal is None:
+            return
+        out = np.asarray(self.output)
+        goal = np.asarray(self.goal)
+        self._actor = self.plot.add_arrows(out, goal - out, mag=1.0,
+                                           color=self.color)

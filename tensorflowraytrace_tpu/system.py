@@ -926,7 +926,7 @@ class SGD_Optimizer:
     def __init__(self, engine: OpticalEngine, parameters=None, error_function=None,
                  trace_depth=25, momentum=0.0, learning_rate=1.0,
                  individual_lr=None, grad_clip="default", clip_mode="common",
-                 clip_scale=10.0, key=None):
+                 clip_scale=10.0, key=None, mesh=None):
         from tensorflowraytrace_tpu.optim import Optimizer
 
         if error_function is None:
@@ -939,7 +939,7 @@ class SGD_Optimizer:
         self._opt = Optimizer(
             loss, init_params, learning_rate=learning_rate, momentum=momentum,
             individual_lr=individual_lr, grad_clip=grad_clip,
-            clip_mode=clip_mode, clip_scale=clip_scale, key=key,
+            clip_mode=clip_mode, clip_scale=clip_scale, key=key, mesh=mesh,
         )
 
     @property

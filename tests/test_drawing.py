@@ -155,3 +155,54 @@ def test_triangle_drawer_parameter_arrows():
     d.toggle_parameter_arrow_visibility()
     assert d._param_quiver is not None
     plt.close(fig)
+
+
+def test_pv_drawers_guarded_without_pyvista():
+    """The pyvista plotter drawers exist behind a guard: without pyvista
+    they raise a helpful ImportError pointing at the mpl stand-ins."""
+    if drawing.HAS_PYVISTA:
+        pytest.skip("pyvista installed; guard path not reachable")
+    for cls, args in [(drawing.PvRayDrawer3D, (None,)),
+                      (drawing.PvTriangleDrawer, (None,)),
+                      (drawing.PvGoalDrawer3D, (None,))]:
+        with pytest.raises(ImportError, match="pyvista"):
+            cls(*args)
+
+
+def test_pv_drawers_smoke():
+    """Off-screen pyvista smoke test (reference drawing.py:221-344/811-949):
+    rays, a triangle boundary with norm+parameter arrows, and goal arrows
+    rendered into a live Plotter.  Skips where pyvista is absent."""
+    if not drawing.HAS_PYVISTA:
+        pytest.skip("pyvista not installed")
+    import pyvista as pv
+
+    from tensorflowraytrace_tpu.models import boundaries as bd
+
+    plot = pv.Plotter(off_screen=True)
+    rays = {"x_start": np.zeros(4), "y_start": np.zeros(4),
+            "z_start": np.arange(4.0), "x_end": np.ones(4),
+            "y_end": np.ones(4), "z_end": np.arange(4.0),
+            "wavelength": np.full(4, 550.0)}
+    rd = drawing.PvRayDrawer3D(plot, rays)
+    rd.draw()
+    assert rd._actor is not None
+
+    zm = hexagonal_mesh(1.0, 2)
+    boundary = bd.ParametricTriangleBoundary(
+        zm, bd.FromVectorVG((0.0, 0.0, 1.0)), dtype=jnp.float64)
+    params = boundary.init_params()
+    td = drawing.PvTriangleDrawer(
+        plot, boundary.build(params), draw_norm_arrows=True,
+        draw_parameter_arrows=True, boundary=boundary, params=params)
+    td.draw()
+    assert td._actor is not None and td._norm_actor is not None
+    td.toggle_norm_arrow_visibility()
+    assert td._norm_actor is None
+
+    gd = drawing.PvGoalDrawer3D(plot)
+    gd.output = np.zeros((4, 3))
+    gd.goal = np.ones((4, 3))
+    gd.draw()
+    assert gd._actor is not None
+    plot.close()

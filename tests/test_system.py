@@ -246,12 +246,7 @@ def test_amalgamate_field_dicts():
     np.testing.assert_allclose(np.asarray(out["x"]), [1.0, 2.0, 3.0])
 
 
-def test_sgd_optimizer_facade_single_arc():
-    """The reference's top-level workflow: SGD_Optimizer(engine, erf, depth)
-    optimizes the arc through the stateful facade."""
-    from tensorflowraytrace_tpu.system import SGD_Optimizer
-    from tensorflowraytrace_tpu.models import boundaries as bnd
-
+def _facade_sgd_problem():
     class TrainableArc:
         """Minimal parametric arc builder: x_center == radius == p[0]."""
 
@@ -290,6 +285,15 @@ def test_sgd_optimizer_facade_single_arc():
         fin = result.rays.state == FINISHED
         return jnp.sum(jnp.where(fin, result.rays.p1[:, 1] ** 2, 0.0))
 
+    return engine, error_function, arc
+
+
+def test_sgd_optimizer_facade_single_arc():
+    """The reference's top-level workflow: SGD_Optimizer(engine, erf, depth)
+    optimizes the arc through the stateful facade."""
+    from tensorflowraytrace_tpu.system import SGD_Optimizer
+
+    engine, error_function, arc = _facade_sgd_problem()
     opt = SGD_Optimizer(engine, error_function=error_function, trace_depth=2,
                         learning_rate=1.0, grad_clip=0.1)
     e0 = opt.single_step(None, momentum=0.8)
@@ -300,6 +304,26 @@ def test_sgd_optimizer_facade_single_arc():
     engine.ray_trace(2)
     fin = engine.finished_rays
     assert float(jnp.max(jnp.abs(fin.p1[:, 1]))) < 0.5
+
+
+def test_sgd_optimizer_facade_mesh():
+    """The same facade workflow data-parallel: SGD_Optimizer(mesh=...) runs
+    the full pipeline under shard_map on the 8-device mesh."""
+    import jax
+
+    from tensorflowraytrace_tpu.parallel import sharding as par
+    from tensorflowraytrace_tpu.system import SGD_Optimizer
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    engine, error_function, arc = _facade_sgd_problem()
+    opt = SGD_Optimizer(engine, error_function=error_function, trace_depth=2,
+                        learning_rate=1.0, grad_clip=0.1,
+                        mesh=par.ray_mesh(8))
+    e0 = opt.single_step(None, momentum=0.8)
+    errors = opt.run_phase(40, None, lr_scale=0.5, momentum=0.8)
+    assert errors[-1] < 0.1 * e0
+    assert abs(float(arc.parameters[0]) - 5.0) > 0.1
 
 
 # ----------------------------------------------------------------------
