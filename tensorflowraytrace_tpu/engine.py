@@ -251,11 +251,14 @@ def _gather_rows_t(table, idx):
     """``table[idx].T`` with a TPU-fast backward.
 
     The VJP of a row gather is a scatter-add of N cotangent rows into the
-    (M, k) table; XLA's TPU scatter serializes row updates and cost
-    ~8 ms/bounce per million rays -- the largest single backward cost of a
-    guide training step.  For the small per-surface tables here the sum is
-    an MXU matmul instead (pallas_kernels.segment_sum_pallas), ~4x faster;
-    large tables and CPU fall back to the scatter."""
+    (M, k) table; XLA's TPU scatter serializes row updates at a flat
+    ~8 ms per million rays per bounce.  For tables up to SEGSUM_MAX_M rows
+    the sum runs as range-gated MXU matmuls instead
+    (pallas_kernels.segment_sum_pallas, ~1 ms at m=256); above that the
+    scatter measurably wins, because this cotangent stream is in ray-SLOT
+    order (any resort was inverted before the gather) so the kernel's
+    range gating cannot skip table tiles -- see the measured crossover
+    table at the kernel definition."""
     return table[idx].T
 
 

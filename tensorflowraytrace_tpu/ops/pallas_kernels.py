@@ -1577,18 +1577,34 @@ def _nearest_hit_arcs_twolevel_impl(rays8, arcs16, aabbs, i_eps, r_eps,
 # The VJP of ``rows = table[idx]`` is a scatter-add of N cotangent rows
 # into the (M, k) table.  XLA's TPU scatter serializes row updates
 # (collisions), costing ~8 ms per million rays REGARDLESS of M -- it was
-# the single largest backward cost of a guide training step.  For the
-# small per-surface tables this workload has, the sum is better expressed
-# as a matmul: onehot(idx) (m, BN) contracted with the cotangent block
-# (k, BN) on the MXU, accumulated across ray blocks.  flops = 2 N m k, so
-# this wins only for small m -- the wrapper falls back to scatter above
-# SEGSUM_MAX_M.
+# the single largest backward cost of a guide training step.  The sum is
+# better expressed as a matmul: onehot(idx) (BM, BN) contracted with the
+# cotangent block (k, BN) on the MXU, accumulated across ray blocks.
+#
+# Naive flops are 2 N m k, so the matmul only wins for small m.  The
+# kernel is two-level (r3): the table axis is tiled (SEGSUM_M_TILE rows),
+# each ray block computes its idx min/max once, and only tiles
+# intersecting [min, max] run their matmul -- so it handles any m and is
+# never slower than the old single-tile kernel.  BUT measured on v5e the
+# range gating does not rescue large tables in the engine's backward: the
+# cotangent/idx stream arrives in ray-SLOT order (project_3d's Morton
+# resort is inverted before the table gather), so per-block idx ranges
+# span nearly the whole table and flops stay ~2 N m k.  Measured at
+# 1M rays, k=13, random idx (v5e, fresh-input transfer excluded):
+#   m=256: kernel ~1 ms | m=1024: ~9 ms | m=2048: ~18 ms | m=16386: ~131 ms
+#   scatter: ~8 ms FLAT (serialized over N, independent of m)
+# so the crossover is m ~= 1024 and SEGSUM_MAX_M pins the engine's fast
+# path there.  The 16k-triangle guide keeps the scatter backward -- which
+# is only ~10% of its 2.56 s training step; recovering it would need the
+# gather performed in resorted order (one extra (k,N) permutation gather
+# per bounce), evaluated and not worth it (docs/notes.md).
 
-SEGSUM_MAX_M = 2048
+SEGSUM_MAX_M = 1024     # measured kernel-vs-scatter crossover (see above)
 SEGSUM_RAY_BLOCK = 1024
+SEGSUM_M_TILE = 512
 
 
-def _segsum_kernel(m_pad, ct_ref, idx_ref, out_ref):
+def _segsum_kernel(m_pad, bm, ct_ref, idx_ref, out_ref):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -1597,22 +1613,37 @@ def _segsum_kernel(m_pad, ct_ref, idx_ref, out_ref):
 
     idx = idx_ref[...]                      # (1, BN) int32
     ct = ct_ref[...]                        # (k, BN)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (m_pad, idx.shape[1]), 0)
-    onehot = (rows == idx).astype(ct.dtype)         # (m, BN)
-    # contract the ray-block dim of both operands on the MXU
-    part = jax.lax.dot_general(
-        onehot, ct, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )                                       # (m, k)
-    out_ref[...] += part.astype(out_ref.dtype)
+    lo = jnp.min(idx)
+    hi = jnp.max(idx)
+
+    def tile(t, carry):
+        t0 = t * bm
+
+        @pl.when((hi >= t0) & (lo < t0 + bm))
+        def _():
+            rows = (jax.lax.broadcasted_iota(jnp.int32, (bm, idx.shape[1]), 0)
+                    + t0)
+            onehot = (rows == idx).astype(ct.dtype)     # (BM, BN)
+            # contract the ray-block dim of both operands on the MXU
+            part = jax.lax.dot_general(
+                onehot, ct, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                               # (BM, k)
+            out_ref[pl.dslice(t0, bm), :] += part.astype(out_ref.dtype)
+
+        return carry
+
+    jax.lax.fori_loop(0, m_pad // bm, tile, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "interpret"))
 def segment_sum_pallas(ct, idx, m, interpret=None):
     """``out[j] = sum over i with idx[i] == j of ct[:, i]`` -- i.e. the
-    transpose-scatter-add, as an MXU matmul.  ``ct`` is (k, N) (lane-
-    contiguous cotangents), ``idx`` (N,) int32 in [0, m); returns (m, k).
+    transpose-scatter-add, as range-gated MXU matmuls.  ``ct`` is (k, N)
+    (lane-contiguous cotangents), ``idx`` (N,) int32 in [0, m); returns
+    (m, k).  Handles tables up to SEGSUM_MAX_M rows; per-ray-block idx
+    range gating keeps the cost ~m-independent for coherent rays.
     """
     if interpret is None:
         interpret = _auto_interpret()
@@ -1621,10 +1652,11 @@ def segment_sum_pallas(ct, idx, m, interpret=None):
     n_pad = -(-n // bn) * bn
     ct = _pad_to(ct, n_pad, 1)              # zero cotangents add nothing
     idx = _pad_to(idx.astype(jnp.int32)[None, :], n_pad, 1)
-    m_pad = -(-m // 8) * 8                  # sublane tile
+    bm = min(SEGSUM_M_TILE, -(-m // 8) * 8)
+    m_pad = -(-m // bm) * bm
 
     out = pl.pallas_call(
-        functools.partial(_segsum_kernel, m_pad),
+        functools.partial(_segsum_kernel, m_pad, bm),
         grid=(n_pad // bn,),
         in_specs=[
             _vmem_spec((k, bn), lambda i: (0, i)),
