@@ -29,23 +29,37 @@ import re
 import subprocess
 import sys
 
-COORD = "localhost:12357"
 N_LOCAL_DEV = 4
 N_PROCS = 2
 RAYS_PER_DEV = 8
 BOUNCES = 3
 
 
-def _force_cpu_env(n_devices):
-    os.environ["JAX_PLATFORMS"] = "cpu"
+def _free_port():
+    """An OS-assigned free TCP port for the coordinator (a fixed port would
+    collide when two dryruns run concurrently, e.g. parallel test jobs)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _force_cpu_env(n_devices, env=None):
+    """Force a CPU backend with ``n_devices`` virtual devices on ``env``
+    (default: this process's os.environ).  Shared by the worker (its own
+    env, before jax import) and the launcher (child envs)."""
+    env = os.environ if env is None else env
+    env["JAX_PLATFORMS"] = "cpu"
     flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
-                   os.environ.get("XLA_FLAGS", ""))
-    os.environ["XLA_FLAGS"] = (
+                   env.get("XLA_FLAGS", ""))
+    env["XLA_FLAGS"] = (
         flags + f" --xla_force_host_platform_device_count={n_devices}"
     ).strip()
+    return env
 
 
-def worker(process_id, num_processes):
+def worker(process_id, num_processes, coordinator):
     """Per-process program -- the exact shape of a per-host pod script."""
     import jax
 
@@ -63,7 +77,7 @@ def worker(process_id, num_processes):
     from tensorflowraytrace_tpu.parallel import sharding as par
 
     if num_processes > 1:
-        rank = par.init_multihost(coordinator_address=COORD,
+        rank = par.init_multihost(coordinator_address=coordinator,
                                   num_processes=num_processes,
                                   process_id=process_id)
         assert jax.process_count() == num_processes
@@ -135,18 +149,14 @@ def launch():
     here = os.path.abspath(__file__)
     repo = os.path.dirname(os.path.dirname(here))
 
+    coordinator = f"localhost:{_free_port()}"
+
     def run(pid, nprocs, n_dev):
-        env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"
-        flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
-                       env.get("XLA_FLAGS", ""))
-        env["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={n_dev}"
-        ).strip()
+        env = _force_cpu_env(n_dev, dict(os.environ))
         env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
         return subprocess.Popen(
             [sys.executable, here, "--process-id", str(pid),
-             "--num-processes", str(nprocs)],
+             "--num-processes", str(nprocs), "--coordinator", coordinator],
             env=env, text=True, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT)
 
@@ -177,10 +187,11 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("--num-processes", type=int, default=N_PROCS)
+    ap.add_argument("--coordinator", default=None)
     a = ap.parse_args()
     if a.process_id is None:
         launch()
     else:
         _force_cpu_env(N_LOCAL_DEV if a.num_processes > 1
                        else N_PROCS * N_LOCAL_DEV)
-        worker(a.process_id, a.num_processes)
+        worker(a.process_id, a.num_processes, a.coordinator)

@@ -97,14 +97,17 @@ def main(rays=1 << 20, steps=10, bounces=12):
     opt = Optimizer(local_loss, [guide.init_params()], learning_rate=3e-3,
                     grad_clip=0.05, momentum=0.8, mesh=mesh,
                     key=jax.random.PRNGKey(0))
-    # warm up: the first step compiles (minutes through a remote-attached
-    # TPU tunnel, and highly variable) -- time steady-state steps only
+    # warm up: the first run_phase compiles the chained lax.scan program
+    # (minutes through a remote-attached TPU tunnel, and highly variable).
+    # The warmup must run run_phase itself with the SAME step count -- a
+    # single_step warmup compiles a DIFFERENT executable and would leave
+    # the chained compile inside the timed region.
     t0 = time.time()
-    loss = opt.single_step()
-    print(f"warmup step (compile + run): {time.time() - t0:.1f}s, "
-          f"loss = {loss / n_dev:.4f}")
+    errors = opt.run_phase(steps)
+    print(f"warmup phase ({steps} steps, compile + run): "
+          f"{time.time() - t0:.1f}s, loss = {errors[-1] / n_dev:.4f}")
     t0 = time.time()
-    # run_phase = whole schedule in ONE device dispatch (lax.scan)
+    # steady state: whole schedule in ONE device dispatch (lax.scan)
     errors = opt.run_phase(steps)
     for i, e in enumerate(errors):
         print(f"step {i}: lost-ray exit-distance loss (mean over devices) = "

@@ -431,9 +431,12 @@ class PvRayDrawer3D:
         self._mesh.points = np.concatenate([p0, p1], axis=0)
         self._mesh.lines = cells
         self._mesh["wavelength"] = np.asarray(_get(self.rays, "wavelength"))
-        self._actor = self.plot.add_mesh(
-            self._mesh, cmap=self.colormap,
-            clim=(self._min_wavelength, self._max_wavelength))
+        if self._actor is None:
+            # add ONCE; later draws mutate the shared PolyData in place --
+            # re-adding every redraw would pile up actors in the plotter
+            self._actor = self.plot.add_mesh(
+                self._mesh, cmap=self.colormap,
+                clim=(self._min_wavelength, self._max_wavelength))
 
 
 class PvTriangleDrawer:

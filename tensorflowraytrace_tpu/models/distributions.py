@@ -376,7 +376,12 @@ class _CircleBase(BasePointDistribution):
     def sample(self, key=None, dtype=None):
         dtype = resolve_dtype(dtype)
         r, theta = self._polar(key, dtype)
-        theta = _theta_mod(theta, self.theta_start, self.theta_end)
+        # random subclasses draw theta uniformly WITHIN the window (the
+        # mod-wrap would double the density of the first wrapped span --
+        # same bias class as the reference's golden-angle azimuth bug);
+        # static spirals rely on the wrap (ThetaMod, distributions.py:1396)
+        if not self.is_random:
+            theta = _theta_mod(theta, self.theta_start, self.theta_end)
         self._r, self._theta = r, theta
         points = self.radius * jnp.stack(
             [r * jnp.cos(theta), r * jnp.sin(theta)], axis=1
@@ -413,7 +418,8 @@ class RandomUniformCircle(_CircleBase):
     def _polar(self, key, dtype):
         kr, kt = jax.random.split(_key(key))
         r = jnp.sqrt(jax.random.uniform(kr, (self.sample_count,), dtype=dtype))
-        theta = 2 * PI * jax.random.uniform(kt, (self.sample_count,), dtype=dtype)
+        theta = self.theta_start + (self.theta_end - self.theta_start) \
+            * jax.random.uniform(kt, (self.sample_count,), dtype=dtype)
         return r, theta
 
 
@@ -439,7 +445,10 @@ class _SphereBase(BasePointDistribution):
     def sample(self, key=None, dtype=None):
         dtype = resolve_dtype(dtype)
         phi, theta = self._angles(key, dtype)
-        theta = _theta_mod(theta, self.theta_start, self.theta_end)
+        # see _CircleBase.sample: random subclasses draw theta within the
+        # window directly; only static spirals use the mod wrap
+        if not self.is_random:
+            theta = _theta_mod(theta, self.theta_start, self.theta_end)
         points = self.radius * jnp.stack(
             [jnp.cos(phi), jnp.sin(phi) * jnp.cos(theta),
              jnp.sin(phi) * jnp.sin(theta)],
@@ -461,17 +470,19 @@ class RandomUniformSphere(_SphereBase):
     is_random = True
 
     def _angles(self, key, dtype):
-        # azimuth is 2*pi*uniform, NOT GOLDEN_ANGLE*uniform: the reference
-        # draws theta = golden_angle * uniform (~[0, 10.17) rad,
-        # distributions.py:1763-1766), which after mod 2*pi makes azimuths in
-        # [0, 3.88) twice as likely as the rest.  The golden angle is only
-        # meaningful for *static* spirals; random draws need uniform [0, 2*pi).
+        # azimuth is uniform over the theta WINDOW, not GOLDEN_ANGLE*uniform:
+        # the reference draws theta = golden_angle * uniform (~[0, 10.17)
+        # rad, distributions.py:1763-1766), which after mod 2*pi makes
+        # azimuths in [0, 3.88) twice as likely as the rest -- and the same
+        # wrap bias would hit any restricted [theta_start, theta_end) window.
+        # The golden angle is only meaningful for *static* spirals.
         kp, kt = jax.random.split(_key(key))
         cos_phi = jax.random.uniform(
             kp, (self.sample_count,), dtype=dtype,
             minval=math.cos(self.angular_size), maxval=1.0,
         )
-        theta = 2 * PI * jax.random.uniform(kt, (self.sample_count,), dtype=dtype)
+        theta = self.theta_start + (self.theta_end - self.theta_start) \
+            * jax.random.uniform(kt, (self.sample_count,), dtype=dtype)
         return jnp.arccos(cos_phi), theta
 
 
@@ -496,7 +507,8 @@ class RandomLambertianSphere(_SphereBase):
             minval=math.cos(self.angular_size) ** 2, maxval=1.0,
         )
         # uniform azimuth; see RandomUniformSphere for the reference-bug note
-        theta = 2 * PI * jax.random.uniform(kt, (self.sample_count,), dtype=dtype)
+        theta = self.theta_start + (self.theta_end - self.theta_start) \
+            * jax.random.uniform(kt, (self.sample_count,), dtype=dtype)
         return jnp.arccos(jnp.sqrt(u)), theta
 
 

@@ -184,15 +184,31 @@ def _trace_out_specs(result_shapes, n_local, fold_out_specs=None):
     )
 
 
+_FOLD_REDUCERS = {
+    "sum": lax.psum,
+    "max": lax.pmax,
+    "min": lax.pmin,
+    "none": lambda x, axis: x,
+}
+
+
 def parallel_trace(rays, scene, materials=None, cfg: TraceConfig = TraceConfig(),
                    mesh: Optional[Mesh] = None, reaction=default_reaction,
-                   fold_fn=None, fold_init=None, fold_out_specs=None):
+                   fold_fn=None, fold_init=None, fold_out_specs=None,
+                   fold_reduce="sum"):
     """Trace with rays sharded across the mesh, scene replicated.
 
     The per-device program is the single-chip ``trace``; no collectives are
-    needed in the forward pass (surfaces are replicated), except under
-    ``cfg.early_exit`` where the per-device actual bounce counts are pmax'd
-    so ``result.n_bounces`` reports the global trace depth.
+    needed in the forward pass (surfaces are replicated), except: under
+    ``cfg.early_exit`` the per-device bounce counts are pmax'd so
+    ``result.n_bounces`` reports the global trace depth, and fold
+    accumulators that are NOT per-ray (replicated spec) are cross-device
+    reduced with ``fold_reduce`` -- each device's trace only folds over its
+    own ray shard, so a scalar running loss is a PARTIAL sum until combined.
+    ``fold_reduce``: ``"sum"`` (default; right for landing_sum_fold /
+    path_length_fold / bounce counts), ``"max"``, ``"min"``, ``"none"``
+    (keep device 0's value), or a pytree of those matching the fold
+    structure for mixed accumulators.
     """
     if mesh is None:
         mesh = ray_mesh()
@@ -202,23 +218,48 @@ def parallel_trace(rays, scene, materials=None, cfg: TraceConfig = TraceConfig()
         return trace(r, s, materials, cfg, reaction,
                      fold_fn=fold_fn, fold_init=fold_init)
 
-    def local(r, s):
-        res = local_trace(r, s)
-        if cfg.early_exit:
-            import dataclasses as _dc
-
-            res = _dc.replace(res, n_bounces=lax.pmax(
-                jnp.asarray(res.n_bounces), RAY_AXIS))
-        return res
-
     # out specs depend on history/fold shapes; derive from a local-shaped
     # example (structure-driven: see _trace_out_specs).  eval_shape runs
-    # outside shard_map, so use the pmax-free body (same structure).
+    # outside shard_map, so use the collective-free body (same structure).
     n_local = jax.tree.leaves(rays)[0].shape[0] // mesh.devices.size
     local_rays = jax.tree.map(lambda a: jax.ShapeDtypeStruct(
         (n_local,) + a.shape[1:], a.dtype), rays)
     shapes = jax.eval_shape(local_trace, local_rays, scene)
     out_specs = _trace_out_specs(shapes, n_local, fold_out_specs)
+
+    def reduce_fold(acc):
+        """Cross-device reduce every fold leaf whose out-spec is replicated
+        (per-ray leaves concatenate across shards and need no collective)."""
+        if acc is None:
+            return None
+
+        def leaf_reduce(leaf, spec, how):
+            if spec != P():
+                return leaf
+            if callable(how):
+                return how(leaf, RAY_AXIS)
+            if how not in _FOLD_REDUCERS:
+                raise ValueError(
+                    f"fold_reduce must be one of {sorted(_FOLD_REDUCERS)} or "
+                    f"a callable, got {how!r}")
+            return _FOLD_REDUCERS[how](leaf, RAY_AXIS)
+
+        if isinstance(fold_reduce, (str, bytes)) or callable(fold_reduce):
+            hows = jax.tree.map(lambda _: fold_reduce, acc)
+        else:
+            hows = fold_reduce
+        return jax.tree.map(leaf_reduce, acc, out_specs.fold, hows)
+
+    def local(r, s):
+        res = local_trace(r, s)
+        import dataclasses as _dc
+
+        if cfg.early_exit:
+            res = _dc.replace(res, n_bounces=lax.pmax(
+                jnp.asarray(res.n_bounces), RAY_AXIS))
+        if fold_fn is not None:
+            res = _dc.replace(res, fold=reduce_fold(res.fold))
+        return res
 
     return _shard_map(
         local, mesh=mesh, in_specs=(P(RAY_AXIS), P()), out_specs=out_specs,

@@ -921,6 +921,11 @@ class SGD_Optimizer:
     ``error_function(result, *args, **kwargs) -> scalar`` receives the
     TraceResult (jit-pure: use state masks).  After optimization the
     parameters are written back into the engine's parametric boundaries.
+
+    With ``mesh=`` the same schedule runs data-parallel: every device
+    re-samples the engine's full source set from its own key and the
+    device-MEAN loss is optimized, so error values and step sizes stay at
+    the ``mesh=None`` scale while each step sees n_dev x the rays.
     """
 
     def __init__(self, engine: OpticalEngine, parameters=None, error_function=None,
@@ -934,6 +939,17 @@ class SGD_Optimizer:
         self.engine = engine
         self.trace_depth = trace_depth
         loss, init_params = engine.make_loss(error_function, trace_depth)
+        if mesh is not None:
+            # each device traces the FULL source batch with its own key, so
+            # the psum'd loss/grads would be n_dev x the single-device scale
+            # -- a silent training-dynamics change when a user "just adds
+            # mesh".  Average over devices instead: same loss scale and
+            # step sizes as mesh=None, with n_dev x the rays behind them.
+            n_dev = mesh.devices.size
+            base_loss = loss
+
+            def loss(params, key, *args, **kwargs):
+                return base_loss(params, key, *args, **kwargs) / n_dev
         if parameters is not None:
             init_params = [jnp.asarray(p) for p in parameters]
         self._opt = Optimizer(

@@ -146,6 +146,33 @@ def test_parallel_trace_structural_specs_fold_and_history():
                                np.asarray(res8.history_p1), atol=1e-12)
 
 
+def test_parallel_trace_scalar_fold_is_globally_reduced():
+    """A scalar (replicated-spec) fold accumulator is a PARTIAL sum on each
+    device; parallel_trace must psum it so the returned fold equals the
+    single-device value, not one shard's (the silent-1/8th bug)."""
+    from tensorflowraytrace_tpu.engine import landing_sum_fold
+
+    mesh = par.ray_mesh(8)
+    scene, rays = make_scene_and_rays(8 * 6)
+    materials = (mats.vacuum, mats.reflective)
+    cfg = TraceConfig(max_bounces=3)
+    init, fn = landing_sum_fold(lambda p1: p1[:, 1] ** 2, F64)
+
+    res1 = trace(rays, scene, materials, cfg, fold_fn=fn, fold_init=init)
+    res8 = par.parallel_trace(par.shard_rays(rays, mesh),
+                              par.replicate(scene, mesh), materials, cfg,
+                              mesh, fold_fn=fn, fold_init=init)
+    assert float(res1.fold) != 0.0
+    np.testing.assert_allclose(float(res8.fold), float(res1.fold), rtol=1e-12)
+
+    # fold_reduce="max" takes the cross-device max instead
+    res_max = par.parallel_trace(par.shard_rays(rays, mesh),
+                                 par.replicate(scene, mesh), materials, cfg,
+                                 mesh, fold_fn=fn, fold_init=init,
+                                 fold_reduce="max")
+    assert float(res_max.fold) <= float(res1.fold)
+
+
 def test_parallel_trace_early_exit_reports_global_depth():
     """Under early_exit the per-device bounce counts are pmax'd so the
     replicated n_bounces is the global trace depth."""

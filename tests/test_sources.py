@@ -136,6 +136,29 @@ def test_random_sphere_azimuth_uniform(cls):
     assert chi2 < 26.0, f"azimuth octant counts {counts} (chi2={chi2:.1f})"
 
 
+@pytest.mark.parametrize("cls", [dist.RandomUniformCircle,
+                                 dist.RandomUniformSphere])
+def test_random_theta_window_uniform(cls):
+    """Restricted theta windows must also be uniform: the old mod-wrap
+    (theta % span + start) doubled the density of the first wrapped span
+    for random draws."""
+    n = 16000
+    start, end = 0.0, 3 * PI / 2  # span chosen so 2*pi wraps 1.33x into it
+    if cls is dist.RandomUniformCircle:
+        d = cls(n, theta_start=start, theta_end=end)
+        d.sample(KEY, dtype=F64)
+        theta = np.asarray(d.polar_ranks)[:, 1]
+    else:
+        d = cls(PI / 2, n, theta_start=start, theta_end=end)
+        _, ranks = d.sample(KEY, dtype=F64)
+        theta = np.asarray(ranks)[:, 1]
+    assert theta.min() >= start - 1e-9 and theta.max() <= end + 1e-9
+    counts, _ = np.histogram(theta, bins=8, range=(start, end))
+    expected = n / 8
+    chi2 = float(np.sum((counts - expected) ** 2) / expected)
+    assert chi2 < 26.0, f"window octant counts {counts} (chi2={chi2:.1f})"
+
+
 def test_base_point_transformation():
     base = dist.ManualBasePointDistribution(2, points=[[1.0, 0.0], [0.0, 1.0]])
     t = dist.BasePointTransformation(base, scale=2.0, rotation=PI / 2,

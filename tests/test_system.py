@@ -321,6 +321,17 @@ def test_sgd_optimizer_facade_mesh():
                         learning_rate=1.0, grad_clip=0.1,
                         mesh=par.ray_mesh(8))
     e0 = opt.single_step(None, momentum=0.8)
+
+    # device-MEAN semantics: with this problem's static sources every device
+    # computes the identical loss, so the mesh error must equal the
+    # single-device error at the same parameters -- adding mesh= must not
+    # silently rescale the loss/gradients by n_dev
+    engine1, error_function1, _ = _facade_sgd_problem()
+    opt1 = SGD_Optimizer(engine1, error_function=error_function1,
+                         trace_depth=2, learning_rate=1.0, grad_clip=0.1)
+    e0_single = opt1.single_step(None, momentum=0.8)
+    np.testing.assert_allclose(e0, e0_single, rtol=1e-12)
+
     errors = opt.run_phase(40, None, lr_scale=0.5, momentum=0.8)
     assert errors[-1] < 0.1 * e0
     assert abs(float(arc.parameters[0]) - 5.0) > 0.1
