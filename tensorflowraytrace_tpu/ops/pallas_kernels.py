@@ -337,9 +337,13 @@ def nearest_hit_triangles_pallas(p0, p1, tri, intersect_eps, size_eps,
         fine = min(FINE_CHUNK, max(128, m))
         rb = max(int(ray_block), TWOLEVEL_RAY_BLOCK)
         aabbs = chunk_aabbs(vp, v1, v2, fine).astype(dtype)
+        # resolve the candidate cap HERE (not via the impl's None default):
+        # the impl jit-caches on the static value, so a module-attr change
+        # must reach it as a distinct argument
         return _nearest_hit_triangles_twolevel_impl(
             rays8, tris16, aabbs, float(intersect_eps), float(size_eps),
             float(ray_start_eps), rb, fine, bool(interpret),
+            max_cand=int(TWOLEVEL_MAX_CAND),
         )
     if cull:
         from tensorflowraytrace_tpu.models.acceleration import chunk_aabbs
@@ -946,19 +950,24 @@ TWOLEVEL_RAY_BLOCK = 1024
 # the scalar-prefetch table within the 1 MB SMEM budget.
 TWOLEVEL_MAX_CAND = 32
 # the scalar-prefetched candidate table lives in SMEM (~1 MB on v5e):
-# blocks * max_cand * 4 B must fit, so two-level calls slab the ray axis at
-# this many ray blocks per pallas_call (4096 * 32 * 4 B = 512 KB)
-TWOLEVEL_MAX_BLOCKS = 4096
+# blocks * max_cand * 4 B must fit, so two-level calls slab the ray axis to
+# keep the table within this fixed entry budget (128K entries = 512 KB);
+# at the default max_cand=32 that is 4096 ray blocks per pallas_call
+SMEM_CAND_ENTRIES = 4096 * 32
 
 
-def _slab_ray_axis(impl, rays8, ray_block, *rest):
+def _slab_ray_axis(impl, rays8, ray_block, *rest, max_cand=None):
     """Split a two-level call along the ray axis when the scalar-prefetched
     SMEM candidate table would overflow (blocks * max_cand * 4 B against a
     ~1 MB budget; measured: a 33M-ray call fails AOT compile with 'would
     exceed memory (space=smem)').  Returns None when no slabbing is needed.
+    The block budget scales inversely with max_cand (512 KB table).
     """
     n = rays8.shape[1]
-    max_rays = TWOLEVEL_MAX_BLOCKS * ray_block
+    if max_cand is None:
+        max_cand = TWOLEVEL_MAX_CAND
+    max_blocks = SMEM_CAND_ENTRIES // max(max_cand, 1)
+    max_rays = max_blocks * ray_block
     if n <= max_rays:
         return None
     parts = [impl(rays8[:, s:s + max_rays], *rest)
@@ -1086,13 +1095,14 @@ def _twolevel_triangle_kernel(i_eps, s_eps, r_eps, n_chunks, max_cand,
     idx_ref[...] = best_idx
 
 
-def _twolevel_candidates(rays8, aabbs, r_eps, ray_block,
-                         max_cand=TWOLEVEL_MAX_CAND):
+def _twolevel_candidates(rays8, aabbs, r_eps, ray_block, max_cand=None):
     """Static geometric candidate chunks per ray block, vectorized in XLA:
     chunk c is a candidate for block b iff ANY of b's rays' slab test can hit
     c's AABB with t >= r_eps (the same conservative test the kernel applies,
     with best = inf).  Returns (counts (nb,) int32, cand (nb, C) int32) with
     each row's candidate chunk ids (ascending = morton order) packed first."""
+    if max_cand is None:
+        max_cand = TWOLEVEL_MAX_CAND
     n_pad = rays8.shape[1]
     nb = n_pad // ray_block
     o = rays8[0:3].reshape(3, nb, 1, ray_block)
@@ -1123,14 +1133,16 @@ def _twolevel_candidates(rays8, aabbs, r_eps, ray_block,
 
 @functools.partial(jax.jit, static_argnames=("i_eps", "s_eps", "r_eps",
                                              "ray_block", "fine_chunk",
-                                             "interpret"))
+                                             "interpret", "max_cand"))
 def _nearest_hit_triangles_twolevel_impl(rays8, tris16, aabbs, i_eps, s_eps,
                                          r_eps, ray_block, fine_chunk,
-                                         interpret):
+                                         interpret, max_cand=None):
+    if max_cand is None:
+        max_cand = TWOLEVEL_MAX_CAND
     slabbed = _slab_ray_axis(
         lambda r8, *a: _nearest_hit_triangles_twolevel_impl(r8, *a),
         rays8, ray_block, tris16, aabbs, i_eps, s_eps, r_eps, ray_block,
-        fine_chunk, interpret)
+        fine_chunk, interpret, max_cand, max_cand=max_cand)
     if slabbed is not None:
         return slabbed
     n = rays8.shape[1]
@@ -1145,10 +1157,11 @@ def _nearest_hit_triangles_twolevel_impl(rays8, tris16, aabbs, i_eps, s_eps,
     # (16, m_pad) -> (n_chunks, 16, F): one contiguous block per DMA
     tris_chunked = jnp.transpose(
         tris16.reshape(16, n_chunks, fine_chunk), (1, 0, 2))
-    counts, cand = _twolevel_candidates(rays8, aabbs, r_eps, ray_block)
+    max_cand = min(max_cand, n_chunks)
+    counts, cand = _twolevel_candidates(rays8, aabbs, r_eps, ray_block,
+                                        max_cand)
 
     grid = (n_pad // ray_block,)
-    max_cand = min(TWOLEVEL_MAX_CAND, n_chunks)
     kernel = functools.partial(_twolevel_triangle_kernel, i_eps, s_eps, r_eps,
                                n_chunks, max_cand)
     grid_spec = pltpu.PrefetchScalarGridSpec(

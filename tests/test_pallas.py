@@ -602,10 +602,11 @@ def test_twolevel_ray_slabbing_matches_single_call(rng, monkeypatch):
     q0j, q1j = jnp.asarray(q0), jnp.asarray(q0 + d)
     eps = 1e-6
 
-    # patch the cap BEFORE the first grid call: the impl is a module-level
-    # jax.jit, so the global is read at trace time -- patching after the
-    # first call would hit the cache and never exercise the slab branch
-    monkeypatch.setattr(pk, "TWOLEVEL_MAX_BLOCKS", 2)
+    # patch the SMEM entry budget BEFORE the first grid call: the impl is a
+    # module-level jax.jit, so the global is read at trace time -- patching
+    # after the first call would hit the cache and never exercise the slab
+    # branch.  64 entries / max_cand 32 = 2 ray blocks per slab.
+    monkeypatch.setattr(pk, "SMEM_CAND_ENTRIES", 64)
     v1_, i1, u1 = pk.nearest_hit_triangles_pallas(
         q0j, q1j, tri, eps, eps, eps, interpret=True, cull=False)
     v2_, i2, u2 = pk.nearest_hit_triangles_pallas(
