@@ -566,8 +566,18 @@ def single_pass(rays: RaySet, scene, materials, cfg: TraceConfig,
         stretch = rays.p0 + cfg.dead_ray_length * (p1 - rays.p0)
         p1 = jnp.where(became_dead[:, None], stretch, p1)
 
-    # reaction: child replaces parent in-slot where the ray keeps bouncing
-    child_p0, child_p1 = reaction(proj, dataclasses.replace(rays, p1=p1), cfg)
+    # reaction: child replaces parent in-slot where the ray keeps bouncing.
+    # A reaction may return (p0, p1) or (p0, p1, field_updates): the third
+    # element is a dict of per-ray arrays merged into ``rays.fields`` for
+    # reacting slots only -- the static-shape analog of the reference ops'
+    # freedom to rewrite arbitrary ray fields in op.main (operation.py:55-68);
+    # used e.g. by operations.fresnel_intensity_reaction.
+    out = reaction(proj, dataclasses.replace(rays, p1=p1), cfg)
+    if len(out) == 3:
+        child_p0, child_p1, field_updates = out
+    else:
+        child_p0, child_p1 = out
+        field_updates = None
     reacts = valid_hit & (proj.category == OPTICAL)
     # numeric backstop (same spirit as finite_hit above): if a degenerate
     # reaction produced non-finite child coordinates, kill the ray cleanly
@@ -579,7 +589,21 @@ def single_pass(rays: RaySet, scene, materials, cfg: TraceConfig,
     out_p0 = jnp.where(reacts[:, None], child_p0, rays.p0)
     out_p1 = jnp.where(reacts[:, None], child_p1, p1)
 
-    new_rays = dataclasses.replace(rays, p0=out_p0, p1=out_p1, state=new_state)
+    new_fields = rays.fields
+    if field_updates:
+        new_fields = dict(rays.fields)
+        for k, v in field_updates.items():
+            old = new_fields.get(k)
+            if old is None:
+                raise KeyError(
+                    f"reaction updates ray field {k!r} but the rays do not "
+                    "carry it; seed it via RaySet.make(fields={...}) or a "
+                    "source extra_field so its shape/dtype are explicit")
+            mask = reacts.reshape(reacts.shape + (1,) * (v.ndim - 1))
+            new_fields[k] = jnp.where(mask, v.astype(old.dtype), old)
+
+    new_rays = dataclasses.replace(rays, p0=out_p0, p1=out_p1,
+                                   state=new_state, fields=new_fields)
     record = (rays.p0, p1, new_state, active)
     return new_rays, record
 

@@ -104,6 +104,88 @@ class GhostThrough(RayOperation):
     reaction = staticmethod(ghost_through)
 
 
+def fresnel_intensity_reaction(base_reaction=default_reaction,
+                               field="intensity"):
+    """Wrap a reaction with per-ray radiant-intensity tracking.
+
+    Beyond the reference (tfrt carries no intensity): at each optical
+    interaction the continuing ray's ``fields[field]`` is attenuated by the
+    unpolarized Fresnel power coefficient of the branch it took --
+    transmittance T = 1 - (rs^2 + rp^2)/2 on refraction, 1 on total internal
+    reflection and on mirror surfaces (n_in == 0 sentinel, materials.py:95).
+    Uses the engine's 3-tuple reaction protocol (the third element is a
+    per-ray field-update dict applied to reacting slots); fully
+    differentiable, so intensity-weighted losses can drive optimization.
+
+    Seed the field on the source rays (e.g. ``RaySet.make(fields={
+    "intensity": jnp.ones(n)})`` or a source ``extra_fields`` entry);
+    missing fields fail loudly at trace time.
+    """
+
+    def reaction(proj, rays, cfg):
+        child_p0, child_p1 = base_reaction(proj, rays, cfg)
+        dtype = rays.p0.dtype
+        d = rays.p1 - rays.p0
+        d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True),
+                            jnp.finfo(dtype).tiny)
+        if proj.dim == 3:
+            n = proj.norm
+            n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True),
+                                jnp.finfo(dtype).tiny)
+            nu = jnp.sum(n * d, axis=-1)
+        else:
+            n = jnp.stack([jnp.cos(proj.norm), jnp.sin(proj.norm)], axis=1)
+            nu = jnp.sum(n * d, axis=-1)
+        cos_i = jnp.abs(nu)
+
+        # same eta convention as geometry.snell_3d_vec: internal hits
+        # (travelling along the normal) see n_in/n_out, external the inverse
+        one = jnp.ones_like(proj.n_in)
+        zero = jnp.zeros_like(proj.n_in)
+        nin_safe = jnp.where(proj.n_in != 0.0, proj.n_in, one)
+        nout_safe = jnp.where(proj.n_out != 0.0, proj.n_out, one)
+        eta_int = jnp.where(proj.n_out != 0.0, nin_safe / nout_safe, zero)
+        eta_ext = jnp.where(proj.n_in != 0.0, nout_safe / nin_safe, zero)
+        eta = jnp.where(nu > 0, eta_int, eta_ext)
+
+        radicand = 1 - eta * eta * (1 - cos_i * cos_i)
+        tir = radicand < 0
+        cos_t = jnp.sqrt(jnp.maximum(radicand, jnp.finfo(dtype).eps ** 2))
+        # rs/rp with n1/n2 expressed through eta = n1/n2
+        rs_d = jnp.maximum(eta * cos_i + cos_t, jnp.finfo(dtype).eps)
+        rp_d = jnp.maximum(eta * cos_t + cos_i, jnp.finfo(dtype).eps)
+        rs = (eta * cos_i - cos_t) / rs_d
+        rp = (eta * cos_t - cos_i) / rp_d
+        reflectance = jnp.clip(0.5 * (rs * rs + rp * rp), 0.0, 1.0)
+
+        mirror = proj.n_in == 0
+        factor = jnp.where(tir | mirror, jnp.ones_like(reflectance),
+                           1.0 - reflectance)
+        old = rays.fields.get(field)
+        if old is None:
+            raise KeyError(
+                f"fresnel_intensity_reaction: rays carry no {field!r} field; "
+                "seed it on the source rays (see docstring)")
+        return child_p0, child_p1, {field: old * factor.astype(old.dtype)}
+
+    return reaction
+
+
+class FresnelIntensity(RayOperation):
+    """Class-op wrapper for :func:`fresnel_intensity_reaction`: standard
+    Snell children plus per-ray intensity attenuation by the Fresnel power
+    transmittance of the taken branch."""
+
+    input_signature = frozenset({"intensity"})
+    output_signature = frozenset({"intensity"})
+    simple_ray_inheritance = frozenset({"intensity"})
+
+    def __init__(self, base_reaction=default_reaction, field="intensity",
+                 **kw):
+        super().__init__(**kw)
+        self.reaction = fresnel_intensity_reaction(base_reaction, field)
+
+
 class OldestAncestor(RayOperation):
     """Tags source rays with their index at annotate time
     (operation.py:166-196)."""

@@ -189,3 +189,134 @@ def test_2d_and_3d_engines_agree_on_planar_interface():
     e3 = np.asarray(res3.rays.p1)
     np.testing.assert_allclose(e3[:, 2], 0.0, atol=1e-9)   # stays planar
     np.testing.assert_allclose(e3[:, :2], e2, atol=1e-9)   # same landing
+
+
+# ----------------------------------------------------------------------
+# Fresnel intensity tracking (beyond the reference; 3-tuple reaction
+# protocol in engine.single_pass)
+# ----------------------------------------------------------------------
+
+def _fresnel_R(n1, n2, theta_i):
+    """Textbook unpolarized Fresnel power reflectance."""
+    sin_t = n1 * math.sin(theta_i) / n2
+    if abs(sin_t) >= 1.0:
+        return 1.0
+    theta_t = math.asin(sin_t)
+    rs = (n1 * math.cos(theta_i) - n2 * math.cos(theta_t)) / \
+         (n1 * math.cos(theta_i) + n2 * math.cos(theta_t))
+    rp = (n1 * math.cos(theta_t) - n2 * math.cos(theta_i)) / \
+         (n1 * math.cos(theta_t) + n2 * math.cos(theta_i))
+    return 0.5 * (rs * rs + rp * rp)
+
+
+def test_fresnel_intensity_normal_incidence_plate():
+    """Normal incidence through a glass plate (2 interfaces): intensity ends
+    at T^2 with T = 1 - ((n1-n2)/(n1+n2))^2."""
+    from tensorflowraytrace_tpu.operations import fresnel_intensity_reaction
+
+    n_glass = 1.52
+    entry = SegmentSet.make([[1.0, -5.0]], [[1.0, 5.0]], mat_in=1, mat_out=0,
+                            dtype=F64)
+    exit_ = SegmentSet.make([[2.0, -5.0]], [[2.0, 5.0]], mat_in=0, mat_out=1,
+                            dtype=F64)
+    tgt = SegmentSet.make([[3.0, -5.0]], [[3.0, 5.0]], dtype=F64)
+    scene = Scene2D.build(optical_segments=[entry, exit_],
+                          target_segments=[tgt])
+    n = 5
+    starts = np.stack([np.zeros(n), np.linspace(-1, 1, n)], axis=1)
+    rays = RaySet.make(jnp.asarray(starts, F64),
+                       jnp.asarray(starts + [1.0, 0.0], F64), 550.0,
+                       fields={"intensity": jnp.ones(n, F64)}, dtype=F64)
+    res = trace(rays, scene,
+                (mats.vacuum, mats.build_constant_material(n_glass)),
+                TraceConfig(max_bounces=3),
+                reaction=fresnel_intensity_reaction())
+    assert bool(jnp.all(res.rays.state == FINISHED))
+    T = 1.0 - ((1.0 - n_glass) / (1.0 + n_glass)) ** 2
+    np.testing.assert_allclose(np.asarray(res.rays.fields["intensity"]),
+                               T * T, rtol=1e-12)
+
+
+def test_fresnel_intensity_oblique_and_brewster():
+    """Oblique incidence matches the textbook unpolarized coefficient,
+    including at Brewster's angle (rp = 0)."""
+    from tensorflowraytrace_tpu.operations import fresnel_intensity_reaction
+
+    n_glass = 1.5
+    interface = SegmentSet.make([[0.0, -50.0]], [[0.0, 50.0]], mat_in=1,
+                                mat_out=0, dtype=F64)
+    scene = Scene2D.build(optical_segments=[interface])
+    brewster = math.atan(n_glass)
+    angles = [0.3, brewster, 1.2]
+    p0 = np.stack([-np.cos(angles), -np.sin(angles)], axis=1)
+    p1 = np.zeros((3, 2))
+    rays = RaySet.make(jnp.asarray(p0, F64), jnp.asarray(p1, F64), 550.0,
+                       fields={"intensity": jnp.ones(3, F64)}, dtype=F64)
+    res = trace(rays, scene,
+                (mats.vacuum, mats.build_constant_material(n_glass)),
+                TraceConfig(max_bounces=1),
+                reaction=fresnel_intensity_reaction())
+    got = np.asarray(res.rays.fields["intensity"])
+    want = [1.0 - _fresnel_R(1.0, n_glass, a) for a in angles]
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_fresnel_intensity_tir_and_mirror_lossless():
+    """TIR and mirror reflections keep intensity exactly 1 (the reflected
+    ray IS the continuing ray)."""
+    from tensorflowraytrace_tpu.operations import fresnel_intensity_reaction
+
+    n_glass = 1.5
+    crit = math.asin(1.0 / n_glass)
+    glass_iface = SegmentSet.make([[0.0, -50.0]], [[0.0, 50.0]], mat_in=0,
+                                  mat_out=1, dtype=F64)
+    scene = Scene2D.build(optical_segments=[glass_iface])
+    a = crit + 0.1
+    rays = RaySet.make(jnp.asarray([[-math.cos(a), -math.sin(a)]], F64),
+                       jnp.asarray([[0.0, 0.0]], F64), 550.0,
+                       fields={"intensity": jnp.ones(1, F64)}, dtype=F64)
+    res = trace(rays, scene,
+                (mats.vacuum, mats.build_constant_material(n_glass)),
+                TraceConfig(max_bounces=1),
+                reaction=fresnel_intensity_reaction())
+    np.testing.assert_allclose(
+        float(res.rays.fields["intensity"][0]), 1.0, rtol=0)
+
+    mirror = SegmentSet.make([[1.0, -50.0]], [[1.0, 50.0]], mat_in=1,
+                             mat_out=0, dtype=F64)
+    mscene = Scene2D.build(optical_segments=[mirror])
+    mrays = RaySet.make(jnp.asarray([[0.0, 0.0]], F64),
+                        jnp.asarray([[1.0, 0.3]], F64), 550.0,
+                        fields={"intensity": jnp.ones(1, F64)}, dtype=F64)
+    mres = trace(mrays, mscene, (mats.vacuum, mats.reflective),
+                 TraceConfig(max_bounces=1),
+                 reaction=fresnel_intensity_reaction())
+    np.testing.assert_allclose(
+        float(mres.rays.fields["intensity"][0]), 1.0, rtol=0)
+
+
+def test_fresnel_intensity_differentiable():
+    """d(intensity)/d(incidence geometry) is finite and nonzero -- the
+    attenuation participates in gradients."""
+    import jax
+
+    from tensorflowraytrace_tpu.operations import fresnel_intensity_reaction
+
+    n_glass = 1.5
+    interface = SegmentSet.make([[0.0, -50.0]], [[0.0, 50.0]], mat_in=1,
+                                mat_out=0, dtype=F64)
+    scene = Scene2D.build(optical_segments=[interface])
+    materials = (mats.vacuum, mats.build_constant_material(n_glass))
+
+    def out_intensity(shift_y):
+        p0 = jnp.asarray([[-1.0, 0.0]], F64) + jnp.stack(
+            [jnp.zeros(1, F64), shift_y[None]], axis=1) * 0
+        p1 = jnp.stack([jnp.zeros(1, F64), shift_y[None]], axis=1)
+        rays = RaySet.make(p0, p1, 550.0,
+                           fields={"intensity": jnp.ones(1, F64)}, dtype=F64)
+        res = trace(rays, scene, materials, TraceConfig(max_bounces=1),
+                    reaction=fresnel_intensity_reaction())
+        return res.rays.fields["intensity"][0]
+
+    g = jax.grad(out_intensity)(jnp.asarray(0.4, F64))
+    assert np.isfinite(float(g)) and abs(float(g)) > 0
