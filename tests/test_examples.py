@@ -61,6 +61,7 @@ CASES = [
     ("sharded_light_guide", {"rays": 1024, "steps": 2, "bounces": 3}),
     ("guide_trace_bench", {"n_rays": 512, "bounces": 3,
                            "theta_res": 6, "z_res": 6}),
+    ("fresnel_intensity", {"rays": 400}),
 ]
 
 
