@@ -82,15 +82,18 @@ def inner_product(first, second):
 def imaging_test(get_samples, image_range, batch_count=50, bins=128,
                  verbose=True, display=False):
     """Trace many batches of rays and histogram where they land
-    (analyze.py:9-76).  ``get_samples()`` returns (n, 2) landing points;
+    (analyze.py:9-76).  ``get_samples()`` returns (n, 2) landing points --
     typically it samples a fresh key, traces, and returns the finished rays'
-    (y, z).  Returns (h, xedges, yedges, image)."""
+    (y, z) -- or (n, 3) with a per-ray weight in the third column (e.g. the
+    Fresnel-tracked ``intensity`` field, giving a radiometric image instead
+    of a ray-count image).  Returns (h, xedges, yedges, image)."""
     image_samples = []
     for i in range(batch_count):
         image_samples.append(np.asarray(get_samples()))
         if verbose:
             print(f"Sampling step {i}/{batch_count}-{100 * i / batch_count:.2f}%.")
     samples = np.concatenate(image_samples)
+    weights = samples[:, 2] if samples.shape[1] >= 3 else None
     if verbose:
         print(f"final sample shape: {samples.shape}")
         print(f"total rays traced: {samples.shape[0]}")
@@ -102,12 +105,14 @@ def imaging_test(get_samples, image_range, batch_count=50, bins=128,
         fig, ax = plt.subplots(1, 1, figsize=(9, 9))
         ax.set_aspect("equal")
         h, xedges, yedges, image = ax.hist2d(
-            samples[:, 0], samples[:, 1], bins=bins, range=image_range
+            samples[:, 0], samples[:, 1], bins=bins, range=image_range,
+            weights=weights
         )
         plt.show()
     else:
         h, xedges, yedges = np.histogram2d(
-            samples[:, 0], samples[:, 1], bins=bins, range=image_range
+            samples[:, 0], samples[:, 1], bins=bins, range=image_range,
+            weights=weights
         )
     return h, xedges, yedges, image
 

@@ -101,3 +101,15 @@ def test_distribution_differential_soft_gradient():
 
     g = float(jax.grad(f)(jnp.asarray(0.3, F64)))
     assert np.isfinite(g) and g != 0.0
+
+
+def test_imaging_test_weighted_samples():
+    """(n, 3) samples use the third column as per-ray weights (radiometric
+    image, e.g. Fresnel intensity)."""
+    from tensorflowraytrace_tpu.analysis import imaging_test
+
+    pts = np.asarray([[0.5, 0.5, 2.0], [0.5, 0.5, 1.0], [-0.5, -0.5, 0.25]])
+    h, xe, ye, _ = imaging_test(lambda: pts, ((-1, 1), (-1, 1)),
+                                batch_count=1, bins=2, verbose=False)
+    np.testing.assert_allclose(h[1, 1], 3.0)   # two rays, weights 2 + 1
+    np.testing.assert_allclose(h[0, 0], 0.25)

@@ -410,6 +410,37 @@ def test_validate_system_mat_override_passes():
     engine.validate_system()  # must not raise
 
 
+def test_validate_system_fresnel_intensity_signature():
+    """FresnelIntensity declares input_signature={'intensity'}: a system
+    whose sources don't carry the field fails validate_system with a
+    field-level message; seeding it via extra_fields passes and the traced
+    intensities are attenuated."""
+    from tensorflowraytrace_tpu.operations import FresnelIntensity
+
+    system = build_single_arc_system()
+    engine = OpticalEngine(2, operations=[FresnelIntensity()],
+                           simple_ray_inheritance={"wavelength"})
+    engine.optical_system = system
+    system.update()
+    with pytest.raises(RuntimeError, match="intensity"):
+        engine.validate_system()
+
+    # seed the field on the source and the same system validates + traces
+    system2 = build_single_arc_system()
+    for entry in system2._source_entries:
+        entry._obj.extra_fields = {"intensity": ("whole", 1.0)}
+        entry.update()
+    engine2 = OpticalEngine(2, operations=[FresnelIntensity()],
+                            simple_ray_inheritance={"wavelength"})
+    engine2.optical_system = system2
+    system2.update()
+    engine2.validate_system()
+    engine2.ray_trace(2)
+    inten = np.asarray(engine2.finished_rays["intensity"])
+    assert inten.shape == (60,)
+    assert (inten < 1.0).all() and (inten > 0.8).all()  # attenuated, sane
+
+
 def test_exclusion_clash_raises():
     from tensorflowraytrace_tpu.operations import GhostThrough, RayOperation
 
