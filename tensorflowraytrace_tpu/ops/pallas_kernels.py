@@ -681,7 +681,7 @@ def nearest_hit_arcs_pallas(p0, p1, arc, intersect_eps, ray_start_eps,
         aabbs = chunk_aabbs_arcs(center, a1, a2, radius, fine).astype(dtype)
         return _nearest_hit_arcs_twolevel_impl(
             rays8, arcs16, aabbs, float(intersect_eps), float(ray_start_eps),
-            rb, fine, bool(interpret),
+            rb, fine, bool(interpret), max_cand=int(TWOLEVEL_MAX_CAND),
         )
     if cull:
         from tensorflowraytrace_tpu.models.acceleration import chunk_aabbs_arcs
@@ -910,6 +910,7 @@ def nearest_hit_segments_pallas(p0, p1, seg, intersect_eps, size_eps,
         return _nearest_hit_segments_twolevel_impl(
             rays8, segs8, aabbs, float(intersect_eps), float(size_eps),
             float(ray_start_eps), rb, fine, bool(interpret),
+            max_cand=int(TWOLEVEL_MAX_CAND),
         )
     if cull:
         from tensorflowraytrace_tpu.models.acceleration import chunk_aabbs_2d
@@ -1425,9 +1426,10 @@ def _twolevel_arc_kernel(i_eps, r_eps, n_chunks, max_cand,
     branch_ref[...] = best_branch
 
 
-def _twolevel_candidates_2d(rays8, aabbs, r_eps, ray_block,
-                            max_cand=TWOLEVEL_MAX_CAND):
+def _twolevel_candidates_2d(rays8, aabbs, r_eps, ray_block, max_cand=None):
     """2D analogue of _twolevel_candidates (rows 0-1 lo, 2-3 hi)."""
+    if max_cand is None:
+        max_cand = TWOLEVEL_MAX_CAND
     n_pad = rays8.shape[1]
     nb = n_pad // ray_block
     o = rays8[0:2].reshape(2, nb, 1, ray_block)
@@ -1455,14 +1457,16 @@ def _twolevel_candidates_2d(rays8, aabbs, r_eps, ray_block,
 
 @functools.partial(jax.jit, static_argnames=("i_eps", "s_eps", "r_eps",
                                              "ray_block", "fine_chunk",
-                                             "interpret"))
+                                             "interpret", "max_cand"))
 def _nearest_hit_segments_twolevel_impl(rays8, segs8, aabbs, i_eps, s_eps,
                                         r_eps, ray_block, fine_chunk,
-                                        interpret):
+                                        interpret, max_cand=None):
+    if max_cand is None:
+        max_cand = TWOLEVEL_MAX_CAND
     slabbed = _slab_ray_axis(
         lambda r8, *a: _nearest_hit_segments_twolevel_impl(r8, *a),
         rays8, ray_block, segs8, aabbs, i_eps, s_eps, r_eps, ray_block,
-        fine_chunk, interpret)
+        fine_chunk, interpret, max_cand, max_cand=max_cand)
     if slabbed is not None:
         return slabbed
     n = rays8.shape[1]
@@ -1476,7 +1480,7 @@ def _nearest_hit_segments_twolevel_impl(rays8, segs8, aabbs, i_eps, s_eps,
     assert aabbs.shape[1] == n_chunks, (aabbs.shape, n_chunks)
     segs_chunked = jnp.transpose(
         segs8.reshape(8, n_chunks, fine_chunk), (1, 0, 2))
-    max_cand = min(TWOLEVEL_MAX_CAND, n_chunks)
+    max_cand = min(max_cand, n_chunks)
     counts, cand = _twolevel_candidates_2d(rays8, aabbs, r_eps, ray_block,
                                            max_cand)
 
@@ -1516,13 +1520,17 @@ def _nearest_hit_segments_twolevel_impl(rays8, segs8, aabbs, i_eps, s_eps,
 
 
 @functools.partial(jax.jit, static_argnames=("i_eps", "r_eps", "ray_block",
-                                             "fine_chunk", "interpret"))
+                                             "fine_chunk", "interpret",
+                                             "max_cand"))
 def _nearest_hit_arcs_twolevel_impl(rays8, arcs16, aabbs, i_eps, r_eps,
-                                    ray_block, fine_chunk, interpret):
+                                    ray_block, fine_chunk, interpret,
+                                    max_cand=None):
+    if max_cand is None:
+        max_cand = TWOLEVEL_MAX_CAND
     slabbed = _slab_ray_axis(
         lambda r8, *a: _nearest_hit_arcs_twolevel_impl(r8, *a),
         rays8, ray_block, arcs16, aabbs, i_eps, r_eps, ray_block,
-        fine_chunk, interpret)
+        fine_chunk, interpret, max_cand, max_cand=max_cand)
     if slabbed is not None:
         return slabbed
     n = rays8.shape[1]
@@ -1541,7 +1549,7 @@ def _nearest_hit_arcs_twolevel_impl(rays8, arcs16, aabbs, i_eps, r_eps,
     assert aabbs.shape[1] == n_chunks, (aabbs.shape, n_chunks)
     arcs_chunked = jnp.transpose(
         arcs16.reshape(16, n_chunks, fine_chunk), (1, 0, 2))
-    max_cand = min(TWOLEVEL_MAX_CAND, n_chunks)
+    max_cand = min(max_cand, n_chunks)
     counts, cand = _twolevel_candidates_2d(rays8, aabbs, r_eps, ray_block,
                                            max_cand)
 
