@@ -75,7 +75,6 @@ def main(rays=2000, show=False):
     assert power <= T0 * T0 * (fin.sum() / rays) + 1e-9
     assert power > 0.5 * fin.sum() / rays
 
-    ys = np.asarray(res.rays.p1[:, 1])
     rng = ((13.9, 14.1), (-12.0, 12.0))
     counts = histogram2d(res.rays.p1[:, 0], res.rays.p1[:, 1], rng, 1, 48,
                          weights=jnp.asarray(fin, dtype))

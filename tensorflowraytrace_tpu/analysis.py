@@ -80,20 +80,27 @@ def inner_product(first, second):
 
 
 def imaging_test(get_samples, image_range, batch_count=50, bins=128,
-                 verbose=True, display=False):
+                 verbose=True, display=False, weighted=False):
     """Trace many batches of rays and histogram where they land
     (analyze.py:9-76).  ``get_samples()`` returns (n, 2) landing points --
     typically it samples a fresh key, traces, and returns the finished rays'
-    (y, z) -- or (n, 3) with a per-ray weight in the third column (e.g. the
-    Fresnel-tracked ``intensity`` field, giving a radiometric image instead
-    of a ray-count image).  Returns (h, xedges, yedges, image)."""
+    (y, z).  With ``weighted=True`` it must return (n, 3) with a per-ray
+    weight in the third column (e.g. the Fresnel-tracked ``intensity``
+    field), giving a radiometric image instead of a ray-count image; the
+    flag is explicit so wider landing-point arrays (x, y, z, ...) are never
+    silently reinterpreted as weights -- extra columns are ignored, as in
+    the reference.  Returns (h, xedges, yedges, image)."""
     image_samples = []
     for i in range(batch_count):
         image_samples.append(np.asarray(get_samples()))
         if verbose:
             print(f"Sampling step {i}/{batch_count}-{100 * i / batch_count:.2f}%.")
     samples = np.concatenate(image_samples)
-    weights = samples[:, 2] if samples.shape[1] >= 3 else None
+    if weighted and samples.shape[1] < 3:
+        raise ValueError(
+            "imaging_test(weighted=True) needs (n, >=3) samples with the "
+            f"weight in column 2; got shape {samples.shape}")
+    weights = samples[:, 2] if weighted else None
     if verbose:
         print(f"final sample shape: {samples.shape}")
         print(f"total rays traced: {samples.shape[0]}")

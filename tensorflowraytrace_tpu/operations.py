@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from tensorflowraytrace_tpu.engine import Projection, TraceConfig, default_reaction
 from tensorflowraytrace_tpu.models.rays import RaySet
+from tensorflowraytrace_tpu.ops import geometry
 
 # StandardReaction (operation.py:200-307) is the engine default.
 standard_reaction = default_reaction
@@ -138,15 +139,23 @@ def fresnel_intensity_reaction(base_reaction=default_reaction,
             nu = jnp.sum(n * d, axis=-1)
         cos_i = jnp.abs(nu)
 
-        # same eta convention as geometry.snell_3d_vec: internal hits
-        # (travelling along the normal) see n_in/n_out, external the inverse
-        one = jnp.ones_like(proj.n_in)
-        zero = jnp.zeros_like(proj.n_in)
-        nin_safe = jnp.where(proj.n_in != 0.0, proj.n_in, one)
-        nout_safe = jnp.where(proj.n_out != 0.0, proj.n_out, one)
-        eta_int = jnp.where(proj.n_out != 0.0, nin_safe / nout_safe, zero)
-        eta_ext = jnp.where(proj.n_in != 0.0, nout_safe / nin_safe, zero)
-        eta = jnp.where(nu > 0, eta_int, eta_ext)
+        # double-where NaN guard: non-reacting slots can carry non-finite
+        # indices (the out-of-range material-id path deliberately produces
+        # NaN n so the ray dies at the finite-child backstop -- a
+        # forward-only guard).  The engine masks the forward factor by
+        # jnp.where(reacts, ...), but the product's backward multiplies the
+        # zeroed cotangent by the raw factor, and 0 * NaN = NaN would
+        # contaminate the whole intensity gradient -- so sanitize the inputs
+        # here, same discipline as snells_law_2D's safe_theta2.
+        n_in = jnp.where(jnp.isfinite(proj.n_in), proj.n_in,
+                         jnp.ones_like(proj.n_in))
+        n_out = jnp.where(jnp.isfinite(proj.n_out), proj.n_out,
+                          jnp.ones_like(proj.n_out))
+
+        # same eta convention as every Snell form (ops/geometry.select_eta):
+        # internal hits see n_in/n_out, external the inverse; mirror
+        # sentinels propagate as eta == 0
+        eta = geometry.select_eta(n_in, n_out, nu > 0)
 
         radicand = 1 - eta * eta * (1 - cos_i * cos_i)
         tir = radicand < 0
@@ -158,8 +167,15 @@ def fresnel_intensity_reaction(base_reaction=default_reaction,
         rp = (eta * cos_t - cos_i) / rp_d
         reflectance = jnp.clip(0.5 * (rs * rs + rp * rp), 0.0, 1.0)
 
-        mirror = proj.n_in == 0
-        factor = jnp.where(tir | mirror, jnp.ones_like(reflectance),
+        # lossless on every branch the geometry REFLECTS: TIR, mirror
+        # surfaces (n_in == 0, hit from either side), and the eta == 0 a
+        # mat_out-mirror presents to an internal hit (2D genuinely reflects
+        # there via the refract test's n != 0 term, geometry.py:601-653; in
+        # 3D that configuration is out-of-contract -- "n_out should not be
+        # zero", reference geometry.py:683 -- and treated as lossless too
+        # rather than silently zeroing the ray's downstream power)
+        reflects = tir | (n_in == 0) | (eta == 0.0)
+        factor = jnp.where(reflects, jnp.ones_like(reflectance),
                            1.0 - reflectance)
         old = rays.fields.get(field)
         if old is None:
@@ -176,9 +192,16 @@ class FresnelIntensity(RayOperation):
     Snell children plus per-ray intensity attenuation by the Fresnel power
     transmittance of the taken branch."""
 
-    input_signature = frozenset({"intensity"})
+    # the default base reaction is StandardReaction in 'index' mode and the
+    # Fresnel factor itself reads proj.n_in/n_out, so declare the same
+    # optical/material requirements StandardReaction does -- otherwise
+    # validate_system would pass on a system whose optical surfaces were
+    # never annotated with mat_in/mat_out
+    input_signature = frozenset({"intensity", "wavelength"})
     output_signature = frozenset({"intensity"})
-    simple_ray_inheritance = frozenset({"intensity"})
+    optical_signature = frozenset({"mat_in", "mat_out"})
+    material_signature = frozenset({"n"})
+    simple_ray_inheritance = frozenset({"intensity", "wavelength"})
 
     def __init__(self, base_reaction=default_reaction, field="intensity",
                  **kw):

@@ -255,6 +255,25 @@ def _safe_unit(v, axis=-1):
     return v * jax.lax.rsqrt(jnp.maximum(mag2, eps * eps))
 
 
+def select_eta(n_in, n_out, internal_mask):
+    """Refractive-index-ratio selection shared by every Snell form and the
+    Fresnel intensity reaction: ``eta = n_in/n_out`` on internal hits
+    (travelling along the normal), ``n_out/n_in`` on external hits, with the
+    0-sentinel (mirror materials, reference materials.py:95-96) propagated as
+    ``eta == 0`` through safe divides so gradients never see a divide by
+    zero (reference geometry.py:601-611 / 728-736 -- identical chain in both
+    dimensions).  Inputs must already be broadcast to a common shape."""
+    one = jnp.ones_like(n_in)
+    zero = jnp.zeros_like(n_in)
+    n_in_is_safe = n_in != 0.0
+    n_in_safe = jnp.where(n_in_is_safe, n_in, one)
+    n_out_is_safe = n_out != 0.0
+    n_out_safe = jnp.where(n_out_is_safe, n_out, one)
+    eta_internal = jnp.where(n_out_is_safe, n_in_safe / n_out_safe, zero)
+    eta_external = jnp.where(n_in_is_safe, n_out_safe / n_in_safe, zero)
+    return jnp.where(internal_mask, eta_internal, eta_external)
+
+
 def snells_law_2D(x_start, y_start, x_end, y_end, norm, n_in, n_out, new_ray_length):
     """2D optical reaction (refract / reflect / TIR), angle formulation.
 
@@ -273,19 +292,10 @@ def snells_law_2D(x_start, y_start, x_end, y_end, norm, n_in, n_out, new_ray_len
 
     internal_mask = jnp.abs(theta1) >= PI / 2
 
-    one = jnp.ones_like(theta1)
     zero = jnp.zeros_like(theta1)
-
     n_in = jnp.broadcast_to(n_in, theta1.shape)
     n_out = jnp.broadcast_to(n_out, theta1.shape)
-    n_in_is_safe = n_in != 0.0
-    n_in_safe = jnp.where(n_in_is_safe, n_in, one)
-    n_out_is_safe = n_out != 0.0
-    n_out_safe = jnp.where(n_out_is_safe, n_out, one)
-
-    n1 = jnp.where(n_out_is_safe, n_in_safe / n_out_safe, zero)
-    n2 = jnp.where(n_in_is_safe, n_out_safe / n_in_safe, zero)
-    n = jnp.where(internal_mask, n1, n2)
+    n = select_eta(n_in, n_out, internal_mask)
 
     norm = jnp.where(internal_mask, norm, norm + PI)
     theta1 = jnp.where(internal_mask, theta1 + PI, theta1)
@@ -326,17 +336,8 @@ def snells_law_3D(
     nu = jnp.sum(n * u, axis=1, keepdims=True)
 
     internal_mask = nu > 0
-    one = jnp.ones_like(n_in)
-    zero = jnp.zeros_like(n_in)
-
-    n_in_is_safe = n_in != 0.0
-    n_in_safe = jnp.where(n_in_is_safe, n_in, one)
-    n_out_is_safe = n_out != 0.0
-    n_out_safe = jnp.where(n_out_is_safe, n_out, one)
-
-    n1 = jnp.reshape(jnp.where(n_out_is_safe, n_in_safe / n_out_safe, zero), (-1, 1))
-    n2 = jnp.reshape(jnp.where(n_in_is_safe, n_out_safe / n_in_safe, zero), (-1, 1))
-    eta = jnp.where(internal_mask, n1, n2)
+    eta = select_eta(jnp.reshape(n_in, (-1, 1)), jnp.reshape(n_out, (-1, 1)),
+                     internal_mask)
     nu_eta = eta * nu
 
     radicand = 1 - eta * eta + nu_eta * nu_eta
@@ -370,15 +371,7 @@ def snell_3d_vec(p0, p1, norm, n_in, n_out, new_ray_length):
     nu = jnp.sum(n * u, axis=-1, keepdims=True)
 
     internal_mask = nu > 0
-    one = jnp.ones_like(n_in)
-    zero = jnp.zeros_like(n_in)
-    n_in_is_safe = n_in != 0.0
-    n_in_safe = jnp.where(n_in_is_safe, n_in, one)
-    n_out_is_safe = n_out != 0.0
-    n_out_safe = jnp.where(n_out_is_safe, n_out, one)
-    n1 = jnp.where(n_out_is_safe, n_in_safe / n_out_safe, zero)[..., None]
-    n2 = jnp.where(n_in_is_safe, n_out_safe / n_in_safe, zero)[..., None]
-    eta = jnp.where(internal_mask, n1, n2)
+    eta = select_eta(n_in[..., None], n_out[..., None], internal_mask)
     nu_eta = eta * nu
 
     radicand = 1 - eta * eta + nu_eta * nu_eta

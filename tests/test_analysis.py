@@ -104,12 +104,27 @@ def test_distribution_differential_soft_gradient():
 
 
 def test_imaging_test_weighted_samples():
-    """(n, 3) samples use the third column as per-ray weights (radiometric
-    image, e.g. Fresnel intensity)."""
+    """weighted=True uses the third column as per-ray weights (radiometric
+    image, e.g. Fresnel intensity); without the flag extra columns are
+    ignored rather than silently reinterpreted."""
+    import pytest
+
     from tensorflowraytrace_tpu.analysis import imaging_test
 
     pts = np.asarray([[0.5, 0.5, 2.0], [0.5, 0.5, 1.0], [-0.5, -0.5, 0.25]])
     h, xe, ye, _ = imaging_test(lambda: pts, ((-1, 1), (-1, 1)),
-                                batch_count=1, bins=2, verbose=False)
+                                batch_count=1, bins=2, verbose=False,
+                                weighted=True)
     np.testing.assert_allclose(h[1, 1], 3.0)   # two rays, weights 2 + 1
     np.testing.assert_allclose(h[0, 0], 0.25)
+
+    # unweighted: column 2 (an x/y/z landing point, say) is just ignored
+    h, *_ = imaging_test(lambda: pts, ((-1, 1), (-1, 1)),
+                         batch_count=1, bins=2, verbose=False)
+    np.testing.assert_allclose(h[1, 1], 2.0)
+    np.testing.assert_allclose(h[0, 0], 1.0)
+
+    # weighted=True on too-narrow samples fails loudly
+    with pytest.raises(ValueError):
+        imaging_test(lambda: pts[:, :2], ((-1, 1), (-1, 1)),
+                     batch_count=1, bins=2, verbose=False, weighted=True)

@@ -4,6 +4,7 @@ had no such validation; these pin the engine to analytically known results."""
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -320,3 +321,66 @@ def test_fresnel_intensity_differentiable():
 
     g = jax.grad(out_intensity)(jnp.asarray(0.4, F64))
     assert np.isfinite(float(g)) and abs(float(g)) > 0
+
+
+def test_fresnel_intensity_internal_hit_on_mat_out_mirror():
+    """A surface whose mat_out is the reflective sentinel, hit from the
+    internal side: the 2D geometry reflects it losslessly (the refract test's
+    eta != 0 term), so the intensity must stay exactly 1 -- regression for
+    the factor zeroing the ray's downstream power (eta == 0 gave R = 1 and
+    the old mirror test only checked n_in == 0)."""
+    from tensorflowraytrace_tpu.operations import fresnel_intensity_reaction
+
+    # segment top->bottom so the norm points +x and a +x ray hits INTERNALLY
+    mirror = SegmentSet.make([[1.0, 50.0]], [[1.0, -50.0]], mat_in=0,
+                             mat_out=1, dtype=F64)
+    scene = Scene2D.build(optical_segments=[mirror])
+    rays = RaySet.make(jnp.asarray([[0.0, 0.0]], F64),
+                       jnp.asarray([[1.0, 0.2]], F64), 550.0,
+                       fields={"intensity": jnp.ones(1, F64)}, dtype=F64)
+    res = trace(rays, scene, (mats.vacuum, mats.reflective),
+                TraceConfig(max_bounces=1),
+                reaction=fresnel_intensity_reaction())
+    # the geometry really did reflect (child heads back -x) ...
+    assert float(res.rays.p1[0, 0]) < float(res.rays.p0[0, 0])
+    # ... and the reflection is lossless
+    np.testing.assert_allclose(
+        float(res.rays.fields["intensity"][0]), 1.0, rtol=0)
+
+
+def test_fresnel_intensity_factor_finite_under_nan_indices():
+    """Non-finite n on a (non-reacting) slot must not leak NaN into the
+    intensity value or its gradient: the engine masks the forward by
+    jnp.where(reacts, ...) but the product's backward multiplies the zeroed
+    cotangent by the raw factor (0 * NaN = NaN)."""
+    from tensorflowraytrace_tpu.engine import Projection
+    from tensorflowraytrace_tpu.operations import fresnel_intensity_reaction
+
+    reaction = fresnel_intensity_reaction()
+    norm = jnp.asarray([np.pi, np.pi], F64)
+    proj = Projection(
+        hit_valid=jnp.asarray([True, False]),
+        point=jnp.asarray([[1.0, 0.0], [0.0, 0.0]], F64),
+        norm=norm,
+        n_in=jnp.asarray([1.0, np.nan], F64),
+        n_out=jnp.asarray([1.5, np.nan], F64),
+        category=jnp.zeros(2, jnp.int32),
+        surf_idx=jnp.zeros(2, jnp.int32),
+        kind=jnp.zeros(2, jnp.int32),
+        extras={},
+        dim=2,
+    )
+
+    def weighted_power(p1):
+        rays = RaySet.make(jnp.zeros((2, 2), F64), p1, 550.0,
+                           fields={"intensity": jnp.ones(2, F64)}, dtype=F64)
+        _, _, updates = reaction(proj, rays, TraceConfig(max_bounces=1))
+        reacts = jnp.asarray([True, False])   # engine's masking
+        out = jnp.where(reacts, updates["intensity"],
+                        rays.fields["intensity"])
+        return jnp.sum(out)
+
+    p1 = jnp.asarray([[1.0, 0.0], [1.0, 0.0]], F64)
+    val, grad = jax.value_and_grad(weighted_power)(p1)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad)))
