@@ -55,9 +55,10 @@ def raw_line_intersect(x1s, y1s, x1e, y1e, x2s, y2s, x2e, y2e, epsilon=None):
     the lines are parallel), and the line parameters along line-set 1 / 2.
     Mirrors geometry.py:96-167 including the safe-denominator trick.
     """
-    x1s, y1s, x1e, y1e, x2s, y2s, x2e, y2e = jnp.broadcast_arrays(
-        x1s, y1s, x1e, y1e, x2s, y2s, x2e, y2e
-    )
+    dt = jnp.result_type(x1s, y1s, x1e, y1e, x2s, y2s, x2e, y2e)
+    x1s, y1s, x1e, y1e, x2s, y2s, x2e, y2e = (
+        a.astype(dt)
+        for a in jnp.broadcast_arrays(x1s, y1s, x1e, y1e, x2s, y2s, x2e, y2e))
     epsilon = _eps(epsilon, x1s)
 
     x1 = x1e - x1s
@@ -104,8 +105,11 @@ def raw_line_triangle_intersect(
     triangle's plane; barycentric pruning is the caller's job, as in
     engine.py:1138-1141).
     """
+    dt = jnp.result_type(rx1, ry1, rz1, rx2, ry2, rz2, xp, yp, zp,
+                         x1, y1, z1, x2, y2, z2)
     rx1, ry1, rz1, rx2, ry2, rz2, xp, yp, zp, x1, y1, z1, x2, y2, z2 = (
-        jnp.broadcast_arrays(
+        a.astype(dt)
+        for a in jnp.broadcast_arrays(
             rx1, ry1, rz1, rx2, ry2, rz2, xp, yp, zp, x1, y1, z1, x2, y2, z2
         )
     )
@@ -168,7 +172,17 @@ def raw_line_circle_intersect(xs, ys, xe, ye, xc, yc, r, epsilon=None):
     geometry.py:420-547 including the tangent (rad ~ 0 -> snap to 0) and
     degenerate-line (a ~ 0) special cases.
     """
-    xs, ys, xe, ye, xc, yc, r = jnp.broadcast_arrays(xs, ys, xe, ye, xc, yc, r)
+    # promote to the COMMON dtype before any arithmetic:
+    # jnp.broadcast_arrays broadcasts shapes but leaves dtypes alone, so a
+    # float32 surface set against float64 rays would leave float32-only
+    # subexpressions (notably ``1.0 / r`` below) at f32 precision.  The 1/r
+    # rounding (~6e-8 relative) distorts the scaled coordinates, so a ray
+    # starting EXACTLY on the circle appears off it and re-hits itself at
+    # u ~ 5e-7 -- far above the f64 ray_start_eps self-hit guard.
+    dt = jnp.result_type(xs, ys, xe, ye, xc, yc, r)
+    xs, ys, xe, ye, xc, yc, r = (
+        a.astype(dt)
+        for a in jnp.broadcast_arrays(xs, ys, xe, ye, xc, yc, r))
     epsilon = _eps(epsilon, xs)
 
     inverse_r = 1.0 / r

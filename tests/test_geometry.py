@@ -432,3 +432,47 @@ def test_snells_law_2d_critical_angle_gradient_finite():
     g = jax.grad(loss)(xe)
     assert bool(jnp.all(jnp.isfinite(v)))
     assert bool(jnp.all(jnp.isfinite(g))), g
+
+
+def test_mixed_dtype_promotes_before_arithmetic():
+    """f32 surface data against f64 rays must compute at f64 (regression).
+
+    jnp.broadcast_arrays broadcasts shapes but leaves dtypes alone, so the
+    raw kernels used to evaluate f32-only subexpressions (notably ``1/r`` in
+    the circle solve) at f32 precision even when the ray coords were f64.
+    The ~6e-8 relative rounding of 1/r shifted the scaled coordinates enough
+    that a ray starting EXACTLY on the circle appeared off it and re-hit
+    itself at u ~ 5e-7 -- far above the f64 self-hit epsilon.  The kernels
+    now promote every operand to the common dtype up front.
+    """
+    # ray starting exactly on the unit circle, leaving radially outward
+    xs, ys = jnp.asarray([1.0], F64), jnp.asarray([0.0], F64)
+    xe, ye = jnp.asarray([2.0], F64), jnp.asarray([0.0], F64)
+    r32 = jnp.asarray([1.0], jnp.float32)
+    c32 = jnp.asarray([0.0], jnp.float32)
+    plus, minus = geometry.raw_line_circle_intersect(
+        xs, ys, xe, ye, c32, c32, r32, 1e-10)
+    for out in (plus, minus):
+        assert out["u"].dtype == F64
+        # self-hit lands at u == 0 (or the far hit at u == -2): at f64
+        # precision the start-point hit must be 0 to ~1e-15, not ~5e-7
+        u = float(out["u"][0])
+        assert min(abs(u), abs(u + 2.0)) < 1e-12, u
+
+    # same discipline for the line-line and line-triangle kernels
+    _, _, _, u, _ = geometry.raw_line_intersect(
+        xs, ys, xe, ye,
+        jnp.asarray([1.0], jnp.float32), jnp.asarray([-1.0], jnp.float32),
+        jnp.asarray([1.0], jnp.float32), jnp.asarray([1.0], jnp.float32))
+    assert u.dtype == F64
+    np.testing.assert_allclose(float(u[0]), 0.0, atol=1e-14)
+
+    tri32 = [jnp.asarray([v], jnp.float32) for v in
+             (0.0, -1.0, -1.0, 0.0, 1.0, -1.0, 0.0, 0.0, 1.0)]
+    _, _, _, _, ray_u, _, _ = geometry.raw_line_triangle_intersect(
+        jnp.asarray([-1.0], F64), jnp.asarray([0.0], F64),
+        jnp.asarray([0.0], F64),
+        jnp.asarray([0.0], F64), jnp.asarray([0.0], F64),
+        jnp.asarray([0.0], F64), *tri32)
+    assert ray_u.dtype == F64
+    np.testing.assert_allclose(float(ray_u[0]), 1.0, atol=1e-14)
