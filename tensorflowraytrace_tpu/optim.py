@@ -51,23 +51,25 @@ def _lr_schedule(lr, steps):
     return [lr] * steps
 
 
-def _apply_param_update(p, g, v, lr_scale, momentum, ind_lr, learning_rate,
-                        clip_mode, clip_scale, grad_clip, accumulator,
-                        smoother):
-    """One parameter's gradient-hygiene + Nesterov update (optimizer.py:
-    227-282 pipeline): finite-guard -> lr scale -> clip -> accumulator
-    matmul -> momentum -> smoother matmul.  Shared by the per-step and the
-    chained (lax.scan) step builders so the two can never diverge.
+def _grad_hygiene(p, g, lr_scale, ind_lr, learning_rate, clip_mode,
+                  clip_scale, grad_clip, accumulator, premultiply_lr):
+    """The gradient-hygiene stages shared by the builtin Nesterov update and
+    the optax path (optimizer.py:227-256): finite-guard -> lr scale (builtin
+    path only) -> clip -> accumulator matmul.  Returns the processed gradient
+    and the combined lr factor (the optax path multiplies it into the
+    transform's update instead of the raw gradient -- pre-scaling the
+    gradient would be invisible to scale-invariant transforms like Adam).
 
     Everything multiplying into the update is cast to the parameter's dtype:
-    lr_scale/momentum arrive as traced f64 under jax_enable_x64 and would
-    otherwise silently promote f32 params (and break the scan carry types).
+    lr_scale arrives as traced f64 under jax_enable_x64 and would otherwise
+    silently promote f32 params (and break the scan carry types).
     """
     dt = p.dtype
     lr_s = jnp.asarray(lr_scale, dt)
-    mom = jnp.asarray(momentum, dt)
+    scale = lr_s * ind_lr * learning_rate
     g = jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g))
-    g = g * (lr_s * ind_lr * learning_rate)
+    if premultiply_lr:
+        g = g * scale
     if clip_mode == "common":
         clip = jnp.asarray(grad_clip, dt)
     else:
@@ -75,11 +77,30 @@ def _apply_param_update(p, g, v, lr_scale, momentum, ind_lr, learning_rate,
     g = jnp.clip(g, -clip, clip)
     if accumulator is not None:
         g = (accumulator.astype(dt) @ g.reshape(-1, 1)).reshape(g.shape)
+    return g, scale
+
+
+def _smooth(p, smoother):
+    if smoother is not None:
+        p = (smoother.astype(p.dtype) @ p.reshape(-1, 1)).reshape(p.shape)
+    return p
+
+
+def _apply_param_update(p, g, v, lr_scale, momentum, ind_lr, learning_rate,
+                        clip_mode, clip_scale, grad_clip, accumulator,
+                        smoother):
+    """One parameter's gradient-hygiene + Nesterov update (optimizer.py:
+    227-282 pipeline): finite-guard -> lr scale -> clip -> accumulator
+    matmul -> momentum -> smoother matmul.  Shared by the per-step and the
+    chained (lax.scan) step builders so the two can never diverge.
+    """
+    g, _ = _grad_hygiene(p, g, lr_scale, ind_lr, learning_rate, clip_mode,
+                         clip_scale, grad_clip, accumulator,
+                         premultiply_lr=True)
+    mom = jnp.asarray(momentum, p.dtype)
     v = mom * v + g
     p = p - (g + mom * v)
-    if smoother is not None:
-        p = (smoother.astype(dt) @ p.reshape(-1, 1)).reshape(p.shape)
-    return p, v
+    return _smooth(p, smoother), v
 
 
 class Optimizer:
@@ -110,7 +131,8 @@ class Optimizer:
 
     def __init__(self, loss_fn, parameters, learning_rate=1.0, momentum=0.0,
                  individual_lr=None, grad_clip="default", clip_mode="common",
-                 clip_scale=10.0, pass_key=True, key=None, mesh=None):
+                 clip_scale=10.0, pass_key=True, key=None, mesh=None,
+                 optax_tx=None):
         if not isinstance(parameters, (list, tuple)):
             raise ValueError("Optimizer: parameters must be a list of arrays")
         if mesh is not None and not pass_key:
@@ -133,7 +155,17 @@ class Optimizer:
         self.pass_key = pass_key
         self.key = key if key is not None else jax.random.PRNGKey(0)
         self.iterations = 0
-        self._velocity = [jnp.zeros_like(p) for p in self.parameters]
+        # optax_tx: any optax.GradientTransformation (e.g. optax.adam(1e-3)).
+        # It replaces ONLY the momentum/step stage; the reference pipeline's
+        # gradient hygiene (finite-guard, clip, accumulator matmul) still
+        # runs first, and learning_rate/individual_lr/lr_scale (incl. phase
+        # ramps) multiply the transform's update.  ``momentum`` args are
+        # ignored (the transform owns its state).  Works under mesh= too.
+        self._tx = optax_tx
+        if optax_tx is not None:
+            self._velocity = optax_tx.init(self.parameters)
+        else:
+            self._velocity = [jnp.zeros_like(p) for p in self.parameters]
         if mesh is not None and jax.process_count() > 1:
             # multi-controller: locally-created arrays are only addressable
             # on this process; replicate params/velocity onto the global mesh
@@ -212,20 +244,21 @@ class Optimizer:
                                                 lambda idx: host[idx])
         return jax.device_put(keys, sharding)
 
-    def _make_step(self, acc_struct, smooth_struct, n_args, kwarg_names):
-        """Build + cache the jitted update step for a given static config."""
-
+    def _make_apply(self):
+        """The per-step parameter-update function shared by the single-step
+        and chained (lax.scan) builders: ``(params, state, grads, lr_scale,
+        momentum, accumulators, smoothers) -> (params, state)``.  ``state``
+        is the Nesterov velocity list, or the optax state when the optimizer
+        was built with ``optax_tx``."""
         individual_lr = tuple(self.individual_lr)
         clip_mode = self.clip_mode
         clip_scale = self.clip_scale
         grad_clip = self.grad_clip
         learning_rate = self.learning_rate
-        vag = self._vag()
+        tx = self._tx
 
-        def step(params, velocity, accumulators, smoothers, key, lr_scale,
-                 momentum, args, kwargs):
-            error, grads = vag(params, key, args, kwargs)
-
+        def apply_builtin(params, velocity, grads, lr_scale, momentum,
+                          accumulators, smoothers):
             new_params = []
             new_velocity = []
             for i, (p, g, v) in enumerate(zip(params, grads, velocity)):
@@ -235,6 +268,40 @@ class Optimizer:
                     accumulators[i], smoothers[i])
                 new_params.append(p)
                 new_velocity.append(v)
+            return new_params, new_velocity
+
+        def apply_optax(params, opt_state, grads, lr_scale, momentum,
+                        accumulators, smoothers):
+            del momentum  # the transform owns its own momentum state
+            proc, scales = [], []
+            for i, (p, g) in enumerate(zip(params, grads)):
+                g, s = _grad_hygiene(
+                    p, g, lr_scale, individual_lr[i], learning_rate,
+                    clip_mode, clip_scale, grad_clip, accumulators[i],
+                    premultiply_lr=False)
+                proc.append(g)
+                scales.append(s)
+            updates, opt_state = tx.update(proc, opt_state, params)
+            new_params = [
+                _smooth(p + s * u.astype(p.dtype), sm)
+                for p, u, s, sm in zip(params, updates, scales, smoothers)
+            ]
+            return new_params, opt_state
+
+        return apply_builtin if tx is None else apply_optax
+
+    def _make_step(self, acc_struct, smooth_struct, n_args, kwarg_names):
+        """Build + cache the jitted update step for a given static config."""
+
+        vag = self._vag()
+        apply_updates = self._make_apply()
+
+        def step(params, velocity, accumulators, smoothers, key, lr_scale,
+                 momentum, args, kwargs):
+            error, grads = vag(params, key, args, kwargs)
+            new_params, new_velocity = apply_updates(
+                params, velocity, grads, lr_scale, momentum, accumulators,
+                smoothers)
             return new_params, new_velocity, error
 
         if self.mesh is None:
@@ -296,25 +363,8 @@ class Optimizer:
         round-trip latency; chaining brings the measured step time from
         ~116 ms to ~11 ms at simple_3d_optimize scale.
         """
-        individual_lr = tuple(self.individual_lr)
-        clip_mode = self.clip_mode
-        clip_scale = self.clip_scale
-        grad_clip = self.grad_clip
-        learning_rate = self.learning_rate
         vag = self._vag()
-
-        def apply_updates(params, velocity, grads, lr_scale, momentum,
-                          accumulators, smoothers):
-            new_params = []
-            new_velocity = []
-            for i, (p, g, v) in enumerate(zip(params, grads, velocity)):
-                p, v = _apply_param_update(
-                    p, g, v, lr_scale, momentum, individual_lr[i],
-                    learning_rate, clip_mode, clip_scale, grad_clip,
-                    accumulators[i], smoothers[i])
-                new_params.append(p)
-                new_velocity.append(v)
-            return new_params, new_velocity
+        apply_updates = self._make_apply()
 
         def chained(params, velocity, accumulators, smoothers, key, lr_scales,
                     momentum, args, kwargs):

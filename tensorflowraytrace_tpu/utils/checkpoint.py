@@ -18,10 +18,17 @@ import numpy as np
 
 
 def state_dict(optimizer):
-    """Capture an optim.Optimizer's full training state."""
+    """Capture an optim.Optimizer's full training state.
+
+    The optimizer state is stored as flattened pytree leaves so the same
+    path covers the builtin Nesterov velocity list AND an optax state tree
+    (``Optimizer(optax_tx=...)``); ``restore_into`` rebuilds the tree from
+    the restoring optimizer's own state structure, which is identical as
+    long as it was constructed with the same transform."""
     return {
         "parameters": [np.asarray(p) for p in optimizer.parameters],
-        "velocity": [np.asarray(v) for v in optimizer._velocity],
+        "velocity": [np.asarray(v) for v in jax.tree.leaves(
+            optimizer._velocity)],
         "key": np.asarray(jax.random.key_data(optimizer.key)),
         "iterations": np.asarray(optimizer.iterations),
     }
@@ -30,7 +37,9 @@ def state_dict(optimizer):
 def restore_into(optimizer, state):
     """Restore a captured state into an optim.Optimizer."""
     optimizer.parameters = [jnp.asarray(p) for p in state["parameters"]]
-    optimizer._velocity = [jnp.asarray(v) for v in state["velocity"]]
+    structure = jax.tree.structure(optimizer._velocity)
+    optimizer._velocity = jax.tree.unflatten(
+        structure, [jnp.asarray(v) for v in state["velocity"]])
     optimizer.key = jax.random.wrap_key_data(jnp.asarray(state["key"]))
     optimizer.iterations = int(state["iterations"])
     return optimizer

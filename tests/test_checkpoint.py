@@ -92,3 +92,81 @@ def test_training_routine_chain_equivalent():
     np.testing.assert_allclose(e1, e2, rtol=1e-12)
     for a, b in zip(o1.parameters, o2.parameters):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
+# ----------------------------------------------------------------------
+# optax integration (Optimizer(optax_tx=...))
+# ----------------------------------------------------------------------
+
+def test_optax_sgd_matches_builtin():
+    """optax.sgd must reproduce the builtin momentum-free path exactly:
+    the transform owns the step size, learning_rate stays 1.0, and the
+    hygiene stages (finite-guard / clip / accumulator) are shared code."""
+    import optax
+
+    k = jax.random.PRNGKey(3)
+    o1 = Optimizer(quadratic_loss, [jnp.zeros(4, F64), jnp.zeros(2, F64)],
+                   learning_rate=0.1, grad_clip=1e6, key=k)
+    o2 = Optimizer(quadratic_loss, [jnp.zeros(4, F64), jnp.zeros(2, F64)],
+                   grad_clip=1e6, key=k, optax_tx=optax.sgd(0.1))
+    for _ in range(5):
+        e1 = o1.single_step(None, momentum=0.0)
+        e2 = o2.single_step(None)
+    np.testing.assert_allclose(e1, e2, rtol=1e-12)
+    for a, b in zip(o1.parameters, o2.parameters):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
+def test_optax_adam_converges_with_hygiene_stages():
+    """Adam through the full pipeline -- finite-guard, clip, accumulator
+    matmul, smoother matmul -- drives the quadratic to its optimum."""
+    import optax
+
+    opt = Optimizer(quadratic_loss, [jnp.zeros(4, F64), jnp.zeros(2, F64)],
+                    grad_clip=1e6, optax_tx=optax.adam(0.2))
+    accs = [jnp.eye(4, dtype=F64), jnp.eye(2, dtype=F64)]
+    smooths = [jnp.eye(4, dtype=F64), jnp.eye(2, dtype=F64)]
+    errs = opt.run_phase(80, accs, smoothers=smooths)
+    assert errs[-1] < 1e-3 * errs[0]
+    np.testing.assert_allclose(np.asarray(opt.parameters[0]),
+                               np.full(4, 3.0), atol=0.05)
+
+
+def test_optax_run_phase_matches_single_steps():
+    """The chained lax.scan carry must thread the optax state identically to
+    the step-by-step path (same PRNG stream, same updates)."""
+    import optax
+
+    k = jax.random.PRNGKey(11)
+    o1 = Optimizer(quadratic_loss, [jnp.zeros(4, F64), jnp.zeros(2, F64)],
+                   key=k, optax_tx=optax.adam(0.1))
+    o2 = Optimizer(quadratic_loss, [jnp.zeros(4, F64), jnp.zeros(2, F64)],
+                   key=k, optax_tx=optax.adam(0.1))
+    errs1 = [o1.single_step(None, lr_scale=s)
+             for s in np.linspace(1.0, 0.5, 6)]
+    errs2 = o2.run_phase(6, None, lr_scale=(1.0, 0.5))
+    np.testing.assert_allclose(errs1, errs2, rtol=1e-12)
+    for a, b in zip(o1.parameters, o2.parameters):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
+def test_optax_checkpoint_roundtrip(tmp_path):
+    """Checkpointing flattens/rebuilds the optax state tree (incl. the int32
+    step count) so a resumed adam run continues bit-identically."""
+    import optax
+
+    opt = Optimizer(quadratic_loss, [jnp.zeros(4, F64), jnp.zeros(2, F64)],
+                    optax_tx=optax.adam(0.1))
+    for _ in range(5):
+        opt.single_step(None)
+    path = str(tmp_path / "ckpt_optax")
+    ckpt.save_checkpoint(path, opt)
+
+    opt2 = Optimizer(quadratic_loss, [jnp.ones(4, F64), jnp.ones(2, F64)],
+                     optax_tx=optax.adam(0.1))
+    ckpt.load_checkpoint(path, opt2)
+    e1 = opt.single_step(None)
+    e2 = opt2.single_step(None)
+    np.testing.assert_allclose(e1, e2, rtol=1e-12)
+    for a, b in zip(opt.parameters, opt2.parameters):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)

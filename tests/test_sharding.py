@@ -235,6 +235,59 @@ def test_mesh_optimizer_step_matches_summed_single_device():
                                np.asarray(p_ref), rtol=1e-12)
 
 
+def test_mesh_optimizer_optax_step_matches_summed_single_device():
+    """Optimizer(mesh=..., optax_tx=...) runs the optax update replicated
+    after the psum, exactly equal to the host-side replay of the same
+    pipeline on the summed gradients."""
+    import optax
+
+    from tensorflowraytrace_tpu.optim import Optimizer, _grad_hygiene
+
+    mesh = par.ray_mesh(8)
+    scene, _ = make_scene_and_rays(8)
+    materials = (mats.vacuum, mats.reflective)
+    cfg = TraceConfig(max_bounces=3)
+
+    def local_loss(params, key):
+        shift = params[0]
+        p0 = jax.random.uniform(key, (16, 3), F64, -1.0, 1.0) * jnp.asarray(
+            [0.0, 1.0, 1.0], F64)
+        p1 = p0 + jnp.asarray([1.0, 0.0, 0.0], F64)
+        rays = RaySet.make(p0, p1 + shift, 500.0, dtype=F64)
+        res = trace(rays, scene, materials, cfg)
+        fin = res.rays.state == FINISHED
+        return jnp.sum(jnp.where(fin, res.rays.p1[:, 1] ** 2, 0.0))
+
+    key0 = jax.random.PRNGKey(13)
+    p_init = jnp.full((3,), 0.05, F64)
+    tx = optax.adam(0.05)
+    opt = Optimizer(local_loss, [p_init], grad_clip=0.5, mesh=mesh, key=key0,
+                    optax_tx=tx)
+    err = opt.single_step()
+
+    _, sub = jax.random.split(key0)
+    subs = jax.random.split(sub, 8)
+    loss_sum = 0.0
+    grad_sum = jnp.zeros((3,), F64)
+    for k in subs:
+        l, g = jax.value_and_grad(local_loss)([p_init], k)
+        loss_sum += float(l)
+        grad_sum = grad_sum + g[0]
+    g, scale = _grad_hygiene(p_init, grad_sum, lr_scale=1.0, ind_lr=1.0,
+                             learning_rate=1.0, clip_mode="common",
+                             clip_scale=10.0, grad_clip=0.5, accumulator=None,
+                             premultiply_lr=False)
+    state = tx.init([p_init])
+    updates, state = tx.update([g], state, [p_init])
+    p_ref = p_init + scale * updates[0]
+
+    np.testing.assert_allclose(err, loss_sum, rtol=1e-12)
+    # psum reduction order differs from the host loop by ~1 ulp; adam's
+    # rsqrt amplifies that on near-zero second moments, so not bit-exact
+    np.testing.assert_allclose(np.asarray(opt.parameters[0]),
+                               np.asarray(p_ref), rtol=1e-8, atol=1e-15)
+
+
 def test_mesh_optimizer_training_routine_full_pipeline():
     """The flagship simple_3d_optimize-style schedule running data-parallel
     on the 8-device mesh through the FULL Optimizer: chained phases,
