@@ -12,6 +12,7 @@ the RaySet -- slot-stable fields make the reference's inheritance machinery
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from tensorflowraytrace_tpu.engine import Projection, TraceConfig, default_reaction
@@ -105,6 +106,53 @@ class GhostThrough(RayOperation):
     reaction = staticmethod(ghost_through)
 
 
+def _fresnel_prelude(proj, rays):
+    """Shared geometry + branch setup for the Fresnel reactions: unit ray
+    direction, unit surface normal, signed normal projection ``nu``,
+    incidence cosine, sanitized refractive indices, the Snell ratio
+    ``eta = n1/n2`` (ops/geometry.select_eta convention: internal hits see
+    n_in/n_out, external the inverse; mirror sentinels propagate as 0),
+    the TIR radicand, and the set of branches the geometry REFLECTS --
+    TIR, mirror surfaces (n_in == 0, hit from either side), and the
+    eta == 0 a mat_out-mirror presents to an internal hit (2D genuinely
+    reflects there via the refract test's n != 0 term, geometry.py:601-653;
+    in 3D that configuration is out-of-contract -- "n_out should not be
+    zero", reference geometry.py:683 -- and treated as reflecting too
+    rather than silently zeroing the ray's downstream power).
+
+    Non-reacting slots can carry non-finite indices (the out-of-range
+    material-id path deliberately produces NaN n so the ray dies at the
+    finite-child backstop).  The engine masks forward factors by
+    jnp.where(reacts, ...), but a product's backward multiplies the zeroed
+    cotangent by the raw factor, and 0 * NaN = NaN would contaminate the
+    whole field gradient -- so the indices are sanitized here, same
+    double-where discipline as snells_law_2D's safe_theta2.
+    """
+    dtype = rays.p0.dtype
+    d = rays.p1 - rays.p0
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True),
+                        jnp.finfo(dtype).tiny)
+    if proj.dim == 3:
+        n = proj.norm
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True),
+                            jnp.finfo(dtype).tiny)
+    else:
+        n = jnp.stack([jnp.cos(proj.norm), jnp.sin(proj.norm)], axis=1)
+    nu = jnp.sum(n * d, axis=-1)
+    cos_i = jnp.abs(nu)
+
+    n_in = jnp.where(jnp.isfinite(proj.n_in), proj.n_in,
+                     jnp.ones_like(proj.n_in))
+    n_out = jnp.where(jnp.isfinite(proj.n_out), proj.n_out,
+                      jnp.ones_like(proj.n_out))
+    eta = geometry.select_eta(n_in, n_out, nu > 0)
+
+    radicand = 1 - eta * eta * (1 - cos_i * cos_i)
+    tir = radicand < 0
+    reflects = tir | (n_in == 0) | (eta == 0.0)
+    return d, n, nu, cos_i, n_in, eta, radicand, tir, reflects
+
+
 def fresnel_intensity_reaction(base_reaction=default_reaction,
                                field="intensity"):
     """Wrap a reaction with per-ray radiant-intensity tracking.
@@ -126,39 +174,8 @@ def fresnel_intensity_reaction(base_reaction=default_reaction,
     def reaction(proj, rays, cfg):
         child_p0, child_p1 = base_reaction(proj, rays, cfg)
         dtype = rays.p0.dtype
-        d = rays.p1 - rays.p0
-        d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True),
-                            jnp.finfo(dtype).tiny)
-        if proj.dim == 3:
-            n = proj.norm
-            n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True),
-                                jnp.finfo(dtype).tiny)
-            nu = jnp.sum(n * d, axis=-1)
-        else:
-            n = jnp.stack([jnp.cos(proj.norm), jnp.sin(proj.norm)], axis=1)
-            nu = jnp.sum(n * d, axis=-1)
-        cos_i = jnp.abs(nu)
-
-        # double-where NaN guard: non-reacting slots can carry non-finite
-        # indices (the out-of-range material-id path deliberately produces
-        # NaN n so the ray dies at the finite-child backstop -- a
-        # forward-only guard).  The engine masks the forward factor by
-        # jnp.where(reacts, ...), but the product's backward multiplies the
-        # zeroed cotangent by the raw factor, and 0 * NaN = NaN would
-        # contaminate the whole intensity gradient -- so sanitize the inputs
-        # here, same discipline as snells_law_2D's safe_theta2.
-        n_in = jnp.where(jnp.isfinite(proj.n_in), proj.n_in,
-                         jnp.ones_like(proj.n_in))
-        n_out = jnp.where(jnp.isfinite(proj.n_out), proj.n_out,
-                          jnp.ones_like(proj.n_out))
-
-        # same eta convention as every Snell form (ops/geometry.select_eta):
-        # internal hits see n_in/n_out, external the inverse; mirror
-        # sentinels propagate as eta == 0
-        eta = geometry.select_eta(n_in, n_out, nu > 0)
-
-        radicand = 1 - eta * eta * (1 - cos_i * cos_i)
-        tir = radicand < 0
+        d, n, nu, cos_i, n_in, eta, radicand, tir, reflects = (
+            _fresnel_prelude(proj, rays))
         cos_t = jnp.sqrt(jnp.maximum(radicand, jnp.finfo(dtype).eps ** 2))
         # rs/rp with n1/n2 expressed through eta = n1/n2
         rs_d = jnp.maximum(eta * cos_i + cos_t, jnp.finfo(dtype).eps)
@@ -167,14 +184,8 @@ def fresnel_intensity_reaction(base_reaction=default_reaction,
         rp = (eta * cos_t - cos_i) / rp_d
         reflectance = jnp.clip(0.5 * (rs * rs + rp * rp), 0.0, 1.0)
 
-        # lossless on every branch the geometry REFLECTS: TIR, mirror
-        # surfaces (n_in == 0, hit from either side), and the eta == 0 a
-        # mat_out-mirror presents to an internal hit (2D genuinely reflects
-        # there via the refract test's n != 0 term, geometry.py:601-653; in
-        # 3D that configuration is out-of-contract -- "n_out should not be
-        # zero", reference geometry.py:683 -- and treated as lossless too
-        # rather than silently zeroing the ray's downstream power)
-        reflects = tir | (n_in == 0) | (eta == 0.0)
+        # lossless on every branch the geometry REFLECTS (see
+        # _fresnel_prelude for the branch set)
         factor = jnp.where(reflects, jnp.ones_like(reflectance),
                            1.0 - reflectance)
         old = rays.fields.get(field)
@@ -207,6 +218,204 @@ class FresnelIntensity(RayOperation):
                  **kw):
         super().__init__(**kw)
         self.reaction = fresnel_intensity_reaction(base_reaction, field)
+
+
+# ======================================================================
+# polarization ray tracing (Jones amplitudes with s/p basis transport)
+# ======================================================================
+
+POL_FIELDS_2D = ("es_re", "es_im", "ep_re", "ep_im")
+POL_FIELDS_3D = POL_FIELDS_2D + ("pol_sx", "pol_sy", "pol_sz")
+
+
+def _cdiv(nr, ni, dr, di, eps):
+    """Complex division (nr+i ni)/(dr+i di) in explicit re/im parts (stays
+    dtype-generic and avoids TPU complex-support caveats)."""
+    den = jnp.maximum(dr * dr + di * di, eps)
+    return (nr * dr + ni * di) / den, (ni * dr - nr * di) / den
+
+
+def jones_polarization_reaction(base_reaction=default_reaction):
+    """Wrap a reaction with full polarization ray tracing.
+
+    Beyond the reference (and beyond :func:`fresnel_intensity_reaction`'s
+    scalar unpolarized power): each ray carries a complex Jones vector
+    ``(Es, Ep)`` in a ray-attached s/p basis, stored as the real fields
+    ``es_re, es_im, ep_re, ep_im`` plus (3D) the s-axis unit vector
+    ``pol_sx, pol_sy, pol_sz``.  At every optical interaction:
+
+    * the amplitudes are rotated into the new plane of incidence
+      (s-axis = d x n; at normal incidence the old basis is kept),
+    * the Fresnel *amplitude* coefficients of the taken branch are applied:
+      complex ``rs = (eta cos_i - cos_t)/(eta cos_i + cos_t)`` and
+      ``rp = (cos_i - eta cos_t)/(cos_i + eta cos_t)`` with
+      ``cos_t = sqrt(1 - eta^2 sin_i^2)`` continued to ``i b`` under TIR --
+      so TIR applies the textbook phase shifts
+      ``tan(d_s/2) = sqrt(sin^2 t - n^2)/cos t`` and
+      ``tan(d_p/2) = sqrt(sin^2 t - n^2)/(n^2 cos t)`` (a Fresnel rhomb
+      builds circular polarization out of two TIRs, see tests);
+      ideal mirrors (n == 0 sentinel) reflect both components with
+      ``r = -1``,
+    * on refraction the power-normalized real transmissions
+      ``sqrt(1 - |rs|^2)`` / ``sqrt(1 - |rp|^2)`` are applied, so
+      ``|Es|^2 + |Ep|^2`` remains the ray's radiant power (an equal-power
+      incoherent split reproduces fresnel_intensity_reaction's unpolarized
+      factor exactly).
+
+    In 2D the plane of incidence IS the plane: s is the out-of-plane axis
+    globally, no basis fields are needed and the rotation is the identity.
+    Fully differentiable.  Seed the fields with :func:`seed_polarization`;
+    read them back with :func:`stokes_parameters`.
+    """
+
+    def reaction(proj, rays, cfg):
+        child_p0, child_p1 = base_reaction(proj, rays, cfg)
+        dtype = rays.p0.dtype
+        eps = jnp.finfo(dtype).eps
+        d, n, nu, cos_i, n_in, eta, radicand, tir, reflects = (
+            _fresnel_prelude(proj, rays))
+
+        for f in (POL_FIELDS_3D if proj.dim == 3 else POL_FIELDS_2D):
+            if f not in rays.fields:
+                raise KeyError(
+                    f"jones_polarization_reaction: rays carry no {f!r} "
+                    "field; seed the source rays with seed_polarization()")
+        es_re, es_im = rays.fields["es_re"], rays.fields["es_im"]
+        ep_re, ep_im = rays.fields["ep_re"], rays.fields["ep_im"]
+
+        updates = {}
+        if proj.dim == 3:
+            # rotate (Es, Ep) from the ray's stored basis into the plane of
+            # incidence: s_new = d x n (kept at normal incidence), and with
+            # p = d x s the rotation is [[c, s], [-s, c]]
+            s_old = jnp.stack([rays.fields["pol_sx"], rays.fields["pol_sy"],
+                               rays.fields["pol_sz"]], axis=1)
+            p_old = jnp.cross(d, s_old)
+            dxn = jnp.cross(d, n)
+            c_len = jnp.linalg.norm(dxn, axis=-1, keepdims=True)
+            s_new = jnp.where(c_len > jnp.finfo(dtype).eps ** 0.5,
+                              dxn / jnp.maximum(c_len, jnp.finfo(dtype).tiny),
+                              s_old)
+            cr = jnp.sum(s_old * s_new, axis=-1)
+            sr = jnp.sum(p_old * s_new, axis=-1)
+            es_re, ep_re = cr * es_re + sr * ep_re, -sr * es_re + cr * ep_re
+            es_im, ep_im = cr * es_im + sr * ep_im, -sr * es_im + cr * ep_im
+            # the new s axis is normal to the plane of incidence, hence
+            # perpendicular to BOTH child directions (reflected or
+            # refracted) -- it is the child's basis as-is
+            updates.update(pol_sx=s_new[:, 0], pol_sy=s_new[:, 1],
+                           pol_sz=s_new[:, 2])
+
+        # cos_t continued to the upper complex half-plane under TIR.
+        # double-where around each sqrt: sqrt'(0) = inf, and the masked-out
+        # branch's inf derivative times its zeroed cotangent would be NaN
+        # (same discipline as snells_law_2D's safe_theta2)
+        a = jnp.where(tir, jnp.zeros_like(radicand),
+                      jnp.sqrt(jnp.where(tir, 1.0, radicand)))
+        b = jnp.where(tir, jnp.sqrt(jnp.where(tir, -radicand, 1.0)),
+                      jnp.zeros_like(radicand))
+        rs_re, rs_im = _cdiv(eta * cos_i - a, -b, eta * cos_i + a, b, eps)
+        rp_re, rp_im = _cdiv(cos_i - eta * a, -eta * b,
+                             cos_i + eta * a, eta * b, eps)
+        # ideal mirror (n == 0 sentinel): r = -1 for both components
+        mirror = reflects & ~tir
+        rs_re = jnp.where(mirror, -jnp.ones_like(rs_re), rs_re)
+        rs_im = jnp.where(mirror, jnp.zeros_like(rs_im), rs_im)
+        rp_re = jnp.where(mirror, -jnp.ones_like(rp_re), rp_re)
+        rp_im = jnp.where(mirror, jnp.zeros_like(rp_im), rp_im)
+
+        # transmissions only matter on the refract branch; under reflection
+        # |r| = 1 makes the radicand 0 and sqrt's derivative inf, so feed the
+        # sqrt a safe value there and mask after
+        ts_rad = jnp.clip(1.0 - (rs_re * rs_re + rs_im * rs_im), 0.0, 1.0)
+        tp_rad = jnp.clip(1.0 - (rp_re * rp_re + rp_im * rp_im), 0.0, 1.0)
+        ts = jnp.sqrt(jnp.where(reflects, 1.0, ts_rad))
+        tp = jnp.sqrt(jnp.where(reflects, 1.0, tp_rad))
+
+        cs_re = jnp.where(reflects, rs_re, ts)
+        cs_im = jnp.where(reflects, rs_im, jnp.zeros_like(ts))
+        cp_re = jnp.where(reflects, rp_re, tp)
+        cp_im = jnp.where(reflects, rp_im, jnp.zeros_like(tp))
+
+        updates.update(
+            es_re=(cs_re * es_re - cs_im * es_im).astype(dtype),
+            es_im=(cs_re * es_im + cs_im * es_re).astype(dtype),
+            ep_re=(cp_re * ep_re - cp_im * ep_im).astype(dtype),
+            ep_im=(cp_re * ep_im + cp_im * ep_re).astype(dtype),
+        )
+        return child_p0, child_p1, updates
+
+    return reaction
+
+
+def seed_polarization(rays: RaySet, jones=(1.0, 0.0), s_axis=None) -> RaySet:
+    """Attach the polarization fields to source rays.
+
+    ``jones``: the complex (Es, Ep) amplitudes -- scalars or per-ray arrays
+    (``|Es|^2 + |Ep|^2`` is the ray's radiant power).  ``s_axis``: the
+    initial s basis vector.  3D default: the normalized cross product of the
+    ray direction with its least-aligned coordinate axis (any transverse
+    axis is a valid basis; the first interaction rotates into its plane of
+    incidence anyway).  2D rays need no basis (s = the out-of-plane axis).
+    """
+    dtype = rays.p0.dtype
+    n = rays.n_rays
+    es, ep = jones
+    es = jnp.broadcast_to(jnp.asarray(es), (n,))
+    ep = jnp.broadcast_to(jnp.asarray(ep), (n,))
+    out = rays
+    for name, v in (("es_re", jnp.real(es)), ("es_im", jnp.imag(es)),
+                    ("ep_re", jnp.real(ep)), ("ep_im", jnp.imag(ep))):
+        out = out.with_field(name, v.astype(dtype))
+    if rays.p0.shape[1] == 2:
+        return out
+    d = rays.p1 - rays.p0
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True),
+                        jnp.finfo(dtype).tiny)
+    if s_axis is None:
+        axis = jax.nn.one_hot(jnp.argmin(jnp.abs(d), axis=-1), 3, dtype=dtype)
+        s = jnp.cross(d, axis)
+    else:
+        s = jnp.broadcast_to(jnp.asarray(s_axis, dtype), (n, 3))
+        s = s - d * jnp.sum(s * d, axis=-1, keepdims=True)  # transverse part
+    s = s / jnp.maximum(jnp.linalg.norm(s, axis=-1, keepdims=True),
+                        jnp.finfo(dtype).tiny)
+    return (out.with_field("pol_sx", s[:, 0])
+               .with_field("pol_sy", s[:, 1])
+               .with_field("pol_sz", s[:, 2]))
+
+
+def stokes_parameters(rays: RaySet):
+    """Per-ray Stokes parameters from the polarization fields:
+    ``S0 = |Es|^2 + |Ep|^2`` (power), ``S1 = |Es|^2 - |Ep|^2``,
+    ``S2 = 2 Re(Es conj(Ep))``, ``S3 = -2 Im(Es conj(Ep))`` (S3 = +S0 is
+    right-circular in this convention).  Returns a dict of (N,) arrays."""
+    es_re, es_im = rays.fields["es_re"], rays.fields["es_im"]
+    ep_re, ep_im = rays.fields["ep_re"], rays.fields["ep_im"]
+    i_s = es_re * es_re + es_im * es_im
+    i_p = ep_re * ep_re + ep_im * ep_im
+    return {
+        "S0": i_s + i_p,
+        "S1": i_s - i_p,
+        "S2": 2.0 * (es_re * ep_re + es_im * ep_im),
+        "S3": -2.0 * (es_im * ep_re - es_re * ep_im),
+    }
+
+
+class JonesPolarization(RayOperation):
+    """Class-op wrapper for :func:`jones_polarization_reaction`: standard
+    Snell children plus complex s/p Jones amplitude transport (Fresnel
+    amplitude coefficients, TIR phase shifts, basis rotation)."""
+
+    input_signature = frozenset(POL_FIELDS_2D) | {"wavelength"}
+    output_signature = frozenset(POL_FIELDS_2D)
+    optical_signature = frozenset({"mat_in", "mat_out"})
+    material_signature = frozenset({"n"})
+    simple_ray_inheritance = frozenset(POL_FIELDS_2D) | {"wavelength"}
+
+    def __init__(self, base_reaction=default_reaction, **kw):
+        super().__init__(**kw)
+        self.reaction = jones_polarization_reaction(base_reaction)
 
 
 class OldestAncestor(RayOperation):

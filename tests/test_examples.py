@@ -62,6 +62,7 @@ CASES = [
     ("guide_trace_bench", {"n_rays": 512, "bounces": 3,
                            "theta_res": 6, "z_res": 6}),
     ("fresnel_intensity", {"rays": 400}),
+    ("fresnel_rhomb", {"steps": 40}),
     ("achromat", {"steps": 5, "n_heights": 9}),
 ]
 
