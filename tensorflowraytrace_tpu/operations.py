@@ -150,7 +150,7 @@ def _fresnel_prelude(proj, rays):
     radicand = 1 - eta * eta * (1 - cos_i * cos_i)
     tir = radicand < 0
     reflects = tir | (n_in == 0) | (eta == 0.0)
-    return d, n, nu, cos_i, n_in, eta, radicand, tir, reflects
+    return d, n, nu, cos_i, n_in, n_out, eta, radicand, tir, reflects
 
 
 def fresnel_intensity_reaction(base_reaction=default_reaction,
@@ -174,7 +174,7 @@ def fresnel_intensity_reaction(base_reaction=default_reaction,
     def reaction(proj, rays, cfg):
         child_p0, child_p1 = base_reaction(proj, rays, cfg)
         dtype = rays.p0.dtype
-        d, n, nu, cos_i, n_in, eta, radicand, tir, reflects = (
+        d, n, nu, cos_i, n_in, _n_out, eta, radicand, tir, reflects = (
             _fresnel_prelude(proj, rays))
         cos_t = jnp.sqrt(jnp.maximum(radicand, jnp.finfo(dtype).eps ** 2))
         # rs/rp with n1/n2 expressed through eta = n1/n2
@@ -272,7 +272,7 @@ def jones_polarization_reaction(base_reaction=default_reaction):
         child_p0, child_p1 = base_reaction(proj, rays, cfg)
         dtype = rays.p0.dtype
         eps = jnp.finfo(dtype).eps
-        d, n, nu, cos_i, n_in, eta, radicand, tir, reflects = (
+        d, n, nu, cos_i, n_in, _n_out, eta, radicand, tir, reflects = (
             _fresnel_prelude(proj, rays))
 
         for f in (POL_FIELDS_3D if proj.dim == 3 else POL_FIELDS_2D):
@@ -416,6 +416,93 @@ class JonesPolarization(RayOperation):
     def __init__(self, base_reaction=default_reaction, **kw):
         super().__init__(**kw)
         self.reaction = jones_polarization_reaction(base_reaction)
+
+
+# ======================================================================
+# optical path length (wavefront / OPD objectives)
+# ======================================================================
+
+def optical_path_reaction(base_reaction=default_reaction):
+    """Wrap a reaction with differentiable optical path length tracking.
+
+    Beyond the reference (tfrt tracks only geometry): each ray carries
+
+    * ``opl``   -- the accumulated optical path length ``sum(n_i * d_i)``
+      over its completed legs (physical path weighted by the refractive
+      index of the medium traveled), and
+    * ``cur_n`` -- the refractive index of the medium the ray is CURRENTLY
+      traveling in (updated to the transmitted side's index on refraction,
+      unchanged on reflection/TIR/mirror).
+
+    At every optical interaction the just-finished leg (ray start to the
+    projected hit point) adds ``cur_n * |leg|`` to ``opl``.  The final leg
+    of a finished/stopped ray is NOT folded in (target hits don't react);
+    use :func:`total_optical_path` which closes it with the carried
+    ``cur_n``.  Seed with :func:`seed_optical_path`.
+
+    OPL is THE wavefront quantity: by Fermat's principle a perfect imager
+    equalizes the OPL of every ray from an object point to its image, so
+    ``variance(total_optical_path)`` over a ray bundle is the (squared) RMS
+    wavefront error -- a differentiable, diffraction-aware design objective
+    (see examples/wavefront_lens.py).
+    """
+
+    def reaction(proj, rays, cfg):
+        child_p0, child_p1 = base_reaction(proj, rays, cfg)
+        for f in ("opl", "cur_n"):
+            if f not in rays.fields:
+                raise KeyError(
+                    f"optical_path_reaction: rays carry no {f!r} field; "
+                    "seed the source rays with seed_optical_path()")
+        d, n, nu, cos_i, n_in, n_out, eta, radicand, tir, reflects = (
+            _fresnel_prelude(proj, rays))
+        # rays.p1 is the projected hit point here (the engine substitutes it
+        # before calling the reaction), so this is the completed leg
+        leg = jnp.linalg.norm(rays.p1 - rays.p0, axis=-1)
+        opl = rays.fields["opl"] + rays.fields["cur_n"] * leg
+        # transmitted-side index n2: select_eta's convention is eta = n1/n2
+        # with n1 = n_in on internal hits (nu > 0), so the far side is n_out
+        # there and n_in otherwise
+        n2 = jnp.where(nu > 0, n_out, n_in)
+        cur_n = jnp.where(reflects, rays.fields["cur_n"], n2)
+        return child_p0, child_p1, {"opl": opl, "cur_n": cur_n}
+
+    return reaction
+
+
+def seed_optical_path(rays: RaySet, n0=1.0) -> RaySet:
+    """Attach the ``opl`` (= 0) and ``cur_n`` (= ``n0``, the index of the
+    launch medium; scalar or per-ray) fields for
+    :func:`optical_path_reaction`."""
+    dtype = rays.p0.dtype
+    n = rays.n_rays
+    return (rays
+            .with_field("opl", jnp.zeros((n,), dtype))
+            .with_field("cur_n",
+                        jnp.broadcast_to(jnp.asarray(n0, dtype), (n,))))
+
+
+def total_optical_path(rays: RaySet):
+    """Per-ray total OPL including the final (un-reacted) leg: the slot's
+    current segment is the ray's last leg (landing point for finished rays),
+    traveled in the ``cur_n`` medium."""
+    leg = jnp.linalg.norm(rays.p1 - rays.p0, axis=-1)
+    return rays.fields["opl"] + rays.fields["cur_n"] * leg
+
+
+class OpticalPath(RayOperation):
+    """Class-op wrapper for :func:`optical_path_reaction`: standard Snell
+    children plus per-ray optical path length accumulation."""
+
+    input_signature = frozenset({"opl", "cur_n", "wavelength"})
+    output_signature = frozenset({"opl", "cur_n"})
+    optical_signature = frozenset({"mat_in", "mat_out"})
+    material_signature = frozenset({"n"})
+    simple_ray_inheritance = frozenset({"opl", "cur_n", "wavelength"})
+
+    def __init__(self, base_reaction=default_reaction, **kw):
+        super().__init__(**kw)
+        self.reaction = optical_path_reaction(base_reaction)
 
 
 class OldestAncestor(RayOperation):

@@ -63,6 +63,7 @@ CASES = [
                            "theta_res": 6, "z_res": 6}),
     ("fresnel_intensity", {"rays": 400}),
     ("fresnel_rhomb", {"steps": 40}),
+    ("wavefront_lens", {"steps": 250}),
     ("achromat", {"steps": 5, "n_heights": 9}),
 ]
 
