@@ -437,6 +437,13 @@ class PvRayDrawer3D:
             self._actor = self.plot.add_mesh(
                 self._mesh, cmap=self.colormap,
                 clim=(self._min_wavelength, self._max_wavelength))
+        else:
+            # clim is baked into the actor's mapper at add_mesh time, so a
+            # set_wavelength_limits between draws must be re-applied here
+            mapper = getattr(self._actor, "mapper", None)
+            if mapper is not None:
+                mapper.scalar_range = (self._min_wavelength,
+                                       self._max_wavelength)
 
 
 class PvTriangleDrawer:

@@ -112,13 +112,21 @@ def _fresnel_prelude(proj, rays):
     incidence cosine, sanitized refractive indices, the Snell ratio
     ``eta = n1/n2`` (ops/geometry.select_eta convention: internal hits see
     n_in/n_out, external the inverse; mirror sentinels propagate as 0),
-    the TIR radicand, and the set of branches the geometry REFLECTS --
-    TIR, mirror surfaces (n_in == 0, hit from either side), and the
-    eta == 0 a mat_out-mirror presents to an internal hit (2D genuinely
-    reflects there via the refract test's n != 0 term, geometry.py:601-653;
-    in 3D that configuration is out-of-contract -- "n_out should not be
-    zero", reference geometry.py:683 -- and treated as reflecting too
-    rather than silently zeroing the ray's downstream power).
+    the TIR radicand, and the set of branches the geometry REFLECTS.
+
+    The reflect predicate mirrors each dimension's actual geometric branch
+    (the field updates must follow the path the child ray really took):
+
+    * 2D reflects on TIR and on eta == 0 -- the refract test is
+      ``|theta2| <= 1 and eta != 0`` (geometry.py:601-653), so an n_in == 0
+      mirror hit from the INTERNAL side (eta = 1/n_out != 0) genuinely
+      REFRACTS through in 2D (one-sided mirror, reference parity).
+    * 3D reflects on TIR and on n_in == 0 from EITHER side
+      (``do_reflect = tir | reflective_surface``, reference
+      geometry.py:746-748), plus eta == 0 (a mat_out-mirror seen from an
+      internal hit) -- that configuration is out-of-contract in 3D ("n_out
+      should not be zero", reference geometry.py:683) and treating it as a
+      reflection avoids silently zeroing the ray's downstream power.
 
     Non-reacting slots can carry non-finite indices (the out-of-range
     material-id path deliberately produces NaN n so the ray dies at the
@@ -149,8 +157,38 @@ def _fresnel_prelude(proj, rays):
 
     radicand = 1 - eta * eta * (1 - cos_i * cos_i)
     tir = radicand < 0
-    reflects = tir | (n_in == 0) | (eta == 0.0)
+    if proj.dim == 3:
+        reflects = tir | (n_in == 0) | (eta == 0.0)
+    else:
+        reflects = tir | (eta == 0.0)
     return d, n, nu, cos_i, n_in, n_out, eta, radicand, tir, reflects
+
+
+def _run_base(base_reaction, proj, rays, cfg):
+    """Call a wrapped base reaction, accepting both the plain 2-tuple and
+    the field-updating 3-tuple reaction protocols, so the field-tracking
+    wrappers (intensity / Jones / OPL) compose with each other, e.g.
+    ``optical_path_reaction(base_reaction=fresnel_intensity_reaction())``.
+    Returns ``(child_p0, child_p1, field_updates)``."""
+    out = base_reaction(proj, rays, cfg)
+    if len(out) == 2:
+        p0, p1 = out
+        return p0, p1, {}
+    p0, p1, updates = out
+    return p0, p1, dict(updates)
+
+
+def _merge_updates(inner, outer):
+    """Merge an outer wrapper's field updates over its base reaction's,
+    failing loudly if both write the same field (stacking two trackers of
+    the same field has no well-defined order)."""
+    clash = set(inner) & set(outer)
+    if clash:
+        raise ValueError(
+            f"composed reactions both update field(s) {sorted(clash)}; "
+            "wrap distinct fields or merge them by hand")
+    inner.update(outer)
+    return inner
 
 
 def fresnel_intensity_reaction(base_reaction=default_reaction,
@@ -172,7 +210,8 @@ def fresnel_intensity_reaction(base_reaction=default_reaction,
     """
 
     def reaction(proj, rays, cfg):
-        child_p0, child_p1 = base_reaction(proj, rays, cfg)
+        child_p0, child_p1, base_updates = _run_base(
+            base_reaction, proj, rays, cfg)
         dtype = rays.p0.dtype
         d, n, nu, cos_i, n_in, _n_out, eta, radicand, tir, reflects = (
             _fresnel_prelude(proj, rays))
@@ -193,7 +232,8 @@ def fresnel_intensity_reaction(base_reaction=default_reaction,
             raise KeyError(
                 f"fresnel_intensity_reaction: rays carry no {field!r} field; "
                 "seed it on the source rays (see docstring)")
-        return child_p0, child_p1, {field: old * factor.astype(old.dtype)}
+        return child_p0, child_p1, _merge_updates(
+            base_updates, {field: old * factor.astype(old.dtype)})
 
     return reaction
 
@@ -269,7 +309,8 @@ def jones_polarization_reaction(base_reaction=default_reaction):
     """
 
     def reaction(proj, rays, cfg):
-        child_p0, child_p1 = base_reaction(proj, rays, cfg)
+        child_p0, child_p1, base_updates = _run_base(
+            base_reaction, proj, rays, cfg)
         dtype = rays.p0.dtype
         eps = jnp.finfo(dtype).eps
         d, n, nu, cos_i, n_in, _n_out, eta, radicand, tir, reflects = (
@@ -307,12 +348,18 @@ def jones_polarization_reaction(base_reaction=default_reaction):
                            pol_sz=s_new[:, 2])
 
         # cos_t continued to the upper complex half-plane under TIR.
-        # double-where around each sqrt: sqrt'(0) = inf, and the masked-out
-        # branch's inf derivative times its zeroed cotangent would be NaN
-        # (same discipline as snells_law_2D's safe_theta2)
+        # double-where around each sqrt (masked-branch inf derivative times
+        # its zeroed cotangent = NaN), PLUS an eps**2 clamp on the SELECTED
+        # branch: radicand == 0 exactly (critical incidence; escapes the
+        # strict < 0 TIR test, and TPU remat is known to round a
+        # near-critical radicand to 0 -- see snells_law_3D) would otherwise
+        # feed sqrt'(0) = inf straight into the backward pass
+        eps2 = eps * eps
         a = jnp.where(tir, jnp.zeros_like(radicand),
-                      jnp.sqrt(jnp.where(tir, 1.0, radicand)))
-        b = jnp.where(tir, jnp.sqrt(jnp.where(tir, -radicand, 1.0)),
+                      jnp.sqrt(jnp.where(tir, 1.0,
+                                         jnp.maximum(radicand, eps2))))
+        b = jnp.where(tir, jnp.sqrt(jnp.where(tir, jnp.maximum(-radicand,
+                                                               eps2), 1.0)),
                       jnp.zeros_like(radicand))
         rs_re, rs_im = _cdiv(eta * cos_i - a, -b, eta * cos_i + a, b, eps)
         rp_re, rp_im = _cdiv(cos_i - eta * a, -eta * b,
@@ -326,11 +373,13 @@ def jones_polarization_reaction(base_reaction=default_reaction):
 
         # transmissions only matter on the refract branch; under reflection
         # |r| = 1 makes the radicand 0 and sqrt's derivative inf, so feed the
-        # sqrt a safe value there and mask after
+        # sqrt a safe value there and mask after.  The refract branch needs
+        # the same eps**2 clamp: grazing refraction (|r| -> 1) drives the
+        # radicand to exactly 0 on the SELECTED branch
         ts_rad = jnp.clip(1.0 - (rs_re * rs_re + rs_im * rs_im), 0.0, 1.0)
         tp_rad = jnp.clip(1.0 - (rp_re * rp_re + rp_im * rp_im), 0.0, 1.0)
-        ts = jnp.sqrt(jnp.where(reflects, 1.0, ts_rad))
-        tp = jnp.sqrt(jnp.where(reflects, 1.0, tp_rad))
+        ts = jnp.sqrt(jnp.where(reflects, 1.0, jnp.maximum(ts_rad, eps2)))
+        tp = jnp.sqrt(jnp.where(reflects, 1.0, jnp.maximum(tp_rad, eps2)))
 
         cs_re = jnp.where(reflects, rs_re, ts)
         cs_im = jnp.where(reflects, rs_im, jnp.zeros_like(ts))
@@ -343,7 +392,7 @@ def jones_polarization_reaction(base_reaction=default_reaction):
             ep_re=(cp_re * ep_re - cp_im * ep_im).astype(dtype),
             ep_im=(cp_re * ep_im + cp_im * ep_re).astype(dtype),
         )
-        return child_p0, child_p1, updates
+        return child_p0, child_p1, _merge_updates(base_updates, updates)
 
     return reaction
 
@@ -448,7 +497,8 @@ def optical_path_reaction(base_reaction=default_reaction):
     """
 
     def reaction(proj, rays, cfg):
-        child_p0, child_p1 = base_reaction(proj, rays, cfg)
+        child_p0, child_p1, base_updates = _run_base(
+            base_reaction, proj, rays, cfg)
         for f in ("opl", "cur_n"):
             if f not in rays.fields:
                 raise KeyError(
@@ -465,7 +515,8 @@ def optical_path_reaction(base_reaction=default_reaction):
         # there and n_in otherwise
         n2 = jnp.where(nu > 0, n_out, n_in)
         cur_n = jnp.where(reflects, rays.fields["cur_n"], n2)
-        return child_p0, child_p1, {"opl": opl, "cur_n": cur_n}
+        return child_p0, child_p1, _merge_updates(
+            base_updates, {"opl": opl, "cur_n": cur_n})
 
     return reaction
 

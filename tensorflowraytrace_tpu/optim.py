@@ -60,6 +60,14 @@ def _grad_hygiene(p, g, lr_scale, ind_lr, learning_rate, clip_mode,
     transform's update instead of the raw gradient -- pre-scaling the
     gradient would be invisible to scale-invariant transforms like Adam).
 
+    The clip thresholds are calibrated for the lr-premultiplied gradient
+    (reference optimizer.py:243-248 clips AFTER the lr scale); on the optax
+    path the gradient is still raw here, so the threshold is divided by the
+    same combined scale -- both paths clip the identical set of raw
+    gradients.  In 'individual' mode that makes the optax path's effective
+    raw-gradient clip the constant clip_scale, exactly like the builtin
+    path, instead of drifting across an lr ramp.
+
     Everything multiplying into the update is cast to the parameter's dtype:
     lr_scale arrives as traced f64 under jax_enable_x64 and would otherwise
     silently promote f32 params (and break the scan carry types).
@@ -74,6 +82,12 @@ def _grad_hygiene(p, g, lr_scale, ind_lr, learning_rate, clip_mode,
         clip = jnp.asarray(grad_clip, dt)
     else:
         clip = ind_lr * clip_scale * learning_rate * lr_s
+    if not premultiply_lr:
+        # raw-gradient space: same effective clip as the scaled path
+        # (scale == 0 means the update is zeroed downstream anyway; keep
+        # the division safe so no inf*0 leaks out of clip's backward)
+        safe_scale = jnp.maximum(jnp.abs(scale), jnp.finfo(dt).tiny)
+        clip = clip / safe_scale
     g = jnp.clip(g, -clip, clip)
     if accumulator is not None:
         g = (accumulator.astype(dt) @ g.reshape(-1, 1)).reshape(g.shape)
@@ -230,6 +244,12 @@ class Optimizer:
         from tensorflowraytrace_tpu.parallel.sharding import RAY_AXIS
 
         nd = self.mesh.devices.size
+        if jnp.issubdtype(jnp.asarray(sub).dtype, jax.dtypes.prng_key):
+            # new-style typed keys can't cross the numpy hop below
+            # (np.asarray raises on PRNGKey dtypes); split on the raw key
+            # data instead -- jax.random accepts legacy uint32 keys
+            # everywhere, so loss functions see a working key either way
+            sub = jax.random.key_data(sub)
         if steps is None:
             keys = jax.random.split(sub, nd)
             spec = P(RAY_AXIS)

@@ -188,7 +188,11 @@ _FOLD_REDUCERS = {
     "sum": lax.psum,
     "max": lax.pmax,
     "min": lax.pmin,
-    "none": lambda x, axis: x,
+    # genuinely keep device 0's value (the leaf is declared replicated in
+    # the out-specs, so returning each device's own partial -- a bare
+    # identity -- would silently present one unspecified device's PARTIAL
+    # accumulator as the global result)
+    "none": lambda x, axis: lax.all_gather(x, axis)[0],
 }
 
 

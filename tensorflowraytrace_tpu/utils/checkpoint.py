@@ -35,13 +35,30 @@ def state_dict(optimizer):
 
 
 def restore_into(optimizer, state):
-    """Restore a captured state into an optim.Optimizer."""
+    """Restore a captured state into an optim.Optimizer.
+
+    Preserves the optimizer's key flavor (legacy uint32 vs new-style typed
+    PRNG key), and on a multi-controller mesh re-replicates the restored
+    host arrays onto the global mesh -- a plain ``jnp.asarray`` is only
+    addressable on the local process and would fail inside the jitted
+    shard_map step."""
     optimizer.parameters = [jnp.asarray(p) for p in state["parameters"]]
     structure = jax.tree.structure(optimizer._velocity)
     optimizer._velocity = jax.tree.unflatten(
         structure, [jnp.asarray(v) for v in state["velocity"]])
-    optimizer.key = jax.random.wrap_key_data(jnp.asarray(state["key"]))
+    key = jnp.asarray(state["key"])
+    if jnp.issubdtype(jnp.asarray(optimizer.key).dtype, jax.dtypes.prng_key):
+        key = jax.random.wrap_key_data(key)
+    optimizer.key = key
     optimizer.iterations = int(state["iterations"])
+    if getattr(optimizer, "mesh", None) is not None and jax.process_count() > 1:
+        from tensorflowraytrace_tpu.parallel.sharding import (
+            replicate_from_host)
+
+        optimizer.parameters = replicate_from_host(
+            optimizer.parameters, optimizer.mesh)
+        optimizer._velocity = replicate_from_host(
+            optimizer._velocity, optimizer.mesh)
     return optimizer
 
 

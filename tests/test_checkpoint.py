@@ -170,3 +170,60 @@ def test_optax_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(e1, e2, rtol=1e-12)
     for a, b in zip(opt.parameters, opt2.parameters):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
+def test_optax_clip_matches_builtin_when_clipping_engages():
+    """The clip thresholds are calibrated for the lr-premultiplied gradient;
+    the optax path clips the RAW gradient, so its threshold must be divided
+    by the combined lr scale -- otherwise optax + learning_rate=0.01 clips
+    100x tighter than the builtin path (regression).  With optax.sgd(1.0)
+    and shared learning_rate the two paths must produce identical steps
+    even when the clip engages (initial gradient here is ~606 >> clip)."""
+    import optax
+
+    def steep_loss(params, key):
+        return 100.0 * jnp.sum((params[0] - 3.0) ** 2)
+
+    lr = 0.01
+    k = jax.random.PRNGKey(5)
+    o1 = Optimizer(steep_loss, [jnp.zeros(4, F64)], learning_rate=lr, key=k)
+    o2 = Optimizer(steep_loss, [jnp.zeros(4, F64)], learning_rate=lr, key=k,
+                   optax_tx=optax.sgd(1.0))
+    assert o1.grad_clip == o2.grad_clip == 10.0 * lr
+    for _ in range(3):
+        e1 = o1.single_step(None, momentum=0.0)
+        e2 = o2.single_step(None)
+    np.testing.assert_allclose(float(e1), float(e2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(o1.parameters[0]),
+                               np.asarray(o2.parameters[0]), rtol=1e-12)
+    # and the clip genuinely engaged: |raw g| * lr = 6 > 0.1 on step 1
+    assert float(e1) > 0.0
+
+
+def test_restore_preserves_key_flavor():
+    """restore_into must hand back the same PRNG key flavor the optimizer
+    was built with: wrapping a legacy uint32 key as a typed key would crash
+    the multi-process _device_keys path after resume (regression)."""
+    def loss(params, key):
+        return jnp.sum((params[0] - 3.0) ** 2)
+
+    legacy = Optimizer(loss, [jnp.zeros(2, F64)],
+                       key=jax.random.PRNGKey(1))
+    typed = Optimizer(loss, [jnp.zeros(2, F64)],
+                      key=jax.random.key(1))
+    for opt in (legacy, typed):
+        opt.single_step(None)
+    s_legacy, s_typed = ckpt.state_dict(legacy), ckpt.state_dict(typed)
+
+    fresh_legacy = Optimizer(loss, [jnp.zeros(2, F64)],
+                             key=jax.random.PRNGKey(9))
+    ckpt.restore_into(fresh_legacy, s_legacy)
+    assert fresh_legacy.key.dtype == jnp.uint32
+
+    fresh_typed = Optimizer(loss, [jnp.zeros(2, F64)],
+                            key=jax.random.key(9))
+    ckpt.restore_into(fresh_typed, s_typed)
+    assert jnp.issubdtype(fresh_typed.key.dtype, jax.dtypes.prng_key)
+    # both resume cleanly
+    fresh_legacy.single_step(None)
+    fresh_typed.single_step(None)

@@ -191,3 +191,48 @@ def test_missing_seed_raises():
         assert "seed_optical_path" in str(e)
     else:
         raise AssertionError("expected KeyError for unseeded rays")
+
+
+def test_one_sided_mirror_back_refracts_bookkeeping():
+    """2D reference parity: a ray hitting an n_in == 0 mirror from the
+    INTERNAL side REFRACTS through (the refract test is ``|theta2| <= 1 and
+    eta != 0`` with eta = 1/n_out there, reference geometry.py:601-653) --
+    the one-sided mirror.  The field trackers must follow that geometric
+    branch: cur_n becomes the far side's index and the intensity takes the
+    Fresnel transmittance, not the lossless-mirror factor 1 (regression:
+    the reflect predicate used to include n_in == 0 unconditionally)."""
+    import dataclasses
+
+    from tensorflowraytrace_tpu.operations import fresnel_intensity_reaction
+
+    n_glass = 1.5
+    # materials: 0 = mirror sentinel, 1 = glass.  Segment oriented as in
+    # test_opl_mirror_keeps_medium, so a ray arriving from +x hits the
+    # mat_in side along the normal (internal hit).
+    mirror = SegmentSet.make([[2.0, -50.0]], [[2.0, 50.0]], mat_in=0,
+                             mat_out=1, dtype=F64)
+    tgt = SegmentSet.make([[0.0, -50.0]], [[0.0, 50.0]], dtype=F64)
+    scene = Scene2D.build(optical_segments=[mirror], target_segments=[tgt])
+    materials = (mats.reflective, mats.build_constant_material(n_glass))
+
+    rays = seed_optical_path(
+        RaySet.make(jnp.asarray([[4.0, 0.0]], F64),
+                    jnp.asarray([[3.0, 0.0]], F64), 550.0, dtype=F64))
+    rays = dataclasses.replace(
+        rays, fields={**rays.fields, "intensity": jnp.ones(1, F64)})
+    res = trace(rays, scene, materials, TraceConfig(max_bounces=2),
+                reaction=optical_path_reaction(
+                    base_reaction=fresnel_intensity_reaction()))
+    assert int(res.rays.state[0]) == FINISHED
+    # geometric parity: the ray passed THROUGH the mirror to the target
+    np.testing.assert_allclose(float(res.rays.p1[0, 0]), 0.0, atol=1e-9)
+    # medium bookkeeping followed the refraction: now traveling in glass
+    np.testing.assert_allclose(float(res.rays.fields["cur_n"][0]), n_glass)
+    # OPL: 2 in "vacuum" (seed n0=1) + 2 in glass
+    np.testing.assert_allclose(float(total_optical_path(res.rays)[0]),
+                               2.0 + n_glass * 2.0, rtol=1e-13)
+    # intensity took the eta = 1/n_out Fresnel transmittance at normal
+    # incidence, not the mirror's factor 1
+    r = (1.0 / n_glass - 1.0) / (1.0 / n_glass + 1.0)
+    np.testing.assert_allclose(float(res.rays.fields["intensity"][0]),
+                               1.0 - r * r, rtol=1e-12)

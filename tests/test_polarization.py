@@ -315,3 +315,117 @@ def test_missing_seed_raises():
         assert "seed_polarization" in str(e)
     else:
         raise AssertionError("expected KeyError for unseeded rays")
+
+
+def test_exactly_critical_radicand_finite_gradient():
+    """radicand == 0.0 exactly (critical incidence) escapes the strict
+    ``radicand < 0`` TIR test, so the refract branch's sqrt sees exact zero
+    on the SELECTED side of the double-where -- without the eps**2 clamp,
+    sqrt'(0) = inf NaNs the whole polarization gradient (the same failure
+    snells_law_3D guards against; TPU remat rounds near-critical radicands
+    to exactly 0 in the wild)."""
+    from tensorflowraytrace_tpu.engine import Projection
+    from tensorflowraytrace_tpu.operations import _fresnel_prelude
+
+    cfg = TraceConfig(max_bounces=1)
+    p0 = jnp.asarray([[0.0, 0.0, 0.0]], F64)
+    p1 = jnp.asarray([[1.0, 0.0, 0.0]], F64)
+    norm = jnp.asarray([[0.5, math.sqrt(3.0) / 2.0, 0.0]], F64)
+
+    def make(n_in, ny):
+        end = jnp.asarray([[1.0, ny, 0.0]], F64)
+        rays = seed_polarization(RaySet.make(p0, end, 550.0, dtype=F64))
+        proj = Projection(
+            hit_valid=jnp.ones(1, bool), point=end,
+            norm=norm, n_in=jnp.asarray([n_in], F64),
+            n_out=jnp.ones(1, F64), category=jnp.zeros(1, jnp.int32),
+            surf_idx=jnp.zeros(1, jnp.int32), kind=jnp.zeros(1, jnp.int32),
+            extras={}, dim=3)
+        return proj, rays
+
+    # hunt the float lattice for a (n_in, direction) pair whose radicand
+    # lands on exactly 0: one ULP of n_in moves the radicand by ~1.7 ULPs
+    # of 1.0 (it can straddle zero forever), so a second knob -- a tiny tilt
+    # of the ray direction, changing cos_i -- reshuffles the lattice offset
+    base = 2.0 / math.sqrt(3.0)  # analytic critical index for cos_i = 1/2
+    n_crit = ny_crit = None
+    for j in range(200):
+        # one nu ULP per step: 0.866 * 6.4e-17 ~ ULP(0.5), so each j slides
+        # the radicand lattice by ~1.5e-16 relative to zero
+        ny = j * 6.4e-17
+        x = np.float64(base)
+        for _ in range(12):
+            proj, rays = make(float(x), ny)
+            rad = float(_fresnel_prelude(proj, rays)[7][0])
+            if rad == 0.0:
+                n_crit, ny_crit = float(x), ny
+                break
+            x = np.nextafter(x, np.float64(2.0) if rad > 0
+                             else np.float64(1.0))
+        if n_crit is not None:
+            break
+    if n_crit is None:
+        import pytest
+
+        pytest.skip("float lattice near critical index misses exact 0")
+
+    def loss(n_in):
+        proj, rays = make(n_in, ny_crit)
+        _, _, upd = jones_polarization_reaction()(proj, rays, cfg)
+        return sum(jnp.sum(v) for k, v in upd.items()
+                   if k.startswith(("es_", "ep_")))
+
+    g = jax.grad(loss)(jnp.asarray(n_crit, F64))
+    assert np.isfinite(float(g)), f"gradient at exact critical = {g}"
+
+
+def test_field_reactions_compose():
+    """The field-tracking wrappers accept each other as base reactions:
+    OPL over Jones over intensity traces once and updates all three field
+    families (regression: each wrapper unpacked its base as a 2-tuple and
+    would have discarded inner field updates)."""
+    from tensorflowraytrace_tpu.operations import (
+        optical_path_reaction, seed_optical_path, total_optical_path,
+    )
+    import dataclasses
+
+    scene, materials = glass_interface_2d(internal=False)
+    rays = rays_at_angles([0.3], jones=(SQ2, SQ2))
+    rays = seed_optical_path(rays)
+    rays = dataclasses.replace(
+        rays, fields={**rays.fields, "intensity": jnp.ones(1, F64)})
+    rx = optical_path_reaction(
+        base_reaction=jones_polarization_reaction(
+            base_reaction=fresnel_intensity_reaction()))
+    res = trace(rays, scene, materials, TraceConfig(max_bounces=2),
+                reaction=rx)
+    s = stokes_parameters(res.rays)
+    opl = total_optical_path(res.rays)
+    inten = res.rays.fields["intensity"]
+    # refraction attenuated BOTH the Jones power and the scalar intensity,
+    # and the two must agree for this unpolarized-equivalent 45-degree state
+    assert 0.0 < float(s["S0"][0]) < 1.0
+    np.testing.assert_allclose(float(s["S0"][0]), float(inten[0]),
+                               rtol=1e-12)
+    # OPL advanced past the seed and the ray now travels in glass
+    assert float(opl[0]) > 0.0
+    np.testing.assert_allclose(float(res.rays.fields["cur_n"][0]), 1.5)
+
+
+def test_compose_same_field_clash_raises():
+    """Stacking two trackers of the same field has no defined order; the
+    merge must fail loudly instead of silently dropping one."""
+    import pytest
+
+    scene, materials = glass_interface_2d()
+    rays = rays_at_angles([0.3], jones=(1.0, 0.0))
+    rays = jax.tree.map(lambda a: a, rays)
+    import dataclasses
+
+    rays = dataclasses.replace(
+        rays, fields={**rays.fields, "intensity": jnp.ones(1, F64)})
+    rx = fresnel_intensity_reaction(
+        base_reaction=fresnel_intensity_reaction())
+    with pytest.raises(ValueError, match="both update"):
+        trace(rays, scene, materials, TraceConfig(max_bounces=1),
+              reaction=rx)

@@ -427,3 +427,66 @@ def test_init_multihost_reraises_real_errors(monkeypatch):
     monkeypatch.setattr(jax.distributed, "initialize", fake_init)
     with pytest.raises(RuntimeError, match="unreachable"):
         par.init_multihost("coord:1234", 2, 0)
+
+
+def test_fold_reduce_none_keeps_device0_partial():
+    """fold_reduce='none' is documented to keep device 0's value; each
+    device's accumulator only folded its OWN shard, so the result must be
+    exactly the first shard's partial (all_gather[0]), never some
+    unspecified device's partial presented as replicated."""
+    from tensorflowraytrace_tpu.engine import landing_sum_fold
+
+    mesh = par.ray_mesh(8)
+    n = 8 * 6
+    scene, rays = make_scene_and_rays(n)
+    materials = (mats.vacuum, mats.reflective)
+    cfg = TraceConfig(max_bounces=3)
+    init, fn = landing_sum_fold(lambda p1: p1[:, 1] ** 2, F64)
+
+    res_none = par.parallel_trace(par.shard_rays(rays, mesh),
+                                  par.replicate(scene, mesh), materials, cfg,
+                                  mesh, fold_fn=fn, fold_init=init,
+                                  fold_reduce="none")
+    # device 0 holds the first contiguous shard of rays
+    first = jax.tree.map(lambda a: a[: n // 8], rays)
+    res_first = trace(first, scene, materials, cfg, fold_fn=fn,
+                      fold_init=init)
+    assert float(res_first.fold) != 0.0
+    np.testing.assert_allclose(float(res_none.fold), float(res_first.fold),
+                               rtol=1e-12)
+
+
+def test_mesh_optimizer_accepts_typed_prng_key():
+    """Optimizer(mesh=..., key=jax.random.key(0)) -- the new-style typed key
+    API -- must work: _device_keys splits on the raw key data (typed key
+    arrays cannot cross the numpy hop of the multi-process path)."""
+    from tensorflowraytrace_tpu.optim import Optimizer
+
+    mesh = par.ray_mesh(8)
+
+    def local_loss(params, key):
+        x = jax.random.normal(key, (4,), F64)
+        return jnp.sum((params[0] - 1.0) ** 2) + 0.0 * jnp.sum(x)
+
+    opt = Optimizer(local_loss, [jnp.zeros(3, F64)], learning_rate=0.1,
+                    mesh=mesh, key=jax.random.key(7))
+    e0 = opt.single_step(None)
+    e1 = opt.single_step(None)
+    assert np.isfinite(float(e0)) and float(e1) < float(e0)
+
+    # the multi-process branch (make_array_from_callback over numpy key
+    # data) must also swallow typed keys
+    keys = opt._device_keys(jax.random.key(3))
+    assert keys.shape[0] == 8
+
+    class _FakeProcs:
+        def __call__(self):
+            return 2
+
+    real = jax.process_count
+    jax.process_count = _FakeProcs()
+    try:
+        keys2 = opt._device_keys(jax.random.key(4), steps=2)
+        assert keys2.shape[:2] == (2, 8)
+    finally:
+        jax.process_count = real
