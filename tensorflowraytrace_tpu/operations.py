@@ -570,3 +570,152 @@ class OldestAncestor(RayOperation):
         for entry in system._source_entries:
             entry._rays = annotate_oldest_ancestor(entry.rays, start)
             start += entry.rays.n_rays
+
+
+# ======================================================================
+# thin-film coated surfaces (multilayer AR / HR stacks)
+# ======================================================================
+
+def thin_film_intensity_reaction(stacks, coat_ids,
+                                 base_reaction=default_reaction,
+                                 field="intensity"):
+    """Per-ray intensity transport through thin-film COATED surfaces.
+
+    Beyond the reference (every tfrt interface is bare Fresnel): surfaces
+    may carry dielectric multilayer stacks -- anti-reflection,
+    high-reflection, beam-splitter coatings -- whose power coefficients come
+    from the characteristic-matrix method (:mod:`ops.thinfilm`).  The
+    continuing ray's ``fields[field]`` is multiplied by the power fraction
+    of the branch it took: transmittance ``1 - R`` on refraction,
+    reflectance ``R`` on reflection.  An UNCOATED surface (coat id -1, or a
+    kind with no table) reduces to the bare interface: the empty stack's R
+    is exactly the Fresnel reflectance, TIR and the n == 0 mirror sentinel
+    give R == 1, so bare surfaces behave identically to
+    :func:`fresnel_intensity_reaction`.
+
+    Parameters
+    ----------
+    stacks : sequence of coating stacks
+        Each stack is a sequence of ``(n, d)`` layers ordered from the
+        mat_OUT side toward the mat_IN side (as deposited on the mat_in
+        substrate); rays arriving from the mat_in side see the stack
+        reversed automatically.  ``n``: a float/array refractive index or a
+        callable ``n(wavelength)`` (any :mod:`ops.materials` curve).
+        ``d``: physical thickness in the SAME units as the ray wavelengths
+        (nm by convention).  ``d`` may be a traced scalar, so coating
+        thicknesses can be co-optimized with the lens geometry -- build the
+        reaction inside the loss function.
+    coat_ids : dict of per-surface coating indices
+        ``{"triangles": arr}`` (3D) or ``{"segments": arr, "arcs": arr}``
+        (2D), each array aligned with the scene's merged surface set of
+        that kind (index into ``stacks``; -1 = bare).
+
+    Fully differentiable (complex-step-safe clamps at critical incidence
+    and grazing angles).  Composes with the other field trackers via
+    ``base_reaction``.
+    """
+    from tensorflowraytrace_tpu.ops import intersect as isect
+    from tensorflowraytrace_tpu.ops import thinfilm
+
+    stacks = [list(s) for s in stacks]
+    lmax = max((len(s) for s in stacks), default=0)
+    lens = [len(s) for s in stacks]
+
+    def reaction(proj, rays, cfg):
+        child_p0, child_p1, base_updates = _run_base(
+            base_reaction, proj, rays, cfg)
+        old = rays.fields.get(field)
+        if old is None:
+            raise KeyError(
+                f"thin_film_intensity_reaction: rays carry no {field!r} "
+                "field; seed it on the source rays")
+        dtype = rays.p0.dtype
+        eps = jnp.finfo(dtype).eps
+        d, n, nu, cos_i, n_in, n_out, eta, radicand, tir, reflects = (
+            _fresnel_prelude(proj, rays))
+        internal = nu > 0
+        n_inc = jnp.where(internal, n_in, n_out)
+        n_sub = jnp.where(internal, n_out, n_in)
+        wl = rays.wavelength
+
+        # per-ray coating id from the per-kind tables (-1 = bare)
+        none = jnp.full((rays.n_rays,), -1, jnp.int32)
+        if proj.dim == 3:
+            table = coat_ids.get("triangles")
+            coat = (none if table is None else
+                    jnp.asarray(table, jnp.int32)[proj.surf_idx])
+        else:
+            coat = none
+            for key, kind in (("segments", isect.KIND_SEGMENT),
+                              ("arcs", isect.KIND_ARC)):
+                table = coat_ids.get(key)
+                if table is None:
+                    continue
+                table = jnp.asarray(table, jnp.int32)
+                idx = jnp.clip(proj.surf_idx, 0, table.shape[0] - 1)
+                coat = jnp.where(proj.kind == kind, table[idx], coat)
+
+        if lmax == 0:
+            layer_n = jnp.ones((0, rays.n_rays), dtype)
+            layer_d = jnp.zeros((0, rays.n_rays), dtype)
+            layer_valid = None
+        else:
+            # select-chain the per-stack layer tables into per-ray rows
+            ray_len = jnp.zeros((rays.n_rays,), jnp.int32)
+            for s, length in enumerate(lens):
+                ray_len = jnp.where(coat == s, length, ray_len)
+            rows_n, rows_d = [], []
+            for j in range(lmax):
+                nj = jnp.ones((rays.n_rays,), dtype)
+                dj = jnp.zeros((rays.n_rays,), dtype)
+                for s, stack in enumerate(stacks):
+                    if j >= len(stack):
+                        continue
+                    n_s, d_s = stack[j]
+                    n_val = n_s(wl) if callable(n_s) else n_s
+                    sel = coat == s
+                    nj = jnp.where(sel, jnp.asarray(n_val, dtype), nj)
+                    dj = jnp.where(sel, jnp.asarray(d_s, dtype), dj)
+                rows_n.append(nj)
+                rows_d.append(dj)
+            layer_n = jnp.stack(rows_n)          # (L, N)
+            layer_d = jnp.stack(rows_d)
+            jidx = jnp.arange(lmax, dtype=jnp.int32)[:, None]
+            # stacks are specified outer(mat_out)->inner(mat_in); internal
+            # hits traverse them in reverse, within the valid prefix
+            ridx = jnp.clip(ray_len[None, :] - 1 - jidx, 0, lmax - 1)
+            eff = jnp.where(internal[None, :], ridx, jidx)
+            layer_n = jnp.take_along_axis(layer_n, eff, axis=0)
+            layer_d = jnp.take_along_axis(layer_d, eff, axis=0)
+            layer_valid = jidx < ray_len[None, :]
+            layer_n = jnp.where(layer_valid, layer_n, jnp.ones_like(layer_n))
+            layer_d = jnp.where(layer_valid, layer_d,
+                                jnp.zeros_like(layer_d))
+
+        cos_inc = jnp.clip(cos_i, eps, 1.0)
+        rs, rp = thinfilm.stack_r(n_inc, n_sub, cos_inc, wl,
+                                  layer_n, layer_d, layer_valid)
+        R = jnp.clip(jnp.real(0.5 * (jnp.abs(rs) ** 2 + jnp.abs(rp) ** 2)),
+                     0.0, 1.0).astype(dtype)
+        factor = jnp.where(reflects, R, 1.0 - R)
+        return child_p0, child_p1, _merge_updates(
+            base_updates, {field: old * factor.astype(old.dtype)})
+
+    return reaction
+
+
+class ThinFilmIntensity(RayOperation):
+    """Class-op wrapper for :func:`thin_film_intensity_reaction`: standard
+    Snell children plus coated-surface power transport."""
+
+    input_signature = frozenset({"intensity", "wavelength"})
+    output_signature = frozenset({"intensity"})
+    optical_signature = frozenset({"mat_in", "mat_out"})
+    material_signature = frozenset({"n"})
+    simple_ray_inheritance = frozenset({"intensity", "wavelength"})
+
+    def __init__(self, stacks, coat_ids, base_reaction=default_reaction,
+                 **kw):
+        super().__init__(**kw)
+        self.reaction = thin_film_intensity_reaction(stacks, coat_ids,
+                                                     base_reaction)

@@ -65,6 +65,7 @@ CASES = [
     ("fresnel_rhomb", {"steps": 40}),
     ("wavefront_lens", {"steps": 250}),
     ("achromat", {"steps": 5, "n_heights": 9}),
+    ("ar_coating", {"steps": 60, "rays": 128}),
 ]
 
 

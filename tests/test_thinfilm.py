@@ -1,0 +1,238 @@
+"""Thin-film coating tests: the characteristic-matrix stack must reproduce
+textbook coating optics (bare-interface reduction, quarter-wave AR minimum,
+HR Bragg pairs, lossless energy balance, TIR), and the coated-surface
+intensity reaction must follow the engine's geometric branches."""
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflowraytrace_tpu import (
+    FINISHED, RaySet, Scene2D, Scene3D, SegmentSet, TraceConfig, TriangleSet,
+    trace,
+)
+from tensorflowraytrace_tpu.operations import (
+    fresnel_intensity_reaction, thin_film_intensity_reaction,
+)
+from tensorflowraytrace_tpu.ops import materials as mats
+from tensorflowraytrace_tpu.ops import thinfilm
+
+F64 = jnp.float64
+N_GLASS = 1.52
+N_MGF2 = 1.38
+
+
+def stack_R(n0, nsub, cos0, lam, layers):
+    """Unpolarized R of a layer list [(n, d), ...] for a single ray."""
+    one = jnp.ones(1, F64)
+    if layers:
+        ln = jnp.stack([jnp.full(1, n, F64) for n, _ in layers])
+        ld = jnp.stack([jnp.full(1, d, F64) for _, d in layers])
+    else:
+        ln = jnp.zeros((0, 1), F64)
+        ld = jnp.zeros((0, 1), F64)
+    return float(thinfilm.stack_R_unpolarized(
+        n0 * one, nsub * one, cos0 * one, lam * one, ln, ld)[0])
+
+
+def test_empty_stack_is_bare_fresnel():
+    """L == 0 must reduce exactly to the bare Fresnel interface."""
+    for cos0 in (1.0, math.cos(0.5), math.cos(1.2)):
+        R = stack_R(1.0, N_GLASS, cos0, 550.0, [])
+        # analytic unpolarized Fresnel
+        th = math.acos(cos0)
+        tht = math.asin(math.sin(th) / N_GLASS)
+        rs = (math.cos(th) - N_GLASS * math.cos(tht)) / (
+            math.cos(th) + N_GLASS * math.cos(tht))
+        rp = (N_GLASS * math.cos(th) - math.cos(tht)) / (
+            N_GLASS * math.cos(th) + math.cos(tht))
+        np.testing.assert_allclose(R, 0.5 * (rs * rs + rp * rp), rtol=1e-12)
+
+
+def test_quarter_wave_ar_minimum():
+    """Single quarter-wave layer at the design wavelength:
+    R = ((n0 ns - nf^2) / (n0 ns + nf^2))^2 [Macleod eq. 2.96]."""
+    lam = 550.0
+    d = float(thinfilm.quarter_wave_thickness(N_MGF2, lam))
+    R = stack_R(1.0, N_GLASS, 1.0, lam, [(N_MGF2, d)])
+    expect = ((N_GLASS - N_MGF2 ** 2) / (N_GLASS + N_MGF2 ** 2)) ** 2
+    np.testing.assert_allclose(R, expect, rtol=1e-12)
+    # and it is below the bare interface at design wavelength
+    assert R < stack_R(1.0, N_GLASS, 1.0, lam, [])
+    # an ideal n = sqrt(ns) quarter-wave layer nulls R completely
+    nf = math.sqrt(N_GLASS)
+    d = float(thinfilm.quarter_wave_thickness(nf, lam))
+    assert stack_R(1.0, N_GLASS, 1.0, lam, [(nf, d)]) < 1e-25
+
+
+def test_hr_bragg_pairs_grow_reflectance():
+    """Quarter-wave high/low pairs build a Bragg mirror: R rises toward 1
+    with pair count (R_N = ((1 - Y)/(1 + Y))^2, Y = (nH/nL)^(2N) ns)."""
+    lam, n_hi, n_lo = 550.0, 2.35, 1.38
+    d_hi = float(thinfilm.quarter_wave_thickness(n_hi, lam))
+    d_lo = float(thinfilm.quarter_wave_thickness(n_lo, lam))
+    last = 0.0
+    for pairs in (1, 2, 4):
+        layers = [(n_hi, d_hi), (n_lo, d_lo)] * pairs
+        R = stack_R(1.0, N_GLASS, 1.0, lam, layers)
+        # equivalent admittance Y = (nH/nL)^(2N) ns [Macleod eq. 6.3]
+        y = (n_hi / n_lo) ** (2 * pairs) * N_GLASS
+        expect = ((1 - y) / (1 + y)) ** 2
+        np.testing.assert_allclose(R, expect, rtol=1e-10)
+        assert R > last
+        last = R
+    assert last > 0.95
+
+
+def test_lossless_energy_and_tir():
+    """Real-index stacks conserve energy (R in [0, 1]); beyond the critical
+    angle the substrate wave is evanescent and R == 1 even under a stack."""
+    lam = 550.0
+    d = float(thinfilm.quarter_wave_thickness(N_MGF2, lam))
+    for cos0 in np.cos(np.linspace(0.0, 1.5, 7)):
+        R = stack_R(1.0, N_GLASS, float(cos0), lam, [(N_MGF2, d)])
+        assert 0.0 <= R <= 1.0
+    # glass -> vacuum beyond critical (41.1 deg)
+    R = stack_R(N_GLASS, 1.0, math.cos(1.0), lam, [(N_MGF2, d)])
+    np.testing.assert_allclose(R, 1.0, atol=1e-12)
+
+
+def test_thickness_gradient_designs_ar():
+    """dR/d(thickness) is finite and a few gradient steps strictly reduce
+    broadband mean reflectance -- the differentiable-coating-design use."""
+    lams = jnp.linspace(450.0, 650.0, 9)
+    one = jnp.ones_like(lams)
+
+    def mean_R(dd):
+        ln = jnp.stack([N_MGF2 * one])
+        ld = jnp.stack([dd * one])
+        return jnp.mean(thinfilm.stack_R_unpolarized(
+            one, N_GLASS * one, one, lams, ln, ld))
+
+    d = jnp.asarray(40.0, F64)  # far from quarter-wave (~99.6)
+    g = jax.grad(mean_R)
+    r0 = float(mean_R(d))
+    for _ in range(200):
+        d = d - 2e4 * g(d)
+    assert np.isfinite(float(g(d)))
+    assert float(mean_R(d)) < 0.5 * r0
+    # converged near the quarter-wave thickness at the band center
+    assert abs(float(d) - 550.0 / (4 * N_MGF2)) < 8.0
+
+
+def seeded_ray(dtype=F64):
+    r = RaySet.make(jnp.asarray([[0.0, 0.0]], dtype),
+                    jnp.asarray([[1.0, 0.0]], dtype), 550.0, dtype=dtype)
+    return dataclasses.replace(
+        r, fields={**r.fields, "intensity": jnp.ones(1, dtype)})
+
+
+def glass_wall_scene():
+    entry = SegmentSet.make([[1.0, -50.0]], [[1.0, 50.0]], mat_in=1,
+                            mat_out=0, dtype=F64)
+    tgt = SegmentSet.make([[4.0, -50.0]], [[4.0, 50.0]], dtype=F64)
+    scene = Scene2D.build(optical_segments=[entry], target_segments=[tgt])
+    return scene, (mats.vacuum, mats.build_constant_material(N_GLASS))
+
+
+def test_reaction_bare_matches_fresnel_intensity():
+    """coat id -1 (and an absent kind table) must behave exactly like
+    fresnel_intensity_reaction."""
+    scene, materials = glass_wall_scene()
+    cfg = TraceConfig(max_bounces=2)
+    rx = thin_film_intensity_reaction([], {"segments": np.asarray([-1, -1])})
+    a = trace(seeded_ray(), scene, materials, cfg, reaction=rx)
+    b = trace(seeded_ray(), scene, materials, cfg,
+              reaction=fresnel_intensity_reaction())
+    np.testing.assert_allclose(np.asarray(a.rays.fields["intensity"]),
+                               np.asarray(b.rays.fields["intensity"]),
+                               rtol=1e-14)
+
+
+def test_reaction_ar_coated_transmission():
+    """An AR-coated entrance face transmits 1 - R_stack instead of the bare
+    Fresnel transmittance."""
+    scene, materials = glass_wall_scene()
+    d = float(thinfilm.quarter_wave_thickness(N_MGF2, 550.0))
+    rx = thin_film_intensity_reaction(
+        [[(N_MGF2, d)]], {"segments": np.asarray([0, -1])})
+    res = trace(seeded_ray(), scene, materials, TraceConfig(max_bounces=2),
+                reaction=rx)
+    expect = 1.0 - ((N_GLASS - N_MGF2 ** 2) / (N_GLASS + N_MGF2 ** 2)) ** 2
+    np.testing.assert_allclose(float(res.rays.fields["intensity"][0]),
+                               expect, rtol=1e-12)
+
+
+def test_reaction_internal_hit_reverses_stack():
+    """Stacks are specified mat_out -> mat_in; a ray arriving from the
+    mat_in side must traverse the layers in reverse order.  Pinned against
+    a direct stack_r call with the order flipped by hand (an asymmetric
+    2-layer stack, off quarter-wave so the order matters)."""
+    # glass slab: entry at x=1 (uncoated), exit at x=2 whose endpoint
+    # order is flipped so the +x ray hits it INTERNALLY (nu > 0): the
+    # incident medium is mat_in = glass and the stack -- specified from the
+    # mat_out (vacuum) side as [outer A, inner B] -- must be reversed
+    layers = [(2.35, 30.0), (1.38, 85.0)]
+    entry = SegmentSet.make([[1.0, -50.0]], [[1.0, 50.0]], mat_in=1,
+                            mat_out=0, dtype=F64)
+    exit_ = SegmentSet.make([[2.0, 50.0]], [[2.0, -50.0]], mat_in=1,
+                            mat_out=0, dtype=F64)
+    tgt = SegmentSet.make([[4.0, -50.0]], [[4.0, 50.0]], dtype=F64)
+    scene = Scene2D.build(optical_segments=[entry, exit_],
+                          target_segments=[tgt])
+    materials = (mats.vacuum, mats.build_constant_material(N_GLASS))
+    rx = thin_film_intensity_reaction(
+        [layers], {"segments": np.asarray([-1, 0, -1])})
+    res = trace(seeded_ray(), scene, materials, TraceConfig(max_bounces=3),
+                reaction=rx)
+    assert int(res.rays.state[0]) == FINISHED
+
+    # expected: bare Fresnel at entry, then the REVERSED stack seen from
+    # the glass side at the exit face
+    one = jnp.ones(1, F64)
+    ln = jnp.stack([jnp.full(1, n, F64) for n, _ in reversed(layers)])
+    ld = jnp.stack([jnp.full(1, d, F64) for _, d in reversed(layers)])
+    R_exit = float(thinfilm.stack_R_unpolarized(
+        N_GLASS * one, one, one, 550.0 * one, ln, ld)[0])
+    R_entry = ((N_GLASS - 1) / (N_GLASS + 1)) ** 2
+    np.testing.assert_allclose(float(res.rays.fields["intensity"][0]),
+                               (1 - R_entry) * (1 - R_exit), rtol=1e-12)
+    # sanity: the order genuinely matters for this stack
+    ln_f = jnp.stack([jnp.full(1, n, F64) for n, _ in layers])
+    ld_f = jnp.stack([jnp.full(1, d, F64) for _, d in layers])
+    R_fwd = float(thinfilm.stack_R_unpolarized(
+        N_GLASS * one, one, one, 550.0 * one, ln_f, ld_f)[0])
+    assert abs(R_fwd - R_exit) > 1e-4
+
+
+def test_reaction_3d_table_and_dispersive_layer():
+    """3D coat tables gather by surf_idx, and a layer index may be a
+    materials-style callable n(wavelength)."""
+    big = 200.0
+    wall = TriangleSet.make(
+        [[1.0, -big, -big]], [[1.0, big, 0.0]], [[1.0, -big, big]],
+        mat_in=1, mat_out=0, dtype=F64)
+    tgt = TriangleSet.make(
+        [[4.0, -big, -big]], [[4.0, big, 0.0]], [[4.0, -big, big]],
+        dtype=F64)
+    scene = Scene3D.build(optical=[wall], targets=[tgt])
+    materials = (mats.vacuum, mats.build_constant_material(N_GLASS))
+
+    def n_disp(wl):
+        return 1.3 + 44.0 / wl  # 1.38 at 550
+
+    d = float(thinfilm.quarter_wave_thickness(N_MGF2, 550.0))
+    rx = thin_film_intensity_reaction(
+        [[(n_disp, d)]], {"triangles": np.asarray([0, -1])})
+    r = RaySet.make(jnp.asarray([[0.0, 0.0, 0.0]], F64),
+                    jnp.asarray([[1.0, 0.0, 0.0]], F64), 550.0, dtype=F64)
+    r = dataclasses.replace(r, fields={**r.fields,
+                                       "intensity": jnp.ones(1, F64)})
+    res = trace(r, scene, materials, TraceConfig(max_bounces=2), reaction=rx)
+    assert int(res.rays.state[0]) == FINISHED
+    expect = 1.0 - ((N_GLASS - N_MGF2 ** 2) / (N_GLASS + N_MGF2 ** 2)) ** 2
+    np.testing.assert_allclose(float(res.rays.fields["intensity"][0]),
+                               expect, rtol=1e-9)
