@@ -1,0 +1,116 @@
+"""Gradient-designed grating spectrometer.
+
+Beyond the reference (tfrt has only Snell surfaces): `operations.Grating`
+diffracts rays per the vector grating equation, differentiable in the
+groove spacing -- so a spectrometer's dispersion is DESIGNED by gradient
+descent instead of solved by hand.
+
+Layout: a polychromatic collimated beam hits a transmission grating; the
+first order disperses onto a detector plane.  The design objective places
+two anchor wavelengths (450 and 650 nm) at prescribed detector positions by
+optimizing (a) the groove spacing and (b) the detector distance -- two
+coupled parameters the gradient untangles in a few dozen steps.  The
+example then checks the whole band against the analytic grating equation
+and prints the achieved linear-dispersion error.
+
+Run:  python examples/spectrometer.py [--steps N]
+"""
+
+import argparse
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflowraytrace_tpu import (
+    FINISHED, RaySet, Scene2D, SegmentSet, TraceConfig, trace,
+)
+from tensorflowraytrace_tpu.operations import grating_reaction
+from tensorflowraytrace_tpu.ops import materials as mats
+
+LAM_LO, LAM_HI = 450.0, 650.0
+Y_LO, Y_HI = -0.9, -2.1     # prescribed detector anchors (dispersion is
+                            # toward -y for positive orders: g_t = rot90(n))
+
+
+def build(dist, dtype):
+    gr = SegmentSet.make([[1.0, -50.0]], [[1.0, 50.0]], mat_in=0, mat_out=0,
+                         dtype=dtype)
+    det = SegmentSet.make([[1.0 + dist, -80.0]], [[1.0 + dist, 80.0]],
+                          dtype=dtype)
+    return Scene2D.build(optical_segments=[gr], target_segments=[det])
+
+
+def landings(params, lams, dtype):
+    spacing, dist = params
+    scene = build(dist, dtype)
+    rx = grating_reaction([(spacing, 1, "transmission")],
+                          {"segments": jnp.asarray([0, -1])})
+    n = lams.shape[0]
+    rays = RaySet.make(jnp.zeros((n, 2), dtype),
+                       jnp.concatenate([jnp.ones((n, 1), dtype),
+                                        jnp.zeros((n, 1), dtype)], axis=1),
+                       lams, dtype=dtype)
+    res = trace(rays, scene, (mats.vacuum,), TraceConfig(max_bounces=2),
+                reaction=rx)
+    return res.rays.p1[:, 1], res.rays.state
+
+
+def main(steps=400):
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    anchors = jnp.asarray([LAM_LO, LAM_HI], dtype)
+    targets = jnp.asarray([Y_LO, Y_HI], dtype)
+
+    def loss(params):
+        y, _ = landings(params, anchors, dtype)
+        return jnp.sum((y - targets) ** 2)
+
+    import optax
+
+    # optimize in normalized coordinates (spacing in um, distance as-is) so
+    # one Adam step size fits both; badly coupled raw scales stall plain GD
+    def denorm(q):
+        return jnp.stack([1000.0 * q[0], q[1]])
+
+    q = jnp.asarray([1.5, 2.5], dtype)
+    tx = optax.adam(0.1)
+    state = tx.init(q)
+    vg = jax.jit(jax.value_and_grad(lambda qq: loss(denorm(qq))))
+
+    @jax.jit
+    def step(q, state):
+        v, g = vg(q)
+        upd, state = tx.update(g, state, q)
+        return optax.apply_updates(q, upd), state, v
+
+    for i in range(steps):
+        q, state, v = step(q, state)
+        if i % max(1, steps // 8) == 0:
+            print(f"  step {i:3d}  loss {float(v):.3e}  spacing "
+                  f"{1000 * float(q[0]):.1f} nm  dist {float(q[1]):.3f}")
+    params = denorm(q)
+    v = float(vg(q)[0])
+    print(f"designed: spacing {float(params[0]):.2f} nm, detector at "
+          f"{float(params[1]):.4f} (anchor loss {v:.2e})")
+    assert v < 1e-8
+
+    # validate the whole band against the analytic grating equation
+    lams = jnp.linspace(LAM_LO, LAM_HI, 21).astype(dtype)
+    y, state = landings(params, lams, dtype)
+    assert np.all(np.asarray(state) == FINISHED)
+    s = np.asarray(lams) / float(params[0])
+    y_exact = -float(params[1]) * s / np.sqrt(1 - s * s)
+    np.testing.assert_allclose(np.asarray(y), y_exact, rtol=1e-6)
+    nonlin = float(np.max(np.abs(
+        np.asarray(y) - np.linspace(y[0], y[-1], 21))))
+    print(f"band check: 21 wavelengths match the grating equation; "
+          f"max deviation from linear dispersion {nonlin:.4f}")
+    print("OK")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    a = ap.parse_args()
+    main(steps=a.steps)

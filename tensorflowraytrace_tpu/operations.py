@@ -719,3 +719,156 @@ class ThinFilmIntensity(RayOperation):
         super().__init__(**kw)
         self.reaction = thin_film_intensity_reaction(stacks, coat_ids,
                                                      base_reaction)
+
+
+# ======================================================================
+# diffraction gratings (spectrometer / dispersive design)
+# ======================================================================
+
+def grating_reaction(gratings, grating_ids, base_reaction=default_reaction):
+    """Diffraction-grating surfaces: the vector grating equation as a
+    reaction (beyond the reference, which has only Snell surfaces).
+
+    For rays hitting a grating surface the child direction satisfies
+
+        u_out_t = (n1 / n2) u_in_t  +  (m lambda / (n2 a)) g_t
+        u_out   = u_out_t + sign(u_in . n) sqrt(1 - |u_out_t|^2) n   (transmission)
+                = u_out_t - sign(u_in . n) sqrt(1 - |u_out_t|^2) n   (reflection)
+
+    where ``u_t`` is the direction's tangential component, ``a`` the groove
+    spacing, ``m`` the diffraction order, ``g_t`` the unit in-plane grating
+    vector (perpendicular to the grooves), ``n1``/``n2`` the incident /
+    far-side refractive indices (``n2 = n1`` for reflection gratings), and
+    ``lambda`` the VACUUM wavelength in the same units as ``a`` (nm by
+    convention).  Order m = 0 transmission reduces exactly to Snell
+    refraction.  Evanescent orders (|u_out_t| > 1) fall back to the base
+    reaction's child, as do non-grating surfaces.  Geometric model only --
+    diffraction efficiency is not modeled (pair with a field tracker and a
+    measured efficiency factor if needed).
+
+    Parameters
+    ----------
+    gratings : sequence of (spacing, order, kind[, groove])
+        ``spacing``: groove period (same units as wavelength; may be a
+        traced scalar for spacing optimization).  ``order``: int m.
+        ``kind``: "transmission" or "reflection".  ``groove`` (3D only): a
+        3-vector whose tangent-plane projection is the grating vector
+        direction (positive-m dispersion direction); in 2D the grating
+        vector is the in-plane tangent ``rot90(normal)``.
+    grating_ids : dict of per-surface tables
+        ``{"triangles": arr}`` / ``{"segments": arr, "arcs": arr}``,
+        aligned with the scene's merged surface sets; index into
+        ``gratings``, -1 = ordinary surface.
+
+    Fully differentiable in spacing, geometry and wavelength (clamped sqrt
+    at grazing emergence).
+    """
+    from tensorflowraytrace_tpu.ops import intersect as isect
+
+    gratings = list(gratings)
+
+    def reaction(proj, rays, cfg):
+        child_p0, child_p1, base_updates = _run_base(
+            base_reaction, proj, rays, cfg)
+        if not gratings:
+            return (child_p0, child_p1, base_updates) if base_updates else (
+                child_p0, child_p1)
+        dtype = rays.p0.dtype
+        eps = jnp.finfo(dtype).eps
+        d, n, nu, cos_i, n_in, n_out, eta, radicand, tir, reflects = (
+            _fresnel_prelude(proj, rays))
+        internal = nu > 0
+        n1 = jnp.where(internal, n_in, n_out)
+        n2_far = jnp.where(internal, n_out, n_in)
+
+        # per-ray grating id
+        none = jnp.full((rays.n_rays,), -1, jnp.int32)
+        grat = none
+        if proj.dim == 3:
+            table = grating_ids.get("triangles")
+            if table is not None:
+                grat = jnp.asarray(table, jnp.int32)[proj.surf_idx]
+        else:
+            for key, kind in (("segments", isect.KIND_SEGMENT),
+                              ("arcs", isect.KIND_ARC)):
+                table = grating_ids.get(key)
+                if table is None:
+                    continue
+                table = jnp.asarray(table, jnp.int32)
+                idx = jnp.clip(proj.surf_idx, 0, table.shape[0] - 1)
+                grat = jnp.where(proj.kind == kind, table[idx], grat)
+
+        # per-ray parameters via select chains
+        spacing = jnp.ones((rays.n_rays,), dtype)
+        order = jnp.zeros((rays.n_rays,), dtype)
+        is_refl = jnp.zeros((rays.n_rays,), bool)
+        if proj.dim == 3:
+            groove = jnp.zeros((rays.n_rays, 3), dtype)
+        for s, spec in enumerate(gratings):
+            a_s, m_s, kind_s = spec[0], spec[1], spec[2]
+            sel = grat == s
+            spacing = jnp.where(sel, jnp.asarray(a_s, dtype), spacing)
+            order = jnp.where(sel, jnp.asarray(m_s, dtype), order)
+            if kind_s not in ("transmission", "reflection"):
+                raise ValueError(
+                    f"grating kind must be 'transmission' or 'reflection', "
+                    f"got {kind_s!r}")
+            is_refl = jnp.where(sel, kind_s == "reflection", is_refl)
+            if proj.dim == 3:
+                if len(spec) < 4:
+                    raise ValueError(
+                        "3D gratings need a groove vector: "
+                        "(spacing, order, kind, groove)")
+                g = jnp.asarray(spec[3], dtype)
+                groove = jnp.where(sel[:, None], g[None, :], groove)
+
+        # tangential grating vector direction
+        if proj.dim == 3:
+            g_t = groove - jnp.sum(groove * n, axis=-1, keepdims=True) * n
+            g_len = jnp.linalg.norm(g_t, axis=-1, keepdims=True)
+            g_t = g_t / jnp.maximum(g_len, jnp.finfo(dtype).tiny)
+        else:
+            g_t = jnp.stack([-n[:, 1], n[:, 0]], axis=1)
+
+        n2 = jnp.where(is_refl, n1, n2_far)
+        n2_safe = jnp.where(n2 != 0, n2, jnp.ones_like(n2))
+        a_safe = jnp.maximum(spacing, jnp.finfo(dtype).tiny)
+        d_t = d - nu[:, None] * n
+        shift = order * rays.wavelength / (n2_safe * a_safe)
+        out_t = (n1 / n2_safe)[:, None] * d_t + shift[:, None] * g_t
+        s2 = jnp.sum(out_t * out_t, axis=-1)
+        evan = s2 >= 1.0
+        # clamped sqrt: grazing emergence (s2 == 1 exactly) would put an
+        # inf derivative on the selected branch (same class as the engine's
+        # radicand clamps)
+        c = jnp.sqrt(jnp.clip(1.0 - s2, eps * eps, 1.0))
+        sign = jnp.sign(jnp.where(nu == 0, jnp.ones_like(nu), nu))
+        sign = jnp.where(is_refl, -sign, sign)
+        out = out_t + (sign * c)[:, None] * n
+
+        length = jnp.asarray(cfg.new_ray_length, dtype)
+        use = (grat >= 0) & ~evan & (n2 != 0)
+        use_c = use[:, None]
+        p0 = jnp.where(use_c, rays.p1, child_p0)
+        p1 = jnp.where(use_c, rays.p1 + length * out, child_p1)
+        if base_updates:
+            return p0, p1, base_updates
+        return p0, p1
+
+    return reaction
+
+
+class Grating(RayOperation):
+    """Class-op wrapper for :func:`grating_reaction`: Snell children except
+    on grating-marked surfaces, which diffract per the grating equation."""
+
+    input_signature = frozenset({"wavelength"})
+    optical_signature = frozenset({"mat_in", "mat_out"})
+    material_signature = frozenset({"n"})
+    simple_ray_inheritance = frozenset({"wavelength"})
+
+    def __init__(self, gratings, grating_ids,
+                 base_reaction=default_reaction, **kw):
+        super().__init__(**kw)
+        self.reaction = grating_reaction(gratings, grating_ids,
+                                         base_reaction)

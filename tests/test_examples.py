@@ -66,6 +66,7 @@ CASES = [
     ("wavefront_lens", {"steps": 250}),
     ("achromat", {"steps": 5, "n_heights": 9}),
     ("ar_coating", {"steps": 60, "rays": 128}),
+    ("spectrometer", {"steps": 400}),
 ]
 
 
