@@ -872,3 +872,121 @@ class Grating(RayOperation):
         super().__init__(**kw)
         self.reaction = grating_reaction(gratings, grating_ids,
                                          base_reaction)
+
+
+# ======================================================================
+# absorbing media (Beer-Lambert bulk attenuation)
+# ======================================================================
+
+def absorption_reaction(alpha_tables, base_reaction=default_reaction,
+                        field="intensity"):
+    """Beer-Lambert bulk absorption: each completed leg multiplies the
+    ray's ``fields[field]`` by ``exp(-alpha * leg_length)`` where ``alpha``
+    is the absorption coefficient of the medium traveled (units 1/length in
+    scene units).  Beyond the reference (tfrt media are lossless).
+
+    The current medium's coefficient rides in a ``cur_alpha`` ray field
+    (seed with :func:`seed_absorption`), updated on refraction to the far
+    side's coefficient exactly like :func:`optical_path_reaction` updates
+    ``cur_n`` -- reflection/TIR/mirrors keep the medium.  The final leg of
+    a finished ray is closed by :func:`final_intensity`.
+
+    Parameters
+    ----------
+    alpha_tables : dict of per-surface coefficient pairs
+        ``{"triangles": (alpha_in, alpha_out)}`` /
+        ``{"segments": (...), "arcs": (...)}`` -- per-surface arrays
+        aligned with the scene's merged surface sets, giving the absorption
+        coefficient of the mat_in / mat_out side medium.  Surfaces of a
+        kind with no table contribute alpha = 0 (lossless).  Entries may be
+        traced arrays (differentiable alphas).
+
+    Composes with the other field trackers via ``base_reaction``; fully
+    differentiable in alpha (e.g. fitting absorption to measurements, or
+    optimizing guide geometry to minimize absorbed loss).
+    """
+    from tensorflowraytrace_tpu.ops import intersect as isect
+
+    def reaction(proj, rays, cfg):
+        child_p0, child_p1, base_updates = _run_base(
+            base_reaction, proj, rays, cfg)
+        for f in (field, "cur_alpha"):
+            if f not in rays.fields:
+                raise KeyError(
+                    f"absorption_reaction: rays carry no {f!r} field; seed "
+                    "the source rays with seed_absorption()")
+        dtype = rays.p0.dtype
+        d, n, nu, cos_i, n_in, n_out, eta, radicand, tir, reflects = (
+            _fresnel_prelude(proj, rays))
+        internal = nu > 0
+
+        def side(tab, which):
+            return jnp.asarray(tab[0] if which == "in" else tab[1], dtype)
+
+        zero = jnp.zeros((rays.n_rays,), dtype)
+        a_in, a_out = zero, zero
+        if proj.dim == 3:
+            tab = alpha_tables.get("triangles")
+            if tab is not None:
+                a_in = jnp.asarray(side(tab, "in"))[proj.surf_idx]
+                a_out = jnp.asarray(side(tab, "out"))[proj.surf_idx]
+        else:
+            for key, kind in (("segments", isect.KIND_SEGMENT),
+                              ("arcs", isect.KIND_ARC)):
+                tab = alpha_tables.get(key)
+                if tab is None:
+                    continue
+                ti = jnp.asarray(side(tab, "in"))
+                to = jnp.asarray(side(tab, "out"))
+                idx = jnp.clip(proj.surf_idx, 0, ti.shape[0] - 1)
+                sel = proj.kind == kind
+                a_in = jnp.where(sel, ti[idx], a_in)
+                a_out = jnp.where(sel, to[idx], a_out)
+
+        leg = jnp.linalg.norm(rays.p1 - rays.p0, axis=-1)
+        old = rays.fields[field]
+        attenuated = old * jnp.exp(-rays.fields["cur_alpha"] * leg).astype(
+            old.dtype)
+        # far-side medium on refraction (select_eta convention: internal
+        # hits transmit into the mat_out side)
+        a_far = jnp.where(internal, a_out, a_in)
+        cur = jnp.where(reflects, rays.fields["cur_alpha"], a_far)
+        return child_p0, child_p1, _merge_updates(
+            base_updates, {field: attenuated, "cur_alpha": cur})
+
+    return reaction
+
+
+def seed_absorption(rays: RaySet, alpha0=0.0, field="intensity",
+                    seed_field=True) -> RaySet:
+    """Attach ``cur_alpha`` (= launch-medium absorption coefficient) and,
+    unless the intensity field is already seeded, ``fields[field] = 1``."""
+    dtype = rays.p0.dtype
+    n = rays.n_rays
+    out = rays.with_field(
+        "cur_alpha", jnp.broadcast_to(jnp.asarray(alpha0, dtype), (n,)))
+    if seed_field and field not in rays.fields:
+        out = out.with_field(field, jnp.ones((n,), dtype))
+    return out
+
+
+def final_intensity(rays: RaySet, field="intensity"):
+    """Close the last (non-reacting) leg of finished rays: the tracked
+    intensity times the absorption of the final stretch ``p0 -> p1``."""
+    leg = jnp.linalg.norm(rays.p1 - rays.p0, axis=-1)
+    return rays.fields[field] * jnp.exp(-rays.fields["cur_alpha"] * leg)
+
+
+class Absorption(RayOperation):
+    """Class-op wrapper for :func:`absorption_reaction`."""
+
+    input_signature = frozenset({"intensity", "cur_alpha", "wavelength"})
+    output_signature = frozenset({"intensity", "cur_alpha"})
+    optical_signature = frozenset({"mat_in", "mat_out"})
+    material_signature = frozenset({"n"})
+    simple_ray_inheritance = frozenset({"intensity", "cur_alpha",
+                                        "wavelength"})
+
+    def __init__(self, alpha_tables, base_reaction=default_reaction, **kw):
+        super().__init__(**kw)
+        self.reaction = absorption_reaction(alpha_tables, base_reaction)

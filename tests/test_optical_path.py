@@ -236,3 +236,106 @@ def test_one_sided_mirror_back_refracts_bookkeeping():
     r = (1.0 / n_glass - 1.0) / (1.0 / n_glass + 1.0)
     np.testing.assert_allclose(float(res.rays.fields["intensity"][0]),
                                1.0 - r * r, rtol=1e-12)
+
+
+# ----------------------------------------------------------------------
+# Beer-Lambert absorption (absorption_reaction shares the medium-tracking
+# machinery with OPL, so its tests live here)
+# ----------------------------------------------------------------------
+
+def test_beer_lambert_through_slab():
+    """Passage through an absorbing slab: I = exp(-alpha * d_glass), legs
+    in the lossless surround unaffected, final leg closed by
+    final_intensity."""
+    from tensorflowraytrace_tpu.operations import (
+        absorption_reaction, final_intensity, seed_absorption,
+    )
+
+    alpha = 0.37
+    entry = SegmentSet.make([[1.0, -50.0]], [[1.0, 50.0]], mat_in=1,
+                            mat_out=0, dtype=F64)
+    exit_ = SegmentSet.make([[2.0, -50.0]], [[2.0, 50.0]], mat_in=0,
+                            mat_out=1, dtype=F64)
+    tgt = SegmentSet.make([[4.0, -50.0]], [[4.0, 50.0]], dtype=F64)
+    scene = Scene2D.build(optical_segments=[entry, exit_],
+                          target_segments=[tgt])
+    materials = (mats.vacuum, mats.build_constant_material(1.5))
+    # alpha_in/alpha_out per merged segment [entry, exit, target]:
+    # the glass (mat_in of entry, mat_out of exit) absorbs
+    tables = {"segments": (np.asarray([alpha, 0.0, 0.0]),
+                           np.asarray([0.0, alpha, 0.0]))}
+
+    theta = 0.5
+    p0 = np.asarray([[0.0, 0.0], [0.0, 1.0]])
+    d = np.asarray([[1.0, 0.0], [math.cos(theta), math.sin(theta)]])
+    rays = seed_absorption(
+        RaySet.make(jnp.asarray(p0, F64), jnp.asarray(p0 + d, F64), 550.0,
+                    dtype=F64))
+    res = trace(rays, scene, materials,
+                TraceConfig(max_bounces=3),
+                reaction=absorption_reaction(tables))
+    assert bool(jnp.all(res.rays.state == FINISHED))
+    out = np.asarray(final_intensity(res.rays))
+    np.testing.assert_allclose(out[0], math.exp(-alpha * 1.0), rtol=1e-13)
+    theta_g = math.asin(math.sin(theta) / 1.5)
+    np.testing.assert_allclose(out[1],
+                               math.exp(-alpha / math.cos(theta_g)),
+                               rtol=1e-12)
+
+
+def test_absorbing_final_leg_and_mirror():
+    """A mirror fold keeps the current medium's alpha; the final leg to the
+    target is attenuated by final_intensity (launch medium absorbing)."""
+    from tensorflowraytrace_tpu.operations import (
+        absorption_reaction, final_intensity, seed_absorption,
+    )
+
+    alpha0 = 0.21
+    mirror = SegmentSet.make([[2.0, -50.0]], [[2.0, 50.0]], mat_in=1,
+                             mat_out=0, dtype=F64)
+    tgt = SegmentSet.make([[0.0, -50.0]], [[0.0, 50.0]], dtype=F64)
+    scene = Scene2D.build(optical_segments=[mirror], target_segments=[tgt])
+    rays = seed_absorption(
+        RaySet.make(jnp.asarray([[0.0, 0.0]], F64),
+                    jnp.asarray([[1.0, 0.25]], F64), 550.0, dtype=F64),
+        alpha0=alpha0)
+    res = trace(rays, scene, (mats.vacuum, mats.reflective),
+                TraceConfig(max_bounces=2),
+                reaction=absorption_reaction({}))
+    assert int(res.rays.state[0]) == FINISHED
+    total_len = 2 * math.hypot(2.0, 0.5)
+    np.testing.assert_allclose(float(final_intensity(res.rays)[0]),
+                               math.exp(-alpha0 * total_len), rtol=1e-13)
+
+
+def test_absorption_alpha_gradient():
+    """d(final intensity)/d(alpha) must equal -d_glass * I (differentiable
+    absorption for fitting/optimization)."""
+    from tensorflowraytrace_tpu.operations import (
+        absorption_reaction, final_intensity, seed_absorption,
+    )
+
+    entry = SegmentSet.make([[1.0, -50.0]], [[1.0, 50.0]], mat_in=1,
+                            mat_out=0, dtype=F64)
+    exit_ = SegmentSet.make([[2.0, -50.0]], [[2.0, 50.0]], mat_in=0,
+                            mat_out=1, dtype=F64)
+    tgt = SegmentSet.make([[4.0, -50.0]], [[4.0, 50.0]], dtype=F64)
+    scene = Scene2D.build(optical_segments=[entry, exit_],
+                          target_segments=[tgt])
+    materials = (mats.vacuum, mats.build_constant_material(1.5))
+
+    def out_intensity(alpha):
+        tables = {"segments": (jnp.stack([alpha, 0.0 * alpha, 0.0 * alpha]),
+                               jnp.stack([0.0 * alpha, alpha, 0.0 * alpha]))}
+        rays = seed_absorption(
+            RaySet.make(jnp.asarray([[0.0, 0.0]], F64),
+                        jnp.asarray([[1.0, 0.0]], F64), 550.0, dtype=F64))
+        res = trace(rays, scene, materials, TraceConfig(max_bounces=3),
+                    reaction=absorption_reaction(tables))
+        return final_intensity(res.rays)[0]
+
+    a0 = jnp.asarray(0.4, F64)
+    val = float(out_intensity(a0))
+    g = float(jax.grad(out_intensity)(a0))
+    np.testing.assert_allclose(val, math.exp(-0.4), rtol=1e-13)
+    np.testing.assert_allclose(g, -1.0 * val, rtol=1e-10)
