@@ -990,3 +990,149 @@ class Absorption(RayOperation):
     def __init__(self, alpha_tables, base_reaction=default_reaction, **kw):
         super().__init__(**kw)
         self.reaction = absorption_reaction(alpha_tables, base_reaction)
+
+
+# ======================================================================
+# metasurfaces (generalized law of refraction)
+# ======================================================================
+
+def metasurface_reaction(phases, meta_ids, base_reaction=default_reaction):
+    """Metasurface / phase-profile surfaces: the generalized law of
+    refraction [Yu et al., Science 334, 333 (2011)] as a reaction.
+
+    A surface marked in ``meta_ids`` imparts the tangential momentum of its
+    phase profile ``phi(point, wavelength)``:
+
+        k_out_t = k_in_t + grad_t(phi)
+        u_out_t = (n1/n2) u_in_t + (lambda / (2 pi n2)) grad_t(phi)
+
+    with the normal component rebuilt by a clamped sqrt (transmission or
+    reflection kinds, like :func:`grating_reaction` -- a linear phase IS a
+    grating; a constant phase reduces exactly to Snell).  The phase profile
+    is any JAX-traceable scalar function of a single hit point ``(dim,)``
+    and scalar vacuum wavelength; its spatial gradient is taken with
+    ``jax.grad`` and projected into the tangent plane, so arbitrary
+    profiles (hyperbolic metalens, polynomial correctors, freeform) are
+    supported and their PARAMETERS are differentiable end-to-end -- build
+    the reaction inside the loss to co-design phase profiles with glass.
+
+    Parameters
+    ----------
+    phases : sequence of (phase_fn, kind)
+        ``phase_fn(point, wavelength) -> phase`` in radians (traced
+        scalars); ``kind``: "transmission" or "reflection".
+    meta_ids : dict of per-surface tables
+        ``{"triangles": arr}`` / ``{"segments": arr, "arcs": arr}``,
+        index into ``phases``, -1 = ordinary surface.
+
+    Evanescent kicks (|u_out_t| >= 1) fall back to the base reaction's
+    child.  Geometric model only: diffraction efficiency of the
+    nanostructures is not modeled.
+    """
+    from tensorflowraytrace_tpu.ops import intersect as isect
+
+    phases = list(phases)
+
+    def reaction(proj, rays, cfg):
+        child_p0, child_p1, base_updates = _run_base(
+            base_reaction, proj, rays, cfg)
+        if not phases:
+            return (child_p0, child_p1, base_updates) if base_updates else (
+                child_p0, child_p1)
+        dtype = rays.p0.dtype
+        eps = jnp.finfo(dtype).eps
+        d, n, nu, cos_i, n_in, n_out, eta, radicand, tir, reflects = (
+            _fresnel_prelude(proj, rays))
+        internal = nu > 0
+        n1 = jnp.where(internal, n_in, n_out)
+        n2_far = jnp.where(internal, n_out, n_in)
+
+        meta = jnp.full((rays.n_rays,), -1, jnp.int32)
+        if proj.dim == 3:
+            table = meta_ids.get("triangles")
+            if table is not None:
+                meta = jnp.asarray(table, jnp.int32)[proj.surf_idx]
+        else:
+            for key, kind in (("segments", isect.KIND_SEGMENT),
+                              ("arcs", isect.KIND_ARC)):
+                table = meta_ids.get(key)
+                if table is None:
+                    continue
+                table = jnp.asarray(table, jnp.int32)
+                idx = jnp.clip(proj.surf_idx, 0, table.shape[0] - 1)
+                meta = jnp.where(proj.kind == kind, table[idx], meta)
+
+        # phase gradient of every profile at every hit point, selected by
+        # the per-ray meta id (profile count is small and static)
+        point = rays.p1  # the engine substitutes the projected hit point
+        grad_phi = jnp.zeros_like(point)
+        is_refl = jnp.zeros((rays.n_rays,), bool)
+        for s, (phase_fn, kind_s) in enumerate(phases):
+            if kind_s not in ("transmission", "reflection"):
+                raise ValueError(
+                    f"metasurface kind must be 'transmission' or "
+                    f"'reflection', got {kind_s!r}")
+            g = jax.vmap(jax.grad(phase_fn, argnums=0))(
+                point, rays.wavelength)
+            sel = (meta == s)[:, None]
+            grad_phi = jnp.where(sel, jnp.asarray(g, dtype), grad_phi)
+            is_refl = jnp.where(meta == s, kind_s == "reflection", is_refl)
+
+        g_t = grad_phi - jnp.sum(grad_phi * n, axis=-1, keepdims=True) * n
+        n2 = jnp.where(is_refl, n1, n2_far)
+        n2_safe = jnp.where(n2 != 0, n2, jnp.ones_like(n2))
+        d_t = d - nu[:, None] * n
+        kick = rays.wavelength / (2.0 * jnp.pi * n2_safe)
+        out_t = (n1 / n2_safe)[:, None] * d_t + kick[:, None] * g_t
+        s2 = jnp.sum(out_t * out_t, axis=-1)
+        evan = s2 >= 1.0
+        c = jnp.sqrt(jnp.clip(1.0 - s2, eps * eps, 1.0))
+        sign = jnp.sign(jnp.where(nu == 0, jnp.ones_like(nu), nu))
+        sign = jnp.where(is_refl, -sign, sign)
+        out = out_t + (sign * c)[:, None] * n
+
+        length = jnp.asarray(cfg.new_ray_length, dtype)
+        use = (meta >= 0) & ~evan & (n2 != 0)
+        use_c = use[:, None]
+        p0 = jnp.where(use_c, rays.p1, child_p0)
+        p1 = jnp.where(use_c, rays.p1 + length * out, child_p1)
+        if base_updates:
+            return p0, p1, base_updates
+        return p0, p1
+
+    return reaction
+
+
+def hyperbolic_metalens_phase(focal_length, design_wavelength, axis=0,
+                              center=None):
+    """The ideal metalens profile: ``phi(p) = -(2 pi / lambda_0)
+    (sqrt(r^2 + f^2) - f)`` with ``r`` the in-plane distance from the lens
+    center -- focuses a collimated design-wavelength beam to a perfect
+    point at distance f [Khorasaninejad et al., Science 352, 1190 (2016)].
+    ``axis``: the optical-axis coordinate index (excluded from r)."""
+
+    def phase(point, wavelength):
+        del wavelength  # static structure: momentum kick fixed at design
+        c = (jnp.zeros_like(point) if center is None
+             else jnp.asarray(center, point.dtype))
+        rel = point - c
+        r2 = jnp.sum(rel * rel) - rel[axis] * rel[axis]
+        f = jnp.asarray(focal_length, point.dtype)
+        return -2.0 * jnp.pi / design_wavelength * (
+            jnp.sqrt(r2 + f * f) - f)
+
+    return phase
+
+
+class Metasurface(RayOperation):
+    """Class-op wrapper for :func:`metasurface_reaction`."""
+
+    input_signature = frozenset({"wavelength"})
+    optical_signature = frozenset({"mat_in", "mat_out"})
+    material_signature = frozenset({"n"})
+    simple_ray_inheritance = frozenset({"wavelength"})
+
+    def __init__(self, phases, meta_ids, base_reaction=default_reaction,
+                 **kw):
+        super().__init__(**kw)
+        self.reaction = metasurface_reaction(phases, meta_ids, base_reaction)

@@ -67,6 +67,7 @@ CASES = [
     ("achromat", {"steps": 5, "n_heights": 9}),
     ("ar_coating", {"steps": 60, "rays": 128}),
     ("spectrometer", {"steps": 400}),
+    ("hybrid_achromat", {"steps": 260, "n_heights": 9}),
 ]
 
 
