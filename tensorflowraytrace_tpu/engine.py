@@ -593,6 +593,12 @@ def single_pass(rays: RaySet, scene, materials, cfg: TraceConfig,
     if field_updates:
         new_fields = dict(rays.fields)
         for k, v in field_updates.items():
+            if k.startswith("__"):
+                # reserved reaction-protocol metadata (e.g. "__reflects__"
+                # emitted by direction-modifying reactions for outer field
+                # trackers to consume, operations._run_base) -- never a ray
+                # field; drop whatever no outer wrapper claimed
+                continue
             old = new_fields.get(k)
             if old is None:
                 raise KeyError(

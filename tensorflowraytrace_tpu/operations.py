@@ -181,7 +181,9 @@ def _run_base(base_reaction, proj, rays, cfg):
 def _merge_updates(inner, outer):
     """Merge an outer wrapper's field updates over its base reaction's,
     failing loudly if both write the same field (stacking two trackers of
-    the same field has no well-defined order)."""
+    the same field has no well-defined order).  Multiplicative intensity
+    trackers avoid the clash by POPPING the base's update of their field
+    and chaining onto it (see _chain_field)."""
     clash = set(inner) & set(outer)
     if clash:
         raise ValueError(
@@ -189,6 +191,90 @@ def _merge_updates(inner, outer):
             "wrap distinct fields or merge them by hand")
     inner.update(outer)
     return inner
+
+
+def _effective_reflects(base_updates, prelude_reflects):
+    """The branch predicate a field tracker should follow.  A
+    direction-modifying base reaction (grating / metasurface) reports the
+    branch its children ACTUALLY took in the reserved ``__reflects__``
+    update -- a reflection grating reflects rays the Snell prelude would
+    call refracting, and trackers that switch media (cur_n / cur_alpha) or
+    pick a power branch must follow the real child.  Pops the key so it is
+    consumed exactly once (the engine drops any unconsumed ``__``-prefixed
+    keys)."""
+    return base_updates.pop("__reflects__", prelude_reflects)
+
+
+def _chain_field(base_updates, rays, field, who):
+    """Starting value for a multiplicative field tracker: the base
+    reaction's update of the same field if it made one (intensity trackers
+    compose multiplicatively -- interface factor x bulk absorption), else
+    the ray's current value.  Missing seed fails loudly."""
+    old = base_updates.pop(field, rays.fields.get(field))
+    if old is None:
+        raise KeyError(
+            f"{who}: rays carry no {field!r} field; seed it on the source "
+            "rays")
+    return old
+
+
+def _per_surface_table(proj, tables, n_rays, default):
+    """Gather a per-surface id table to per-ray values: ``tables`` maps
+    surface kind ("triangles" in 3D / "segments", "arcs" in 2D) to an array
+    aligned with the scene's merged surface set of that kind; absent kinds
+    contribute ``default``.  Indices are clipped before the gather (the
+    kind mask makes out-of-range slots irrelevant, but the gather itself
+    must stay in bounds)."""
+    from tensorflowraytrace_tpu.ops import intersect as isect
+
+    out = jnp.full((n_rays,), default, jnp.int32)
+    if proj.dim == 3:
+        table = tables.get("triangles")
+        if table is not None:
+            table = jnp.asarray(table, jnp.int32)
+            idx = jnp.clip(proj.surf_idx, 0, table.shape[0] - 1)
+            out = table[idx]
+        return out
+    for key, kind in (("segments", isect.KIND_SEGMENT),
+                      ("arcs", isect.KIND_ARC)):
+        table = tables.get(key)
+        if table is None:
+            continue
+        table = jnp.asarray(table, jnp.int32)
+        idx = jnp.clip(proj.surf_idx, 0, table.shape[0] - 1)
+        out = jnp.where(proj.kind == kind, table[idx], out)
+    return out
+
+
+def _tangential_child(rays, cfg, d, n, nu, n1, n2, is_refl, t_kick,
+                      child_p0, child_p1, marked):
+    """Shared tangential-momentum child construction for the grating and
+    metasurface reactions: ``u_out_t = (n1/n2) u_in_t + t_kick``, normal
+    component rebuilt by a clamped sqrt (transmission keeps the incident
+    normal sign, reflection flips it), evanescent kicks and unmarked
+    surfaces falling back to the base child.  Returns
+    ``(p0, p1, use_mask)``."""
+    dtype = rays.p0.dtype
+    eps = jnp.finfo(dtype).eps
+    n2_safe = jnp.where(n2 != 0, n2, jnp.ones_like(n2))
+    d_t = d - nu[:, None] * n
+    out_t = (n1 / n2_safe)[:, None] * d_t + t_kick
+    s2 = jnp.sum(out_t * out_t, axis=-1)
+    evan = s2 >= 1.0
+    # clamped sqrt: grazing emergence (s2 == 1 exactly) would put an inf
+    # derivative on the selected branch (same class as the engine's
+    # radicand clamps)
+    c = jnp.sqrt(jnp.clip(1.0 - s2, eps * eps, 1.0))
+    sign = jnp.sign(jnp.where(nu == 0, jnp.ones_like(nu), nu))
+    sign = jnp.where(is_refl, -sign, sign)
+    out = out_t + (sign * c)[:, None] * n
+
+    length = jnp.asarray(cfg.new_ray_length, dtype)
+    use = marked & ~evan & (n2 != 0)
+    use_c = use[:, None]
+    p0 = jnp.where(use_c, rays.p1, child_p0)
+    p1 = jnp.where(use_c, rays.p1 + length * out, child_p1)
+    return p0, p1, use
 
 
 def fresnel_intensity_reaction(base_reaction=default_reaction,
@@ -223,15 +309,14 @@ def fresnel_intensity_reaction(base_reaction=default_reaction,
         rp = (eta * cos_t - cos_i) / rp_d
         reflectance = jnp.clip(0.5 * (rs * rs + rp * rp), 0.0, 1.0)
 
-        # lossless on every branch the geometry REFLECTS (see
-        # _fresnel_prelude for the branch set)
-        factor = jnp.where(reflects, jnp.ones_like(reflectance),
+        # lossless on every branch the child REFLECTS (the prelude's Snell
+        # branch, or the actual branch a direction-modifying base reaction
+        # reported via __reflects__)
+        eff_reflects = _effective_reflects(base_updates, reflects)
+        factor = jnp.where(eff_reflects, jnp.ones_like(reflectance),
                            1.0 - reflectance)
-        old = rays.fields.get(field)
-        if old is None:
-            raise KeyError(
-                f"fresnel_intensity_reaction: rays carry no {field!r} field; "
-                "seed it on the source rays (see docstring)")
+        old = _chain_field(base_updates, rays, field,
+                           "fresnel_intensity_reaction")
         return child_p0, child_p1, _merge_updates(
             base_updates, {field: old * factor.astype(old.dtype)})
 
@@ -315,6 +400,7 @@ def jones_polarization_reaction(base_reaction=default_reaction):
         eps = jnp.finfo(dtype).eps
         d, n, nu, cos_i, n_in, _n_out, eta, radicand, tir, reflects = (
             _fresnel_prelude(proj, rays))
+        reflects = _effective_reflects(base_updates, reflects)
 
         for f in (POL_FIELDS_3D if proj.dim == 3 else POL_FIELDS_2D):
             if f not in rays.fields:
@@ -506,6 +592,7 @@ def optical_path_reaction(base_reaction=default_reaction):
                     "seed the source rays with seed_optical_path()")
         d, n, nu, cos_i, n_in, n_out, eta, radicand, tir, reflects = (
             _fresnel_prelude(proj, rays))
+        reflects = _effective_reflects(base_updates, reflects)
         # rays.p1 is the projected hit point here (the engine substitutes it
         # before calling the reaction), so this is the completed leg
         leg = jnp.linalg.norm(rays.p1 - rays.p0, axis=-1)
@@ -614,7 +701,6 @@ def thin_film_intensity_reaction(stacks, coat_ids,
     and grazing angles).  Composes with the other field trackers via
     ``base_reaction``.
     """
-    from tensorflowraytrace_tpu.ops import intersect as isect
     from tensorflowraytrace_tpu.ops import thinfilm
 
     stacks = [list(s) for s in stacks]
@@ -624,36 +710,27 @@ def thin_film_intensity_reaction(stacks, coat_ids,
     def reaction(proj, rays, cfg):
         child_p0, child_p1, base_updates = _run_base(
             base_reaction, proj, rays, cfg)
-        old = rays.fields.get(field)
-        if old is None:
-            raise KeyError(
-                f"thin_film_intensity_reaction: rays carry no {field!r} "
-                "field; seed it on the source rays")
         dtype = rays.p0.dtype
         eps = jnp.finfo(dtype).eps
         d, n, nu, cos_i, n_in, n_out, eta, radicand, tir, reflects = (
             _fresnel_prelude(proj, rays))
+        reflects = _effective_reflects(base_updates, reflects)
+        old = _chain_field(base_updates, rays, field,
+                           "thin_film_intensity_reaction")
         internal = nu > 0
         n_inc = jnp.where(internal, n_in, n_out)
+        # the 2D one-sided mirror REFRACTS n_in == 0 internal hits with
+        # eta = 1/n_out (n_in_safe discipline, geometry.select_eta); the
+        # stack must see the same sanitized incident index on refracting
+        # branches, while reflecting branches keep the 0 sentinel so
+        # eta0 = 0 -> r = -1 -> R = 1 (ideal mirror)
+        n_inc = jnp.where(~reflects & (n_inc == 0), jnp.ones_like(n_inc),
+                          n_inc)
         n_sub = jnp.where(internal, n_out, n_in)
         wl = rays.wavelength
 
         # per-ray coating id from the per-kind tables (-1 = bare)
-        none = jnp.full((rays.n_rays,), -1, jnp.int32)
-        if proj.dim == 3:
-            table = coat_ids.get("triangles")
-            coat = (none if table is None else
-                    jnp.asarray(table, jnp.int32)[proj.surf_idx])
-        else:
-            coat = none
-            for key, kind in (("segments", isect.KIND_SEGMENT),
-                              ("arcs", isect.KIND_ARC)):
-                table = coat_ids.get(key)
-                if table is None:
-                    continue
-                table = jnp.asarray(table, jnp.int32)
-                idx = jnp.clip(proj.surf_idx, 0, table.shape[0] - 1)
-                coat = jnp.where(proj.kind == kind, table[idx], coat)
+        coat = _per_surface_table(proj, coat_ids, rays.n_rays, -1)
 
         if lmax == 0:
             layer_n = jnp.ones((0, rays.n_rays), dtype)
@@ -715,10 +792,10 @@ class ThinFilmIntensity(RayOperation):
     simple_ray_inheritance = frozenset({"intensity", "wavelength"})
 
     def __init__(self, stacks, coat_ids, base_reaction=default_reaction,
-                 **kw):
+                 field="intensity", **kw):
         super().__init__(**kw)
         self.reaction = thin_film_intensity_reaction(stacks, coat_ids,
-                                                     base_reaction)
+                                                     base_reaction, field)
 
 
 # ======================================================================
@@ -762,9 +839,15 @@ def grating_reaction(gratings, grating_ids, base_reaction=default_reaction):
 
     Fully differentiable in spacing, geometry and wavelength (clamped sqrt
     at grazing emergence).
-    """
-    from tensorflowraytrace_tpu.ops import intersect as isect
 
+    Field trackers (intensity / OPL / absorption / Jones) compose as OUTER
+    wrappers -- ``optical_path_reaction(base_reaction=grating_reaction(...))``
+    -- and follow the diffracted child's actual branch: this reaction
+    reports it via the reserved ``__reflects__`` update (a reflection
+    grating keeps the ray in its medium even though the Snell prelude
+    would have refracted).  The interface power factors the trackers apply
+    are NOT diffraction efficiencies (unmodeled).
+    """
     gratings = list(gratings)
 
     def reaction(proj, rays, cfg):
@@ -774,7 +857,6 @@ def grating_reaction(gratings, grating_ids, base_reaction=default_reaction):
             return (child_p0, child_p1, base_updates) if base_updates else (
                 child_p0, child_p1)
         dtype = rays.p0.dtype
-        eps = jnp.finfo(dtype).eps
         d, n, nu, cos_i, n_in, n_out, eta, radicand, tir, reflects = (
             _fresnel_prelude(proj, rays))
         internal = nu > 0
@@ -782,21 +864,7 @@ def grating_reaction(gratings, grating_ids, base_reaction=default_reaction):
         n2_far = jnp.where(internal, n_out, n_in)
 
         # per-ray grating id
-        none = jnp.full((rays.n_rays,), -1, jnp.int32)
-        grat = none
-        if proj.dim == 3:
-            table = grating_ids.get("triangles")
-            if table is not None:
-                grat = jnp.asarray(table, jnp.int32)[proj.surf_idx]
-        else:
-            for key, kind in (("segments", isect.KIND_SEGMENT),
-                              ("arcs", isect.KIND_ARC)):
-                table = grating_ids.get(key)
-                if table is None:
-                    continue
-                table = jnp.asarray(table, jnp.int32)
-                idx = jnp.clip(proj.surf_idx, 0, table.shape[0] - 1)
-                grat = jnp.where(proj.kind == kind, table[idx], grat)
+        grat = _per_surface_table(proj, grating_ids, rays.n_rays, -1)
 
         # per-ray parameters via select chains
         spacing = jnp.ones((rays.n_rays,), dtype)
@@ -833,27 +901,15 @@ def grating_reaction(gratings, grating_ids, base_reaction=default_reaction):
         n2 = jnp.where(is_refl, n1, n2_far)
         n2_safe = jnp.where(n2 != 0, n2, jnp.ones_like(n2))
         a_safe = jnp.maximum(spacing, jnp.finfo(dtype).tiny)
-        d_t = d - nu[:, None] * n
         shift = order * rays.wavelength / (n2_safe * a_safe)
-        out_t = (n1 / n2_safe)[:, None] * d_t + shift[:, None] * g_t
-        s2 = jnp.sum(out_t * out_t, axis=-1)
-        evan = s2 >= 1.0
-        # clamped sqrt: grazing emergence (s2 == 1 exactly) would put an
-        # inf derivative on the selected branch (same class as the engine's
-        # radicand clamps)
-        c = jnp.sqrt(jnp.clip(1.0 - s2, eps * eps, 1.0))
-        sign = jnp.sign(jnp.where(nu == 0, jnp.ones_like(nu), nu))
-        sign = jnp.where(is_refl, -sign, sign)
-        out = out_t + (sign * c)[:, None] * n
-
-        length = jnp.asarray(cfg.new_ray_length, dtype)
-        use = (grat >= 0) & ~evan & (n2 != 0)
-        use_c = use[:, None]
-        p0 = jnp.where(use_c, rays.p1, child_p0)
-        p1 = jnp.where(use_c, rays.p1 + length * out, child_p1)
-        if base_updates:
-            return p0, p1, base_updates
-        return p0, p1
+        p0, p1, use = _tangential_child(
+            rays, cfg, d, n, nu, n1, n2, is_refl, shift[:, None] * g_t,
+            child_p0, child_p1, grat >= 0)
+        # report the branch the child ACTUALLY took for outer field
+        # trackers (reserved key; consumed by _effective_reflects, dropped
+        # by the engine otherwise)
+        base_updates["__reflects__"] = jnp.where(use, is_refl, reflects)
+        return p0, p1, base_updates
 
     return reaction
 
@@ -910,14 +966,14 @@ def absorption_reaction(alpha_tables, base_reaction=default_reaction,
     def reaction(proj, rays, cfg):
         child_p0, child_p1, base_updates = _run_base(
             base_reaction, proj, rays, cfg)
-        for f in (field, "cur_alpha"):
-            if f not in rays.fields:
-                raise KeyError(
-                    f"absorption_reaction: rays carry no {f!r} field; seed "
-                    "the source rays with seed_absorption()")
+        if "cur_alpha" not in rays.fields:
+            raise KeyError(
+                "absorption_reaction: rays carry no 'cur_alpha' field; seed "
+                "the source rays with seed_absorption()")
         dtype = rays.p0.dtype
         d, n, nu, cos_i, n_in, n_out, eta, radicand, tir, reflects = (
             _fresnel_prelude(proj, rays))
+        reflects = _effective_reflects(base_updates, reflects)
         internal = nu > 0
 
         def side(tab, which):
@@ -928,23 +984,25 @@ def absorption_reaction(alpha_tables, base_reaction=default_reaction,
         if proj.dim == 3:
             tab = alpha_tables.get("triangles")
             if tab is not None:
-                a_in = jnp.asarray(side(tab, "in"))[proj.surf_idx]
-                a_out = jnp.asarray(side(tab, "out"))[proj.surf_idx]
+                ti = side(tab, "in")
+                idx = jnp.clip(proj.surf_idx, 0, ti.shape[0] - 1)
+                a_in = ti[idx]
+                a_out = side(tab, "out")[idx]
         else:
             for key, kind in (("segments", isect.KIND_SEGMENT),
                               ("arcs", isect.KIND_ARC)):
                 tab = alpha_tables.get(key)
                 if tab is None:
                     continue
-                ti = jnp.asarray(side(tab, "in"))
-                to = jnp.asarray(side(tab, "out"))
+                ti = side(tab, "in")
+                to = side(tab, "out")
                 idx = jnp.clip(proj.surf_idx, 0, ti.shape[0] - 1)
                 sel = proj.kind == kind
                 a_in = jnp.where(sel, ti[idx], a_in)
                 a_out = jnp.where(sel, to[idx], a_out)
 
         leg = jnp.linalg.norm(rays.p1 - rays.p0, axis=-1)
-        old = rays.fields[field]
+        old = _chain_field(base_updates, rays, field, "absorption_reaction")
         attenuated = old * jnp.exp(-rays.fields["cur_alpha"] * leg).astype(
             old.dtype)
         # far-side medium on refraction (select_eta convention: internal
@@ -987,9 +1045,11 @@ class Absorption(RayOperation):
     simple_ray_inheritance = frozenset({"intensity", "cur_alpha",
                                         "wavelength"})
 
-    def __init__(self, alpha_tables, base_reaction=default_reaction, **kw):
+    def __init__(self, alpha_tables, base_reaction=default_reaction,
+                 field="intensity", **kw):
         super().__init__(**kw)
-        self.reaction = absorption_reaction(alpha_tables, base_reaction)
+        self.reaction = absorption_reaction(alpha_tables, base_reaction,
+                                            field)
 
 
 # ======================================================================
@@ -1027,10 +1087,10 @@ def metasurface_reaction(phases, meta_ids, base_reaction=default_reaction):
 
     Evanescent kicks (|u_out_t| >= 1) fall back to the base reaction's
     child.  Geometric model only: diffraction efficiency of the
-    nanostructures is not modeled.
+    nanostructures is not modeled.  Field trackers compose as OUTER
+    wrappers and follow the actual branch via the reserved ``__reflects__``
+    update (see :func:`grating_reaction`).
     """
-    from tensorflowraytrace_tpu.ops import intersect as isect
-
     phases = list(phases)
 
     def reaction(proj, rays, cfg):
@@ -1040,27 +1100,13 @@ def metasurface_reaction(phases, meta_ids, base_reaction=default_reaction):
             return (child_p0, child_p1, base_updates) if base_updates else (
                 child_p0, child_p1)
         dtype = rays.p0.dtype
-        eps = jnp.finfo(dtype).eps
         d, n, nu, cos_i, n_in, n_out, eta, radicand, tir, reflects = (
             _fresnel_prelude(proj, rays))
         internal = nu > 0
         n1 = jnp.where(internal, n_in, n_out)
         n2_far = jnp.where(internal, n_out, n_in)
 
-        meta = jnp.full((rays.n_rays,), -1, jnp.int32)
-        if proj.dim == 3:
-            table = meta_ids.get("triangles")
-            if table is not None:
-                meta = jnp.asarray(table, jnp.int32)[proj.surf_idx]
-        else:
-            for key, kind in (("segments", isect.KIND_SEGMENT),
-                              ("arcs", isect.KIND_ARC)):
-                table = meta_ids.get(key)
-                if table is None:
-                    continue
-                table = jnp.asarray(table, jnp.int32)
-                idx = jnp.clip(proj.surf_idx, 0, table.shape[0] - 1)
-                meta = jnp.where(proj.kind == kind, table[idx], meta)
+        meta = _per_surface_table(proj, meta_ids, rays.n_rays, -1)
 
         # phase gradient of every profile at every hit point, selected by
         # the per-ray meta id (profile count is small and static)
@@ -1081,24 +1127,12 @@ def metasurface_reaction(phases, meta_ids, base_reaction=default_reaction):
         g_t = grad_phi - jnp.sum(grad_phi * n, axis=-1, keepdims=True) * n
         n2 = jnp.where(is_refl, n1, n2_far)
         n2_safe = jnp.where(n2 != 0, n2, jnp.ones_like(n2))
-        d_t = d - nu[:, None] * n
         kick = rays.wavelength / (2.0 * jnp.pi * n2_safe)
-        out_t = (n1 / n2_safe)[:, None] * d_t + kick[:, None] * g_t
-        s2 = jnp.sum(out_t * out_t, axis=-1)
-        evan = s2 >= 1.0
-        c = jnp.sqrt(jnp.clip(1.0 - s2, eps * eps, 1.0))
-        sign = jnp.sign(jnp.where(nu == 0, jnp.ones_like(nu), nu))
-        sign = jnp.where(is_refl, -sign, sign)
-        out = out_t + (sign * c)[:, None] * n
-
-        length = jnp.asarray(cfg.new_ray_length, dtype)
-        use = (meta >= 0) & ~evan & (n2 != 0)
-        use_c = use[:, None]
-        p0 = jnp.where(use_c, rays.p1, child_p0)
-        p1 = jnp.where(use_c, rays.p1 + length * out, child_p1)
-        if base_updates:
-            return p0, p1, base_updates
-        return p0, p1
+        p0, p1, use = _tangential_child(
+            rays, cfg, d, n, nu, n1, n2, is_refl, kick[:, None] * g_t,
+            child_p0, child_p1, meta >= 0)
+        base_updates["__reflects__"] = jnp.where(use, is_refl, reflects)
+        return p0, p1, base_updates
 
     return reaction
 

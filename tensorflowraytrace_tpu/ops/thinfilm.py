@@ -92,8 +92,17 @@ def stack_r(n0, n_sub, cos0, wavelength, layer_n, layer_d, layer_valid=None):
         return n * cos_c, n / cos_c  # (eta_s, eta_p)
 
     eta0_s, eta0_p = admittances(n0, jnp.asarray(cos0, cdt))
-    cos_sub = layer_cosine(n0, cos0, n_sub)
-    etas_s, etas_p = admittances(n_sub, cos_sub)
+    # n == 0 mirror sentinel as the substrate (materials.reflective): a
+    # raw layer_cosine would compute (n0/0)^2 = inf -> NaN admittance;
+    # forcing eta_sub = 0 gives B = m11, C = m21 and for the bare stack
+    # r = (eta0 - 0)/(eta0 + 0) = 1 -> R = 1, the ideal mirror
+    sub_mirror = n_sub == 0
+    n_sub_safe = jnp.where(sub_mirror, jnp.ones_like(n_sub), n_sub)
+    cos_sub = layer_cosine(n0, cos0, n_sub_safe)
+    etas_s, etas_p = admittances(n_sub_safe, cos_sub)
+    zero_c = jnp.zeros_like(one)
+    etas_s = jnp.where(sub_mirror, zero_c, etas_s)
+    etas_p = jnp.where(sub_mirror, zero_c, etas_p)
 
     # characteristic matrix product, accumulated as four (N,) complex
     # entries per polarization; L is static and small (unrolled)

@@ -158,3 +158,39 @@ def test_spacing_is_differentiable_design_parameter():
     dy_ds = -2.0 * (1 - s * s) ** -1.5
     expect = dy_ds * (-LAM / a0 ** 2)
     np.testing.assert_allclose(g, expect, rtol=1e-9)
+
+
+def test_reflection_grating_reports_branch_to_trackers():
+    """A reflection grating keeps the ray in its medium; a composed OPL
+    tracker must NOT switch cur_n to the far side (regression: the Snell
+    prelude calls this hit 'refract', and the tracker used to follow it)."""
+    from tensorflowraytrace_tpu.operations import (
+        optical_path_reaction, seed_optical_path, total_optical_path,
+    )
+
+    n_glass = 1.5
+    th = 0.35
+    # Littrow in-medium: the kick uses lambda/n2 with n2 = n1 = glass for
+    # a reflection grating, so retro-reflection needs a = lam/(2 n sin th)
+    a = LAM / (2 * n_glass * math.sin(th))
+    # an ORDINARY glass-vacuum interface (no mirror sentinel) marked as a
+    # reflection grating: the prelude would refract here
+    gr = SegmentSet.make([[1.0, -50.0]], [[1.0, 50.0]], mat_in=0, mat_out=1,
+                         dtype=F64)
+    tgt = SegmentSet.make([[0.0, -80.0]], [[0.0, 80.0]], dtype=F64)
+    scene = Scene2D.build(optical_segments=[gr], target_segments=[tgt])
+    materials = (mats.vacuum, mats.build_constant_material(n_glass))
+    rx = optical_path_reaction(base_reaction=grating_reaction(
+        [(a, 1, "reflection")], {"segments": np.asarray([0, -1])}))
+    p1 = jnp.asarray([[math.cos(th), math.sin(th)]], F64)
+    rays = seed_optical_path(
+        RaySet.make(jnp.zeros((1, 2), F64), p1, LAM, dtype=F64),
+        n0=n_glass)  # launch medium: glass (mat_out side of the grating)
+    res = trace(rays, scene, materials, TraceConfig(max_bounces=2),
+                reaction=rx)
+    assert int(res.rays.state[0]) == FINISHED
+    # the retro-reflected ray still travels in glass
+    np.testing.assert_allclose(float(res.rays.fields["cur_n"][0]), n_glass)
+    # and the OPL of the out-and-back path is n_glass * 2 * path length
+    np.testing.assert_allclose(float(total_optical_path(res.rays)[0]),
+                               n_glass * 2.0 / math.cos(th), rtol=1e-12)

@@ -412,20 +412,36 @@ def test_field_reactions_compose():
     np.testing.assert_allclose(float(res.rays.fields["cur_n"][0]), 1.5)
 
 
-def test_compose_same_field_clash_raises():
-    """Stacking two trackers of the same field has no defined order; the
-    merge must fail loudly instead of silently dropping one."""
+def test_compose_same_field_semantics():
+    """Same-field INTENSITY trackers chain multiplicatively (interface
+    factor x interface factor -- fresnel over fresnel applies the factor
+    twice), while non-multiplicative trackers of the same field (OPL over
+    OPL would double-count legs) still fail loudly."""
+    import dataclasses
+
     import pytest
+
+    from tensorflowraytrace_tpu.operations import (
+        optical_path_reaction, seed_optical_path,
+    )
 
     scene, materials = glass_interface_2d()
     rays = rays_at_angles([0.3], jones=(1.0, 0.0))
-    rays = jax.tree.map(lambda a: a, rays)
-    import dataclasses
-
     rays = dataclasses.replace(
         rays, fields={**rays.fields, "intensity": jnp.ones(1, F64)})
-    rx = fresnel_intensity_reaction(
-        base_reaction=fresnel_intensity_reaction())
+    cfg = TraceConfig(max_bounces=1)
+    single = trace(rays, scene, materials, cfg,
+                   reaction=fresnel_intensity_reaction())
+    double = trace(rays, scene, materials, cfg,
+                   reaction=fresnel_intensity_reaction(
+                       base_reaction=fresnel_intensity_reaction()))
+    f1 = float(single.rays.fields["intensity"][0])
+    f2 = float(double.rays.fields["intensity"][0])
+    assert 0.0 < f1 < 1.0
+    np.testing.assert_allclose(f2, f1 * f1, rtol=1e-12)
+
+    opl_rays = seed_optical_path(rays_at_angles([0.3], jones=(1.0, 0.0)))
     with pytest.raises(ValueError, match="both update"):
-        trace(rays, scene, materials, TraceConfig(max_bounces=1),
-              reaction=rx)
+        trace(opl_rays, scene, materials, cfg,
+              reaction=optical_path_reaction(
+                  base_reaction=optical_path_reaction()))

@@ -236,3 +236,96 @@ def test_reaction_3d_table_and_dispersive_layer():
     expect = 1.0 - ((N_GLASS - N_MGF2 ** 2) / (N_GLASS + N_MGF2 ** 2)) ** 2
     np.testing.assert_allclose(float(res.rays.fields["intensity"][0]),
                                expect, rtol=1e-9)
+
+
+def test_mirror_sentinel_under_thin_film_is_lossless_and_finite():
+    """A mirror surface (n == 0 sentinel substrate) must give R == 1 --
+    factor 1 on the reflect branch -- not NaN (regression: stack_r computed
+    (n0/0)^2 = inf in the substrate admittance)."""
+    mirror = SegmentSet.make([[2.0, -50.0]], [[2.0, 50.0]], mat_in=1,
+                             mat_out=0, dtype=F64)
+    tgt = SegmentSet.make([[0.0, -50.0]], [[0.0, 50.0]], dtype=F64)
+    scene = Scene2D.build(optical_segments=[mirror], target_segments=[tgt])
+    rays = RaySet.make(jnp.asarray([[0.0, 0.0]], F64),
+                       jnp.asarray([[1.0, 0.25]], F64), 550.0, dtype=F64)
+    rays = dataclasses.replace(
+        rays, fields={**rays.fields, "intensity": jnp.ones(1, F64)})
+    rx = thin_film_intensity_reaction([], {})
+    res = trace(rays, scene, (mats.vacuum, mats.reflective),
+                TraceConfig(max_bounces=2), reaction=rx)
+    assert int(res.rays.state[0]) == FINISHED
+    np.testing.assert_allclose(float(res.rays.fields["intensity"][0]), 1.0,
+                               rtol=1e-12)
+
+
+def test_bare_one_sided_mirror_back_refraction_matches_fresnel():
+    """2D n_in == 0 internal hits REFRACT (one-sided mirror, eta = 1/n_out);
+    the bare thin-film path must apply the same transmittance as
+    fresnel_intensity_reaction, not eta0 = 0 -> R = 1 -> factor 0
+    (regression)."""
+    n_glass = 1.5
+    mirror = SegmentSet.make([[2.0, -50.0]], [[2.0, 50.0]], mat_in=0,
+                             mat_out=1, dtype=F64)
+    tgt = SegmentSet.make([[0.0, -50.0]], [[0.0, 50.0]], dtype=F64)
+    scene = Scene2D.build(optical_segments=[mirror], target_segments=[tgt])
+    materials = (mats.reflective, mats.build_constant_material(n_glass))
+
+    def run(rx):
+        rays = RaySet.make(jnp.asarray([[4.0, 0.0]], F64),
+                           jnp.asarray([[3.0, 0.0]], F64), 550.0, dtype=F64)
+        rays = dataclasses.replace(
+            rays, fields={**rays.fields, "intensity": jnp.ones(1, F64)})
+        return trace(rays, scene, materials, TraceConfig(max_bounces=2),
+                     reaction=rx)
+
+    a = run(thin_film_intensity_reaction([], {}))
+    b = run(fresnel_intensity_reaction())
+    assert int(a.rays.state[0]) == FINISHED
+    got = float(a.rays.fields["intensity"][0])
+    want = float(b.rays.fields["intensity"][0])
+    assert 0.9 < want < 1.0  # the refraction genuinely attenuates
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_absorption_composes_with_interface_intensity():
+    """Bulk absorption over interface Fresnel losses: the two intensity
+    trackers chain multiplicatively on the shared field (regression: the
+    merge used to raise ValueError on the natural composition)."""
+    from tensorflowraytrace_tpu.operations import (
+        absorption_reaction, final_intensity, seed_absorption,
+    )
+
+    alpha = 0.3
+    scene, materials = glass_wall_scene()
+    tables = {"segments": (np.asarray([alpha, 0.0]), np.asarray([0.0, 0.0]))}
+    rays = seed_absorption(seeded_ray())
+    rx = absorption_reaction(tables,
+                             base_reaction=fresnel_intensity_reaction())
+    res = trace(rays, scene, materials, TraceConfig(max_bounces=2),
+                reaction=rx)
+    assert int(res.rays.state[0]) == FINISHED
+    T = 1.0 - ((N_GLASS - 1) / (N_GLASS + 1)) ** 2
+    # interface transmittance at x=1, then 3 units of absorbing glass to
+    # the target at x=4 (closed by final_intensity)
+    np.testing.assert_allclose(float(final_intensity(res.rays)[0]),
+                               T * math.exp(-alpha * 3.0), rtol=1e-12)
+
+
+def test_class_ops_forward_field_parameter():
+    """ThinFilmIntensity/Absorption expose field= like FresnelIntensity."""
+    from tensorflowraytrace_tpu.operations import Absorption, ThinFilmIntensity
+
+    op1 = ThinFilmIntensity([], {}, field="power")
+    op2 = Absorption({}, field="power")
+    scene, materials = glass_wall_scene()
+    rays = RaySet.make(jnp.asarray([[0.0, 0.0]], F64),
+                       jnp.asarray([[1.0, 0.0]], F64), 550.0, dtype=F64)
+    rays = dataclasses.replace(
+        rays, fields={**rays.fields, "power": jnp.ones(1, F64),
+                      "cur_alpha": jnp.zeros(1, F64)})
+    r1 = trace(rays, scene, materials, TraceConfig(max_bounces=2),
+               reaction=op1.reaction)
+    r2 = trace(rays, scene, materials, TraceConfig(max_bounces=2),
+               reaction=op2.reaction)
+    assert float(r1.rays.fields["power"][0]) < 1.0
+    np.testing.assert_allclose(float(r2.rays.fields["power"][0]), 1.0)
