@@ -1170,3 +1170,123 @@ class Metasurface(RayOperation):
                  **kw):
         super().__init__(**kw)
         self.reaction = metasurface_reaction(phases, meta_ids, base_reaction)
+
+
+# ======================================================================
+# rough surfaces (Gaussian micro-facet scattering lobe)
+# ======================================================================
+
+def rough_surface_reaction(sigmas, rough_ids, key,
+                           base_reaction=default_reaction):
+    """Monte-Carlo surface roughness: children of marked surfaces are
+    scattered in a Gaussian lobe around the specular/refracted direction
+    (the small-slope micro-facet limit), for stray-light and diffuser
+    modeling (beyond the reference, whose surfaces are perfectly smooth).
+
+    Randomness is STATELESS and reproducible under jit/scan: each ray
+    carries a ``scatter_ctr`` interaction counter (seed with
+    :func:`seed_scatter`), and the per-ray, per-interaction stream is
+    ``fold_in(key, slot + counter * stride)`` -- the same key always
+    produces the same trace, a new key resamples the roughness, and
+    vmapping over keys gives Monte-Carlo ensembles in one program.
+
+    Parameters
+    ----------
+    sigmas : sequence of floats
+        RMS scattering angle (radians) per roughness class; traced values
+        supported (differentiable through the reparameterized Gaussian
+        perturbation, so roughness can be FIT to measured scatter).
+    rough_ids : dict of per-surface tables
+        ``{"triangles": arr}`` / ``{"segments": arr, "arcs": arr}``, index
+        into ``sigmas``, -1 = smooth.
+    key : jax PRNG key
+        Base key for the scatter stream.
+
+    sigma == 0 (or an unmarked surface) reproduces the base child exactly.
+    """
+
+    sigmas = list(sigmas)
+
+    def reaction(proj, rays, cfg):
+        child_p0, child_p1, base_updates = _run_base(
+            base_reaction, proj, rays, cfg)
+        if "scatter_ctr" not in rays.fields:
+            raise KeyError(
+                "rough_surface_reaction: rays carry no 'scatter_ctr' "
+                "field; seed the source rays with seed_scatter()")
+        if not sigmas:
+            return child_p0, child_p1, base_updates
+        dtype = rays.p0.dtype
+        n_rays = rays.n_rays
+        rough = _per_surface_table(proj, rough_ids, n_rays, -1)
+        sigma = jnp.zeros((n_rays,), dtype)
+        for s, sg in enumerate(sigmas):
+            sigma = jnp.where(rough == s, jnp.asarray(sg, dtype), sigma)
+
+        ctr = rays.fields["scatter_ctr"]
+        mix = (jnp.arange(n_rays, dtype=jnp.uint32)
+               + ctr.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(key, mix)
+        dim = child_p0.shape[-1]
+        g = jax.vmap(lambda k: jax.random.normal(k, (3,)))(keys)[:, :dim]
+        g = g.astype(dtype)
+
+        u = child_p1 - child_p0
+        u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True),
+                            jnp.finfo(dtype).tiny)
+        if dim == 2:
+            # rotate the child direction by a Gaussian angle
+            ang = sigma * g[:, 0]
+            ca, sa = jnp.cos(ang), jnp.sin(ang)
+            scattered = jnp.stack([ca * u[:, 0] - sa * u[:, 1],
+                                   sa * u[:, 0] + ca * u[:, 1]], axis=1)
+        else:
+            # two Gaussian components in the transverse frame of u
+            helper = jnp.where(
+                (jnp.abs(u[:, 0]) < 0.9)[:, None],
+                jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], dtype),
+                                 u.shape),
+                jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], dtype),
+                                 u.shape))
+            t1 = jnp.cross(u, helper)
+            t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1,
+                                                  keepdims=True),
+                                  jnp.finfo(dtype).tiny)
+            t2 = jnp.cross(u, t1)
+            perturbed = (u + (sigma * g[:, 0])[:, None] * t1
+                         + (sigma * g[:, 1])[:, None] * t2)
+            scattered = perturbed / jnp.maximum(
+                jnp.linalg.norm(perturbed, axis=-1, keepdims=True),
+                jnp.finfo(dtype).tiny)
+
+        length = jnp.asarray(cfg.new_ray_length, dtype)
+        use = (rough >= 0) & (sigma != 0)
+        p1 = jnp.where(use[:, None], child_p0 + length * scattered,
+                       child_p1)
+        return child_p0, p1, _merge_updates(
+            base_updates, {"scatter_ctr": ctr + 1})
+
+    return reaction
+
+
+def seed_scatter(rays: RaySet) -> RaySet:
+    """Attach the ``scatter_ctr`` interaction counter for
+    :func:`rough_surface_reaction`."""
+    return rays.with_field("scatter_ctr",
+                           jnp.zeros((rays.n_rays,), jnp.int32))
+
+
+class RoughSurface(RayOperation):
+    """Class-op wrapper for :func:`rough_surface_reaction`."""
+
+    input_signature = frozenset({"scatter_ctr", "wavelength"})
+    output_signature = frozenset({"scatter_ctr"})
+    optical_signature = frozenset({"mat_in", "mat_out"})
+    material_signature = frozenset({"n"})
+    simple_ray_inheritance = frozenset({"scatter_ctr", "wavelength"})
+
+    def __init__(self, sigmas, rough_ids, key,
+                 base_reaction=default_reaction, **kw):
+        super().__init__(**kw)
+        self.reaction = rough_surface_reaction(sigmas, rough_ids, key,
+                                               base_reaction)
