@@ -197,3 +197,94 @@ class DistributionDifferential:
         self.saved_histo = histo
         quality = jnp.sum((histo - self._goal.astype(histo.dtype)) ** 2)
         return quality + penalty
+
+
+# ======================================================================
+# diffraction-aware imaging: the Huygens-Fresnel PSF
+# ======================================================================
+
+def huygens_psf(sources, opl, wavelength, grid, amplitudes=None,
+                medium_n=1.0):
+    """Coherent Huygens-Fresnel point-spread function from traced rays.
+
+    Each ray is a spherical wavelet source at ``sources`` (its position on
+    the LAST surface before the detector) carrying phase ``k * opl`` (its
+    accumulated optical path, :func:`operations.optical_path_reaction`) and
+    amplitude ``amplitudes`` (e.g. sqrt of the tracked intensity).  The
+    complex field at each detector grid point g is
+
+        E_g = sum_j a_j exp(i k (opl_j + medium_n |g - p_j|))
+
+    and the PSF is ``|E|^2`` -- geometric ray tracing upgraded to a
+    physical-optics (scalar diffraction) imaging metric.  Because every
+    input is differentiable, the Strehl ratio / encircled energy computed
+    from this PSF can DIRECTLY drive optimization (a diffraction-aware
+    merit function; the reference has only geometric spot measures).
+
+    Beyond the reference.  Monochromatic: ``wavelength`` is a scalar (for
+    polychromatic PSFs, sum the per-wavelength PSFs incoherently).
+
+    Parameters
+    ----------
+    sources : (N, dim) wavelet source points (finished rays' ``p0``).
+    opl : (N,) accumulated OPL at the source points.
+    wavelength : scalar vacuum wavelength (same length units).
+    grid : (G, dim) detector points.
+    amplitudes : (N,) wavelet amplitudes; default 1 (use 0 to mask rays
+        that did not finish).
+    medium_n : refractive index of the space between the last surface and
+        the detector.
+
+    Returns (G,) PSF intensities.  The two trig matrices contract over the
+    ray axis as real matmuls (MXU-friendly at large N x G).
+    """
+    sources = jnp.asarray(sources)
+    grid = jnp.asarray(grid)
+    dtype = sources.dtype
+    opl = jnp.asarray(opl, dtype)
+    if amplitudes is None:
+        amplitudes = jnp.ones(sources.shape[0], dtype)
+    amplitudes = jnp.asarray(amplitudes, dtype)
+    k = 2.0 * jnp.pi / jnp.asarray(wavelength, dtype)
+    # (G, N) distances; the sqrt is safe (grid points off the sources)
+    diff = grid[:, None, :] - sources[None, :, :]
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1),
+                                jnp.asarray(jnp.finfo(dtype).tiny, dtype)))
+    phase = k * (opl[None, :] + jnp.asarray(medium_n, dtype) * dist)
+    e_re = jnp.cos(phase) @ amplitudes
+    e_im = jnp.sin(phase) @ amplitudes
+    return e_re * e_re + e_im * e_im
+
+
+def psf_from_result(result, grid, wavelength=None, medium_n=None,
+                    use_intensity=True):
+    """Convenience wrapper: Huygens PSF straight from a ``TraceResult``
+    traced with :func:`operations.optical_path_reaction` (and optionally an
+    intensity tracker).
+
+    Finished rays' final-leg start points are the wavelet sources; their
+    ``opl`` field is exactly the path up to those points (the final leg is
+    what the PSF propagates).  Unfinished rays get amplitude 0.
+    ``medium_n`` defaults to the rays' carried ``cur_n`` (must be uniform
+    over finished rays to be meaningful); ``wavelength`` defaults to the
+    (required-uniform) ray wavelength.
+    """
+    from tensorflowraytrace_tpu.config import FINISHED
+
+    rays = result.rays
+    if "opl" not in rays.fields:
+        raise ValueError(
+            "psf_from_result needs a trace run with optical_path_reaction "
+            "(rays carry no 'opl' field)")
+    ok = rays.state == FINISHED
+    dtype = rays.p0.dtype
+    if wavelength is None:
+        wavelength = rays.wavelength[0]
+    if medium_n is None:
+        medium_n = jnp.sum(jnp.where(ok, rays.fields["cur_n"], 0.0)) / \
+            jnp.maximum(jnp.sum(ok), 1)
+    amp = jnp.where(ok, jnp.ones(rays.n_rays, dtype), jnp.zeros((), dtype))
+    if use_intensity and "intensity" in rays.fields:
+        amp = amp * jnp.sqrt(jnp.maximum(rays.fields["intensity"], 0.0))
+    return huygens_psf(rays.p0, rays.fields["opl"], wavelength, grid,
+                       amplitudes=amp, medium_n=medium_n)
