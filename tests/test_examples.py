@@ -68,6 +68,7 @@ CASES = [
     ("ar_coating", {"steps": 60, "rays": 128}),
     ("spectrometer", {"steps": 400}),
     ("hybrid_achromat", {"steps": 260, "n_heights": 9}),
+    ("strehl_lens", {"steps": 150, "n_segments": 32, "n_rays": 96}),
 ]
 
 
