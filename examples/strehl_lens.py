@@ -18,7 +18,6 @@ Run:  python examples/strehl_lens.py [--steps N]
 """
 
 import argparse
-import math
 
 import jax
 import jax.numpy as jnp
@@ -77,11 +76,14 @@ def main(steps=300, n_segments=48, n_rays=128):
 
     def strehl(xs, lam):
         res = trace(rays, build(xs), materials, cfg, reaction=reaction)
-        # wavelets at each ray's final refraction point; the ideal peak is
-        # (sum of unit amplitudes)^2
+        # wavelets at each ray's final refraction point; rays that failed
+        # to finish (missed the surface/target during a wild optimization
+        # step) are masked out rather than contributing stale positions.
+        # The ideal peak is (sum of amplitudes)^2.
+        amp = (res.rays.state == 1).astype(xs.dtype)
         peak = huygens_psf(res.rays.p0, res.rays.fields["opl"], lam, grid,
-                           medium_n=N_GLASS)[0]
-        return peak / n_rays ** 2
+                           amplitudes=amp, medium_n=N_GLASS)[0]
+        return peak / jnp.maximum(jnp.sum(amp), 1.0) ** 2
 
     xs = jnp.asarray(sphere_x(np.asarray(ys_v)), dtype)
     s0 = float(strehl(xs, LAM))

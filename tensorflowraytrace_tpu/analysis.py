@@ -256,7 +256,7 @@ def huygens_psf(sources, opl, wavelength, grid, amplitudes=None,
     return e_re * e_re + e_im * e_im
 
 
-def psf_from_result(result, grid, wavelength=None, medium_n=None,
+def psf_from_result(result, grid, wavelength, medium_n=None,
                     use_intensity=True):
     """Convenience wrapper: Huygens PSF straight from a ``TraceResult``
     traced with :func:`operations.optical_path_reaction` (and optionally an
@@ -266,8 +266,10 @@ def psf_from_result(result, grid, wavelength=None, medium_n=None,
     ``opl`` field is exactly the path up to those points (the final leg is
     what the PSF propagates).  Unfinished rays get amplitude 0.
     ``medium_n`` defaults to the rays' carried ``cur_n`` (must be uniform
-    over finished rays to be meaningful); ``wavelength`` defaults to the
-    (required-uniform) ray wavelength.
+    over finished rays to be meaningful).  ``wavelength`` is REQUIRED and
+    must be in the SCENE's length units: ``rays.wavelength`` is in nm,
+    which is only directly usable if the scene is built in nm -- in the
+    usual mm-scale scenes pass ``wavelength_nm * 1e-6``.
     """
     from tensorflowraytrace_tpu.config import FINISHED
 
@@ -278,8 +280,6 @@ def psf_from_result(result, grid, wavelength=None, medium_n=None,
             "(rays carry no 'opl' field)")
     ok = rays.state == FINISHED
     dtype = rays.p0.dtype
-    if wavelength is None:
-        wavelength = rays.wavelength[0]
     if medium_n is None:
         medium_n = jnp.sum(jnp.where(ok, rays.fields["cur_n"], 0.0)) / \
             jnp.maximum(jnp.sum(ok), 1)

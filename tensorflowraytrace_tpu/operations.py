@@ -508,8 +508,7 @@ def seed_polarization(rays: RaySet, jones=(1.0, 0.0), s_axis=None) -> RaySet:
     d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True),
                         jnp.finfo(dtype).tiny)
     if s_axis is None:
-        axis = jax.nn.one_hot(jnp.argmin(jnp.abs(d), axis=-1), 3, dtype=dtype)
-        s = jnp.cross(d, axis)
+        s = geometry.transverse_basis(d)[0]
     else:
         s = jnp.broadcast_to(jnp.asarray(s_axis, dtype), (n, 3))
         s = s - d * jnp.sum(s * d, axis=-1, keepdims=True)  # transverse part
@@ -1202,7 +1201,12 @@ def rough_surface_reaction(sigmas, rough_ids, key,
     key : jax PRNG key
         Base key for the scatter stream.
 
-    sigma == 0 (or an unmarked surface) reproduces the base child exactly.
+    An unmarked surface reproduces the base child bit-exactly; sigma == 0
+    on a marked surface reproduces it to rounding (the scattered branch
+    stays selected so d(child)/d(sigma) is nonzero at sigma == 0 and a
+    roughness fit can start from smooth).  Below-horizon draws of wide
+    lobes at grazing incidence are folded back into the child's hemisphere
+    (folded Gaussian), so scattered rays never pass through the surface.
     """
 
     sigmas = list(sigmas)
@@ -1242,25 +1246,32 @@ def rough_surface_reaction(sigmas, rough_ids, key,
                                    sa * u[:, 0] + ca * u[:, 1]], axis=1)
         else:
             # two Gaussian components in the transverse frame of u
-            helper = jnp.where(
-                (jnp.abs(u[:, 0]) < 0.9)[:, None],
-                jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], dtype),
-                                 u.shape),
-                jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], dtype),
-                                 u.shape))
-            t1 = jnp.cross(u, helper)
-            t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1,
-                                                  keepdims=True),
-                                  jnp.finfo(dtype).tiny)
-            t2 = jnp.cross(u, t1)
+            t1, t2 = geometry.transverse_basis(u)
             perturbed = (u + (sigma * g[:, 0])[:, None] * t1
                          + (sigma * g[:, 1])[:, None] * t2)
             scattered = perturbed / jnp.maximum(
                 jnp.linalg.norm(perturbed, axis=-1, keepdims=True),
                 jnp.finfo(dtype).tiny)
 
+        # fold below-horizon draws back into the child's hemisphere: near
+        # grazing, a wide lobe would otherwise send "reflected" rays
+        # THROUGH the surface (and the composed trackers' medium
+        # bookkeeping would be wrong for them).  Reflecting the normal
+        # component keeps the folded-Gaussian density on the correct side.
+        n_surf = _fresnel_prelude(proj, rays)[1]
+        s_dot = jnp.sum(scattered * n_surf, axis=-1)
+        u_dot = jnp.sum(u * n_surf, axis=-1)
+        crossed = (s_dot * u_dot) < 0
+        scattered = jnp.where(crossed[:, None],
+                              scattered - 2.0 * s_dot[:, None] * n_surf,
+                              scattered)
+
         length = jnp.asarray(cfg.new_ray_length, dtype)
-        use = (rough >= 0) & (sigma != 0)
+        # no sigma != 0 gate: the scattered branch must stay selected at
+        # sigma == 0 so d(child)/d(sigma) is the true linearization there
+        # (a where-gate would zero it and strand a roughness FIT started
+        # from smooth), and at sigma == 0 scattered == u to rounding
+        use = rough >= 0
         p1 = jnp.where(use[:, None], child_p0 + length * scattered,
                        child_p1)
         return child_p0, p1, _merge_updates(

@@ -415,3 +415,17 @@ def angle_in_interval(angle, start, end):
     reduced_end = end - start
     reduced_end = jnp.where(reduced_end < 0.0, reduced_end + 2 * PI, reduced_end)
     return reduced_angle <= reduced_end
+
+
+def transverse_basis(u):
+    """Orthonormal frame ``(t1, t2)`` transverse to unit directions ``u``
+    ((N, 3)): ``t1 = normalize(u x e_k)`` with ``e_k`` the coordinate axis
+    least aligned with each ``u`` (always well-conditioned -- no fixed
+    helper-axis threshold), ``t2 = u x t1``.  Shared by polarization basis
+    seeding and rough-surface scattering."""
+    tiny = jnp.finfo(u.dtype).tiny
+    axis = jax.nn.one_hot(jnp.argmin(jnp.abs(u), axis=-1), 3, dtype=u.dtype)
+    t1 = jnp.cross(u, axis)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), tiny)
+    t2 = jnp.cross(u, t1)
+    return t1, t2

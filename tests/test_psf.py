@@ -3,8 +3,6 @@ must reproduce scalar-diffraction physics -- two-source fringes, the
 slit-diffraction width of a perfect (Fermat hyperbola) lens, Strehl loss
 under defocus -- and stay differentiable for diffraction-aware objectives."""
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np

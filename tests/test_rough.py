@@ -2,8 +2,6 @@
 the stateless per-ray stream, statistical correctness of the Gaussian lobe,
 exact smooth-surface fallback, and per-interaction counter semantics."""
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -63,6 +61,9 @@ def test_gaussian_lobe_statistics():
 
 
 def test_sigma_zero_and_unmarked_are_exact_base():
+    """Unmarked surfaces keep the base child bit-exactly; a marked surface
+    at sigma == 0 reproduces it to rounding (the scattered branch stays
+    selected so d/d(sigma) has signal at zero -- see the gradient test)."""
     scene, materials = mirror_scene()
     rays = seed_scatter(
         RaySet.make(jnp.zeros((3, 2), F64),
@@ -70,14 +71,73 @@ def test_sigma_zero_and_unmarked_are_exact_base():
                     550.0, dtype=F64))
     base = trace(rays, scene, materials, TraceConfig(max_bounces=2),
                  reaction=default_reaction)
-    for ids, sg in (({"segments": np.asarray([0, -1])}, 0.0),
-                    ({"segments": np.asarray([-1, -1])}, 0.3),
-                    ({}, 0.3)):
+    for ids, sg, exact in (({"segments": np.asarray([0, -1])}, 0.0, False),
+                           ({"segments": np.asarray([-1, -1])}, 0.3, True),
+                           ({}, 0.3, True)):
         rx = rough_surface_reaction([sg], ids, jax.random.PRNGKey(0))
         res = trace(rays, scene, materials, TraceConfig(max_bounces=2),
                     reaction=rx)
-        np.testing.assert_array_equal(np.asarray(res.rays.p1),
-                                      np.asarray(base.rays.p1))
+        if exact:
+            np.testing.assert_array_equal(np.asarray(res.rays.p1),
+                                          np.asarray(base.rays.p1))
+        else:
+            np.testing.assert_allclose(np.asarray(res.rays.p1),
+                                       np.asarray(base.rays.p1), atol=1e-12)
+
+
+def test_sigma_gradient_nonzero_at_zero():
+    """Fitting roughness from a smooth start needs d(trace)/d(sigma) != 0
+    AT sigma == 0 (regression: a `sigma != 0` gate where-masked the
+    scattered branch and zeroed the gradient exactly at the start)."""
+    scene, materials = mirror_scene()
+    rays = seed_scatter(
+        RaySet.make(jnp.zeros((8, 2), F64),
+                    jnp.broadcast_to(jnp.asarray([[1.0, 0.0]], F64), (8, 2)),
+                    550.0, dtype=F64))
+
+    def spread(sigma):
+        rx = rough_surface_reaction([sigma],
+                                    {"segments": np.asarray([0, -1])},
+                                    jax.random.PRNGKey(5))
+        res = trace(rays, scene, materials, TraceConfig(max_bounces=2),
+                    reaction=rx)
+        return jnp.sum(res.rays.p1[:, 1] ** 2)
+
+    g = float(jax.grad(spread)(jnp.asarray(0.0, F64)))
+    assert np.isfinite(g)
+    # at sigma=0 the landing ys are 0, so d(sum y^2)/d(sigma) = 0 by the
+    # chain rule even with live linearization -- use a first-moment probe
+    def first_moment(sigma):
+        rx = rough_surface_reaction([sigma],
+                                    {"segments": np.asarray([0, -1])},
+                                    jax.random.PRNGKey(5))
+        res = trace(rays, scene, materials, TraceConfig(max_bounces=2),
+                    reaction=rx)
+        return jnp.sum(res.rays.p1[:, 1])
+
+    g1 = float(jax.grad(first_moment)(jnp.asarray(0.0, F64)))
+    assert np.isfinite(g1) and abs(g1) > 1e-6
+
+
+def test_grazing_lobe_folds_into_hemisphere():
+    """Near-grazing incidence with a wide lobe: every scattered ray stays
+    on the reflection side of the mirror (below-horizon draws are folded),
+    none pass through the surface."""
+    scene, materials = mirror_scene()
+    n = 4000
+    # rays climbing steeply: incidence ~80 degrees from the mirror normal
+    rays = seed_scatter(
+        RaySet.make(jnp.zeros((n, 2), F64),
+                    jnp.broadcast_to(jnp.asarray([[0.2, 1.0]], F64), (n, 2)),
+                    550.0, dtype=F64))
+    rx = rough_surface_reaction([0.3], {"segments": np.asarray([0, -1])},
+                                jax.random.PRNGKey(9))
+    res = trace(rays, scene, materials, TraceConfig(max_bounces=1),
+                reaction=rx)
+    d = np.asarray(res.rays.p1 - res.rays.p0)
+    # the mirror is the plane x = 2; every reflected child must head back
+    # (-x), never through
+    assert np.all(d[:, 0] < 0.0)
 
 
 def test_counter_advances_per_interaction():
