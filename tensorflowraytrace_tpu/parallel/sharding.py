@@ -300,3 +300,35 @@ def parallel_value_and_grad(local_loss: Callable, mesh: Mesh):
 # with one psum, sharing _apply_param_update with the single-device path.
 # (A reduced parallel_train_step fork used to live here; it was deleted so
 # the two pipelines can never diverge.)
+
+
+def parallel_psf(mesh: Mesh, wavelength, medium_n=1.0):
+    """Ray-sharded Huygens-Fresnel PSF: the coherent wavelet sum
+    (:func:`analysis.huygens_psf`) is a reduction over rays, so each device
+    sums its own shard's complex field contribution on the (replicated)
+    detector grid and ONE psum of the (G, 2) field components assembles the
+    global PSF -- the ray axis scales to multi-chip Monte-Carlo/physical-
+    optics imaging with the same single-collective pattern as training.
+
+    Returns a jitted ``f(sources, opl, amplitudes, grid) -> (G,) PSF`` with
+    ``sources/opl/amplitudes`` sharded over rays and ``grid`` replicated.
+    """
+
+    def shard_fn(sources, opl, amplitudes, grid):
+        dtype = sources.dtype
+        k = 2.0 * jnp.pi / jnp.asarray(wavelength, dtype)
+        diff = grid[:, None, :] - sources[None, :, :]
+        dist = jnp.sqrt(jnp.maximum(
+            jnp.sum(diff * diff, axis=-1),
+            jnp.asarray(jnp.finfo(dtype).tiny, dtype)))
+        phase = k * (opl[None, :] + jnp.asarray(medium_n, dtype) * dist)
+        e_re = lax.psum(jnp.cos(phase) @ amplitudes, RAY_AXIS)
+        e_im = lax.psum(jnp.sin(phase) @ amplitudes, RAY_AXIS)
+        return e_re * e_re + e_im * e_im
+
+    mapped = _shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P()),
+        out_specs=P(),
+    )
+    return jax.jit(mapped)

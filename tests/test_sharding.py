@@ -490,3 +490,27 @@ def test_mesh_optimizer_accepts_typed_prng_key():
         assert keys2.shape[:2] == (2, 8)
     finally:
         jax.process_count = real
+
+
+def test_parallel_psf_matches_single_device():
+    """The ray-sharded coherent PSF (per-shard partial fields + one psum)
+    equals the single-device huygens_psf to float64 tolerance."""
+    from tensorflowraytrace_tpu.analysis import huygens_psf
+
+    mesh = par.ray_mesh(8)
+    n = 8 * 32
+    rng = np.random.default_rng(3)
+    sources = jnp.asarray(rng.normal(size=(n, 2)), F64)
+    opl = jnp.asarray(rng.uniform(5.0, 5.001, n), F64)
+    amps = jnp.asarray(rng.uniform(0.5, 1.0, n), F64)
+    ys = jnp.linspace(-0.5, 0.5, 33, dtype=F64)
+    grid = jnp.stack([jnp.full_like(ys, 40.0), ys], axis=1)
+    lam = 0.55e-3
+
+    single = huygens_psf(sources, opl, lam, grid, amplitudes=amps)
+    fn = par.parallel_psf(mesh, lam)
+    rs = par.ray_sharding(mesh)
+    sharded = fn(jax.device_put(sources, rs), jax.device_put(opl, rs),
+                 jax.device_put(amps, rs), par.replicate(grid, mesh))
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-10)
