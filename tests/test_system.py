@@ -522,3 +522,34 @@ def test_trace_config_recommended_and_overrides():
     assert cfg2.remat and cfg2.ray_block == 4096
     engine2.ray_trace(2)
     assert engine2.finished_rays.n_rays == 60
+
+
+def test_facade_thin_film_class_op():
+    """ThinFilmIntensity through the stateful facade: validates with the
+    same intensity signature as FresnelIntensity, traces, and an AR-coated
+    arc delivers MORE power than the bare-Fresnel run of the same system."""
+    from tensorflowraytrace_tpu.operations import (
+        FresnelIntensity, ThinFilmIntensity,
+    )
+    from tensorflowraytrace_tpu.ops import thinfilm
+
+    def run(op):
+        system = build_single_arc_system()
+        for entry in system._source_entries:
+            entry._obj.extra_fields = {"intensity": ("whole", 1.0)}
+            entry.update()
+        engine = OpticalEngine(2, operations=[op],
+                               simple_ray_inheritance={"wavelength"})
+        engine.optical_system = system
+        system.update()
+        engine.validate_system()
+        engine.ray_trace(2)
+        return np.asarray(engine.finished_rays["intensity"])
+
+    d = float(thinfilm.quarter_wave_thickness(1.38, 550.0))
+    coated = run(ThinFilmIntensity([[(1.38, d)]],
+                                   {"arcs": np.asarray([0])}))
+    bare = run(FresnelIntensity())
+    assert coated.shape == bare.shape
+    assert (coated > bare).all()  # the AR coat transmits more everywhere
+    assert (coated < 1.0).all()
