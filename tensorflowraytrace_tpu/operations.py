@@ -593,9 +593,12 @@ def optical_path_reaction(base_reaction=default_reaction):
             _fresnel_prelude(proj, rays))
         reflects = _effective_reflects(base_updates, reflects)
         # rays.p1 is the projected hit point here (the engine substitutes it
-        # before calling the reaction), so this is the completed leg
+        # before calling the reaction), so this is the completed leg.  A
+        # metasurface base reaction reports its imparted phase as optical
+        # path in the reserved __opl_add__ update (phi lambda / 2 pi).
         leg = jnp.linalg.norm(rays.p1 - rays.p0, axis=-1)
-        opl = rays.fields["opl"] + rays.fields["cur_n"] * leg
+        opl = (rays.fields["opl"] + rays.fields["cur_n"] * leg
+               + base_updates.pop("__opl_add__", 0.0))
         # transmitted-side index n2: select_eta's convention is eta = n1/n2
         # with n1 = n_in on internal hits (nu > 0), so the far side is n_out
         # there and n_in otherwise
@@ -1107,20 +1110,22 @@ def metasurface_reaction(phases, meta_ids, base_reaction=default_reaction):
 
         meta = _per_surface_table(proj, meta_ids, rays.n_rays, -1)
 
-        # phase gradient of every profile at every hit point, selected by
-        # the per-ray meta id (profile count is small and static)
+        # phase gradient (and value) of every profile at every hit point,
+        # selected by the per-ray meta id (profile count is small + static)
         point = rays.p1  # the engine substitutes the projected hit point
         grad_phi = jnp.zeros_like(point)
+        phi = jnp.zeros((rays.n_rays,), dtype)
         is_refl = jnp.zeros((rays.n_rays,), bool)
         for s, (phase_fn, kind_s) in enumerate(phases):
             if kind_s not in ("transmission", "reflection"):
                 raise ValueError(
                     f"metasurface kind must be 'transmission' or "
                     f"'reflection', got {kind_s!r}")
-            g = jax.vmap(jax.grad(phase_fn, argnums=0))(
-                point, rays.wavelength)
+            vg = jax.vmap(jax.value_and_grad(phase_fn, argnums=0))
+            val, g = vg(point, rays.wavelength)
             sel = (meta == s)[:, None]
             grad_phi = jnp.where(sel, jnp.asarray(g, dtype), grad_phi)
+            phi = jnp.where(meta == s, jnp.asarray(val, dtype), phi)
             is_refl = jnp.where(meta == s, kind_s == "reflection", is_refl)
 
         g_t = grad_phi - jnp.sum(grad_phi * n, axis=-1, keepdims=True) * n
@@ -1131,6 +1136,13 @@ def metasurface_reaction(phases, meta_ids, base_reaction=default_reaction):
             rays, cfg, d, n, nu, n1, n2, is_refl, kick[:, None] * g_t,
             child_p0, child_p1, meta >= 0)
         base_updates["__reflects__"] = jnp.where(use, is_refl, reflects)
+        # the imparted phase IS optical path (phi lambda / 2 pi): report it
+        # so a composed OPL tracker keeps wavefront objectives / Huygens
+        # PSFs correct through metasurfaces (reserved key; consumed by
+        # optical_path_reaction, dropped by the engine otherwise)
+        base_updates["__opl_add__"] = jnp.where(
+            use, phi * rays.wavelength / (2.0 * jnp.pi),
+            jnp.zeros_like(phi))
         return p0, p1, base_updates
 
     return reaction

@@ -181,3 +181,52 @@ def test_phase_parameter_gradient_designs_focus():
         c = c - 3e-4 * g(c)
     expect = -math.pi / (LAM0 * FOCAL)
     np.testing.assert_allclose(float(c), expect, rtol=1e-3)
+
+
+def test_metasurface_phase_counts_as_optical_path():
+    """The imparted phase IS optical path (phi lambda / 2 pi): composed
+    under optical_path_reaction, every collimated ray through the ideal
+    metalens has EQUAL total OPL to the focus (that equality is the
+    metalens design condition), and the Huygens PSF at the focus is
+    diffraction-limited (Strehl ~ 1).  Regression: without the reserved
+    __opl_add__ hand-off the tracker missed the phase and the coherent sum
+    was scrambled."""
+    from tensorflowraytrace_tpu.analysis import huygens_psf
+    from tensorflowraytrace_tpu.operations import (
+        metasurface_reaction, optical_path_reaction, seed_optical_path,
+    )
+
+    lam_nm = 550.0
+    lam = lam_nm  # scene units = nm-scale-free here: work in units of nm
+    f = 2.0e6     # 2 mm in nm units, so phase and geometry share units
+    scene_ms = SegmentSet.make([[1.0e6, -5.0e6]], [[1.0e6, 5.0e6]],
+                               mat_in=0, mat_out=0, dtype=F64)
+    det = SegmentSet.make([[1.0e6 + f, -8.0e6]], [[1.0e6 + f, 8.0e6]],
+                          dtype=F64)
+    scene = Scene2D.build(optical_segments=[scene_ms],
+                          target_segments=[det])
+    phase = hyperbolic_metalens_phase(f, lam, axis=0, center=(1.0e6, 0.0))
+    rx = optical_path_reaction(base_reaction=metasurface_reaction(
+        [(phase, "transmission")], {"segments": np.asarray([0, -1])}))
+    n = 31
+    ys = np.linspace(-0.6e6, 0.6e6, n)
+    p0 = np.stack([np.zeros(n), ys], axis=1)
+    rays = seed_optical_path(
+        RaySet.make(jnp.asarray(p0, F64),
+                    jnp.asarray(p0 + [1.0, 0.0], F64), lam_nm, dtype=F64))
+    res = trace(rays, scene, (mats.vacuum,),
+                TraceConfig(max_bounces=2, new_ray_length=1.0e6),
+                reaction=rx)
+    assert bool(jnp.all(res.rays.state == FINISHED))
+
+    # total OPL to the common focus: equal across the bundle
+    focus = np.asarray([1.0e6 + f, 0.0])
+    to_focus = np.linalg.norm(np.asarray(res.rays.p0) - focus, axis=1)
+    total = np.asarray(res.rays.fields["opl"]) + to_focus
+    np.testing.assert_allclose(total, total.mean(), rtol=1e-12)
+
+    # and the coherent Huygens peak at the focus is the full (sum a)^2
+    grid = jnp.asarray([focus], F64)
+    peak = float(huygens_psf(res.rays.p0, res.rays.fields["opl"], lam,
+                             grid)[0])
+    np.testing.assert_allclose(peak, n ** 2, rtol=1e-6)
