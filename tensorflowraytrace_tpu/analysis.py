@@ -18,6 +18,7 @@ Reference counterpart: /root/reference/tfrt/analyze.py.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -204,7 +205,7 @@ class DistributionDifferential:
 # ======================================================================
 
 def huygens_psf(sources, opl, wavelength, grid, amplitudes=None,
-                medium_n=1.0):
+                medium_n=1.0, ray_chunk=None):
     """Coherent Huygens-Fresnel point-spread function from traced rays.
 
     Each ray is a spherical wavelet source at ``sources`` (its position on
@@ -234,6 +235,13 @@ def huygens_psf(sources, opl, wavelength, grid, amplitudes=None,
         that did not finish).
     medium_n : refractive index of the space between the last surface and
         the detector.
+    ray_chunk : optional int
+        Evaluate the sum in ray blocks of this size via ``lax.scan``
+        instead of materializing the full (G, N) phase matrix -- at the
+        tracer's production scale (1M rays x a fine grid) the dense matrix
+        is a memory wall; chunking holds peak memory at G x ray_chunk while
+        keeping each block a real matmul.  N must be divisible by it.
+        Differentiable either way.
 
     Returns (G,) PSF intensities.  The two trig matrices contract over the
     ray axis as real matmuls (MXU-friendly at large N x G).
@@ -246,13 +254,37 @@ def huygens_psf(sources, opl, wavelength, grid, amplitudes=None,
         amplitudes = jnp.ones(sources.shape[0], dtype)
     amplitudes = jnp.asarray(amplitudes, dtype)
     k = 2.0 * jnp.pi / jnp.asarray(wavelength, dtype)
-    # (G, N) distances; the sqrt is safe (grid points off the sources)
-    diff = grid[:, None, :] - sources[None, :, :]
-    dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1),
-                                jnp.asarray(jnp.finfo(dtype).tiny, dtype)))
-    phase = k * (opl[None, :] + jnp.asarray(medium_n, dtype) * dist)
-    e_re = jnp.cos(phase) @ amplitudes
-    e_im = jnp.sin(phase) @ amplitudes
+    medium_n = jnp.asarray(medium_n, dtype)
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+    def field(src, path, amp):
+        # (G, n_chunk) distances; the sqrt is safe (grid off the sources)
+        diff = grid[:, None, :] - src[None, :, :]
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), tiny))
+        phase = k * (path[None, :] + medium_n * dist)
+        return jnp.cos(phase) @ amp, jnp.sin(phase) @ amp
+
+    if ray_chunk is None:
+        e_re, e_im = field(sources, opl, amplitudes)
+    else:
+        n = sources.shape[0]
+        if n % ray_chunk:
+            raise ValueError(
+                f"huygens_psf: ray count {n} not divisible by "
+                f"ray_chunk {ray_chunk}")
+        blocks = n // ray_chunk
+        src_b = sources.reshape(blocks, ray_chunk, -1)
+        opl_b = opl.reshape(blocks, ray_chunk)
+        amp_b = amplitudes.reshape(blocks, ray_chunk)
+
+        def body(carry, xs):
+            re, im = carry
+            bre, bim = field(*xs)
+            return (re + bre, im + bim), None
+
+        zero = jnp.zeros(grid.shape[0], dtype)
+        (e_re, e_im), _ = jax.lax.scan(body, (zero, zero),
+                                       (src_b, opl_b, amp_b))
     return e_re * e_re + e_im * e_im
 
 

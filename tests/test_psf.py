@@ -115,3 +115,34 @@ def test_psf_is_differentiable_strehl_objective():
     # a quadratic OPL error (defocus) lowers the peak from its maximum
     assert float(strehl(jnp.asarray(1e-7, F64))) < float(
         strehl(jnp.asarray(0.0, F64)))
+
+
+def test_ray_chunked_psf_matches_dense():
+    """ray_chunk evaluates the identical sum in lax.scan blocks (memory-
+    bounded at production ray counts) -- values and gradients match the
+    dense path."""
+    rng = np.random.default_rng(11)
+    n = 96
+    sources = jnp.asarray(rng.normal(size=(n, 2)), F64)
+    opl = jnp.asarray(rng.uniform(5.0, 5.001, n), F64)
+    amps = jnp.asarray(rng.uniform(0.5, 1.0, n), F64)
+    ys = jnp.linspace(-0.3, 0.3, 17, dtype=F64)
+    grid = jnp.stack([jnp.full_like(ys, 30.0), ys], axis=1)
+
+    dense = huygens_psf(sources, opl, LAM, grid, amplitudes=amps)
+    chunked = huygens_psf(sources, opl, LAM, grid, amplitudes=amps,
+                          ray_chunk=16)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(dense),
+                               rtol=1e-12)
+
+    g_dense = jax.grad(lambda o: huygens_psf(
+        sources, o, LAM, grid, amplitudes=amps)[8])(opl)
+    g_chunk = jax.grad(lambda o: huygens_psf(
+        sources, o, LAM, grid, amplitudes=amps, ray_chunk=32)[8])(opl)
+    np.testing.assert_allclose(np.asarray(g_chunk), np.asarray(g_dense),
+                               rtol=1e-10)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        huygens_psf(sources, opl, LAM, grid, ray_chunk=7)
