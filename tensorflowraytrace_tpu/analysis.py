@@ -320,3 +320,82 @@ def psf_from_result(result, grid, wavelength, medium_n=None,
         amp = amp * jnp.sqrt(jnp.maximum(rays.fields["intensity"], 0.0))
     return huygens_psf(rays.p0, rays.fields["opl"], wavelength, grid,
                        amplitudes=amp, medium_n=medium_n)
+
+
+# ======================================================================
+# Zernike wavefront decomposition (aberration analysis)
+# ======================================================================
+
+def _noll_indices(j):
+    """Noll index j (1-based) -> (n, m): even j carries the cosine (m > 0)
+    term, odd j the sine (m < 0) term [Noll, JOSA 66, 207 (1976)]."""
+    if j < 1:
+        raise ValueError(f"bad Noll index {j}")
+    n = 0
+    j1 = j - 1
+    while j1 > n:
+        n += 1
+        j1 -= n
+    m = (-1) ** j * ((n % 2) + 2 * ((j1 + ((n + 1) % 2)) // 2))
+    return n, m
+
+
+def zernike_basis(rho, theta, n_terms=15):
+    """Noll-ordered Zernike polynomials Z_1..Z_n evaluated at polar pupil
+    coordinates ``rho`` in [0, 1], ``theta`` -- the standard aberration
+    basis (piston, tip/tilt, defocus Z4, astigmatism, coma, spherical Z11,
+    ...).  Returns (N, n_terms); orthonormal over the unit disk with the
+    Noll normalization (RMS wavefront == the coefficient norm)."""
+    import math as _math
+
+    rho = jnp.asarray(rho)
+    theta = jnp.asarray(theta)
+    cols = []
+    for j in range(1, n_terms + 1):
+        n, m = _noll_indices(j)
+        am = abs(m)
+        r = jnp.zeros_like(rho)
+        for k in range((n - am) // 2 + 1):
+            c = ((-1) ** k * _math.factorial(n - k)
+                 / (_math.factorial(k)
+                    * _math.factorial((n + am) // 2 - k)
+                    * _math.factorial((n - am) // 2 - k)))
+            r = r + c * rho ** (n - 2 * k)
+        if m == 0:
+            z = _math.sqrt(n + 1.0) * r
+        elif m > 0:
+            z = _math.sqrt(2.0 * (n + 1)) * r * jnp.cos(am * theta)
+        else:
+            z = _math.sqrt(2.0 * (n + 1)) * r * jnp.sin(am * theta)
+        cols.append(z)
+    return jnp.stack(cols, axis=1)
+
+
+def zernike_fit(pupil_points, opd, n_terms=15, pupil_radius=None,
+                center=None):
+    """Least-squares Zernike decomposition of a wavefront.
+
+    ``pupil_points``: (N, 2) ray pupil coordinates (e.g. launch-plane
+    (y, z) of a collimated bundle); ``opd``: (N,) optical path differences
+    at those rays (e.g. ``total OPL - design OPL`` from
+    :func:`operations.optical_path_reaction`).  Coordinates are normalized
+    by ``pupil_radius`` (default: max radius present) about ``center``
+    (default: the centroid).  Returns (coeffs, residual_rms): Noll-ordered
+    coefficients in the OPD's units (RMS content of each aberration) and
+    the unexplained RMS.  Fully differentiable -- a "minimize coma" or
+    "null spherical aberration" term is just a penalty on the matching
+    coefficients.  Beyond the reference (no wavefront analysis at all)."""
+    pts = jnp.asarray(pupil_points)
+    opd = jnp.asarray(opd, pts.dtype)
+    c = (jnp.mean(pts, axis=0) if center is None
+         else jnp.asarray(center, pts.dtype))
+    rel = pts - c
+    radius = jnp.linalg.norm(rel, axis=1)
+    if pupil_radius is None:
+        pupil_radius = jnp.max(radius)
+    rho = radius / pupil_radius
+    theta = jnp.arctan2(rel[:, 1], rel[:, 0])
+    basis = zernike_basis(rho, theta, n_terms)
+    coeffs, *_ = jnp.linalg.lstsq(basis, opd)
+    residual = opd - basis @ coeffs
+    return coeffs, jnp.sqrt(jnp.mean(residual * residual))

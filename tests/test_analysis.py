@@ -128,3 +128,86 @@ def test_imaging_test_weighted_samples():
     with pytest.raises(ValueError):
         imaging_test(lambda: pts[:, :2], ((-1, 1), (-1, 1)),
                      batch_count=1, bins=2, verbose=False, weighted=True)
+
+
+# ----------------------------------------------------------------------
+# Zernike wavefront decomposition
+# ----------------------------------------------------------------------
+
+def test_noll_index_table():
+    """The first 15 Noll indices match the published table (Noll 1976)."""
+    from tensorflowraytrace_tpu.analysis import _noll_indices
+
+    table = {1: (0, 0), 2: (1, 1), 3: (1, -1), 4: (2, 0), 5: (2, -2),
+             6: (2, 2), 7: (3, -1), 8: (3, 1), 9: (3, -3), 10: (3, 3),
+             11: (4, 0), 12: (4, 2), 13: (4, -2), 14: (4, 4), 15: (4, -4)}
+    for j, nm in table.items():
+        assert _noll_indices(j) == nm, j
+
+
+def test_zernike_orthonormal_on_disk():
+    """Noll-normalized Zernikes are orthonormal over the unit disk
+    (mid-radius polar quadrature to ~1e-4)."""
+    from tensorflowraytrace_tpu.analysis import zernike_basis
+
+    nr, nt = 400, 512
+    r_edges = np.linspace(0, 1, nr + 1)
+    r = np.sqrt((r_edges[:-1] ** 2 + r_edges[1:] ** 2) / 2)
+    t = np.linspace(0, 2 * np.pi, nt, endpoint=False)
+    R, T = np.meshgrid(r, t)
+    w = (R / nr * (2 * np.pi / nt) / np.pi).ravel()
+    B = np.asarray(zernike_basis(jnp.asarray(R.ravel()),
+                                 jnp.asarray(T.ravel()), 15))
+    gram = (B * w[:, None]).T @ B
+    np.testing.assert_allclose(gram, np.eye(15), atol=2e-4)
+
+
+def test_zernike_fit_recovers_synthetic_aberrations():
+    """An exact 0.3 Z4 + 0.1 Z11 wavefront is recovered to machine
+    precision with zero residual; pure rho^2 defocus decomposes into the
+    analytic piston + Z4 split (c4 = a / (2 sqrt 3), c1 = a / 2)."""
+    from tensorflowraytrace_tpu.analysis import zernike_basis, zernike_fit
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1, 1, (4000, 2))
+    pts = pts[np.hypot(pts[:, 0], pts[:, 1]) <= 1.0]
+    rho = np.hypot(pts[:, 0], pts[:, 1])
+    th = np.arctan2(pts[:, 1], pts[:, 0])
+    B = np.asarray(zernike_basis(jnp.asarray(rho), jnp.asarray(th), 15))
+
+    opd = 0.3 * B[:, 3] + 0.1 * B[:, 10]
+    c, res = zernike_fit(jnp.asarray(pts), jnp.asarray(opd), 15,
+                         pupil_radius=1.0, center=(0.0, 0.0))
+    np.testing.assert_allclose(float(c[3]), 0.3, rtol=1e-12)
+    np.testing.assert_allclose(float(c[10]), 0.1, rtol=1e-12)
+    assert float(res) < 1e-12
+
+    a = 0.7
+    c, res = zernike_fit(jnp.asarray(pts), jnp.asarray(a * rho ** 2), 15,
+                         pupil_radius=1.0, center=(0.0, 0.0))
+    np.testing.assert_allclose(float(c[0]), a / 2, rtol=1e-10)
+    np.testing.assert_allclose(float(c[3]), a / (2 * np.sqrt(3)),
+                               rtol=1e-10)
+    assert float(res) < 1e-12
+
+
+def test_zernike_fit_differentiable():
+    """d(coma coefficient)/d(wavefront knob) is finite: Zernike terms can
+    be optimization penalties ('null the coma')."""
+    from tensorflowraytrace_tpu.analysis import zernike_basis, zernike_fit
+
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-1, 1, (500, 2))
+    pts = pts[np.hypot(pts[:, 0], pts[:, 1]) <= 1.0]
+    rho = jnp.asarray(np.hypot(pts[:, 0], pts[:, 1]))
+    th = jnp.asarray(np.arctan2(pts[:, 1], pts[:, 0]))
+    B = zernike_basis(rho, th, 15)
+
+    def coma(knob):
+        opd = knob * B[:, 7]  # Z8: primary coma (cos)
+        c, _ = zernike_fit(jnp.asarray(pts), opd, 15, pupil_radius=1.0,
+                           center=(0.0, 0.0))
+        return c[7]
+
+    g = float(jax.grad(coma)(jnp.asarray(0.2, jnp.float64)))
+    np.testing.assert_allclose(g, 1.0, rtol=1e-10)
