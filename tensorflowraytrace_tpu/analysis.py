@@ -204,6 +204,19 @@ class DistributionDifferential:
 # diffraction-aware imaging: the Huygens-Fresnel PSF
 # ======================================================================
 
+def _wavelet_field(src, path, amp, grid, k, medium_n):
+    """Per-ray wavelet field contributions summed onto the grid: the
+    (re, im) components of ``sum_j a_j exp(i k (path_j + n |g - p_j|))``.
+    One shared implementation for the dense, ray-chunked, and ray-sharded
+    (parallel.parallel_psf) evaluation paths."""
+    dtype = src.dtype
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    diff = grid[:, None, :] - src[None, :, :]
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), tiny))
+    phase = k * (path[None, :] + medium_n * dist)
+    return jnp.cos(phase) @ amp, jnp.sin(phase) @ amp
+
+
 def huygens_psf(sources, opl, wavelength, grid, amplitudes=None,
                 medium_n=1.0, ray_chunk=None):
     """Coherent Huygens-Fresnel point-spread function from traced rays.
@@ -240,8 +253,11 @@ def huygens_psf(sources, opl, wavelength, grid, amplitudes=None,
         instead of materializing the full (G, N) phase matrix -- at the
         tracer's production scale (1M rays x a fine grid) the dense matrix
         is a memory wall; chunking holds peak memory at G x ray_chunk while
-        keeping each block a real matmul.  N must be divisible by it.
-        Differentiable either way.
+        keeping each block a real matmul.  The block body is
+        ``jax.checkpoint``ed so the bound holds under reverse-mode autodiff
+        too (the scan would otherwise save every block's trig residuals --
+        O(G x N) again).  Ray counts that don't divide evenly are padded
+        with zero-amplitude wavelets.
 
     Returns (G,) PSF intensities.  The two trig matrices contract over the
     ray axis as real matmuls (MXU-friendly at large N x G).
@@ -255,31 +271,29 @@ def huygens_psf(sources, opl, wavelength, grid, amplitudes=None,
     amplitudes = jnp.asarray(amplitudes, dtype)
     k = 2.0 * jnp.pi / jnp.asarray(wavelength, dtype)
     medium_n = jnp.asarray(medium_n, dtype)
-    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
-
-    def field(src, path, amp):
-        # (G, n_chunk) distances; the sqrt is safe (grid off the sources)
-        diff = grid[:, None, :] - src[None, :, :]
-        dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), tiny))
-        phase = k * (path[None, :] + medium_n * dist)
-        return jnp.cos(phase) @ amp, jnp.sin(phase) @ amp
 
     if ray_chunk is None:
-        e_re, e_im = field(sources, opl, amplitudes)
+        e_re, e_im = _wavelet_field(sources, opl, amplitudes, grid, k,
+                                    medium_n)
     else:
         n = sources.shape[0]
-        if n % ray_chunk:
-            raise ValueError(
-                f"huygens_psf: ray count {n} not divisible by "
-                f"ray_chunk {ray_chunk}")
-        blocks = n // ray_chunk
+        pad = (-n) % ray_chunk
+        if pad:
+            sources = jnp.concatenate(
+                [sources, jnp.ones((pad, sources.shape[1]), dtype)])
+            opl = jnp.concatenate([opl, jnp.zeros((pad,), dtype)])
+            amplitudes = jnp.concatenate(
+                [amplitudes, jnp.zeros((pad,), dtype)])
+        blocks = (n + pad) // ray_chunk
         src_b = sources.reshape(blocks, ray_chunk, -1)
         opl_b = opl.reshape(blocks, ray_chunk)
         amp_b = amplitudes.reshape(blocks, ray_chunk)
+        block = jax.checkpoint(
+            lambda s, o, a: _wavelet_field(s, o, a, grid, k, medium_n))
 
         def body(carry, xs):
             re, im = carry
-            bre, bim = field(*xs)
+            bre, bim = block(*xs)
             return (re + bre, im + bim), None
 
         zero = jnp.zeros(grid.shape[0], dtype)
@@ -289,7 +303,7 @@ def huygens_psf(sources, opl, wavelength, grid, amplitudes=None,
 
 
 def psf_from_result(result, grid, wavelength, medium_n=None,
-                    use_intensity=True):
+                    use_intensity=True, ray_chunk=None):
     """Convenience wrapper: Huygens PSF straight from a ``TraceResult``
     traced with :func:`operations.optical_path_reaction` (and optionally an
     intensity tracker).
@@ -319,7 +333,8 @@ def psf_from_result(result, grid, wavelength, medium_n=None,
     if use_intensity and "intensity" in rays.fields:
         amp = amp * jnp.sqrt(jnp.maximum(rays.fields["intensity"], 0.0))
     return huygens_psf(rays.p0, rays.fields["opl"], wavelength, grid,
-                       amplitudes=amp, medium_n=medium_n)
+                       amplitudes=amp, medium_n=medium_n,
+                       ray_chunk=ray_chunk)
 
 
 # ======================================================================
@@ -390,11 +405,20 @@ def zernike_fit(pupil_points, opd, n_terms=15, pupil_radius=None,
     c = (jnp.mean(pts, axis=0) if center is None
          else jnp.asarray(center, pts.dtype))
     rel = pts - c
-    radius = jnp.linalg.norm(rel, axis=1)
+    # norm/arctan2 are non-differentiable at the exact pupil center (the
+    # on-axis chief ray with a centroid center): clamp the squared radius
+    # so the sqrt's backward flows through the constant branch, and give
+    # arctan2 a safe x there (theta is irrelevant at rho ~ 0)
+    tiny = jnp.asarray(jnp.finfo(pts.dtype).tiny, pts.dtype)
+    r2 = jnp.sum(rel * rel, axis=1)
+    radius = jnp.sqrt(jnp.maximum(r2, tiny))
     if pupil_radius is None:
         pupil_radius = jnp.max(radius)
     rho = radius / pupil_radius
-    theta = jnp.arctan2(rel[:, 1], rel[:, 0])
+    at_center = r2 == 0
+    safe_x = jnp.where(at_center, jnp.ones_like(rel[:, 0]), rel[:, 0])
+    theta = jnp.arctan2(jnp.where(at_center, jnp.zeros_like(rel[:, 1]),
+                                  rel[:, 1]), safe_x)
     basis = zernike_basis(rho, theta, n_terms)
     coeffs, *_ = jnp.linalg.lstsq(basis, opd)
     residual = opd - basis @ coeffs

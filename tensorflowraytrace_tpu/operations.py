@@ -199,10 +199,11 @@ def _effective_reflects(base_updates, prelude_reflects):
     branch its children ACTUALLY took in the reserved ``__reflects__``
     update -- a reflection grating reflects rays the Snell prelude would
     call refracting, and trackers that switch media (cur_n / cur_alpha) or
-    pick a power branch must follow the real child.  Pops the key so it is
-    consumed exactly once (the engine drops any unconsumed ``__``-prefixed
-    keys)."""
-    return base_updates.pop("__reflects__", prelude_reflects)
+    pick a power branch must follow the real child.  Reads WITHOUT popping:
+    every tracker in a stacked composition (absorption over OPL over a
+    grating) needs the same branch, and the engine drops any leftover
+    ``__``-prefixed keys at the end."""
+    return base_updates.get("__reflects__", prelude_reflects)
 
 
 def _chain_field(base_updates, rays, field, who):

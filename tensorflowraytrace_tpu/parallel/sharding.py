@@ -313,17 +313,14 @@ def parallel_psf(mesh: Mesh, wavelength, medium_n=1.0):
     Returns a jitted ``f(sources, opl, amplitudes, grid) -> (G,) PSF`` with
     ``sources/opl/amplitudes`` sharded over rays and ``grid`` replicated.
     """
+    from tensorflowraytrace_tpu.analysis import _wavelet_field
 
     def shard_fn(sources, opl, amplitudes, grid):
         dtype = sources.dtype
         k = 2.0 * jnp.pi / jnp.asarray(wavelength, dtype)
-        diff = grid[:, None, :] - sources[None, :, :]
-        dist = jnp.sqrt(jnp.maximum(
-            jnp.sum(diff * diff, axis=-1),
-            jnp.asarray(jnp.finfo(dtype).tiny, dtype)))
-        phase = k * (opl[None, :] + jnp.asarray(medium_n, dtype) * dist)
-        e_re = lax.psum(jnp.cos(phase) @ amplitudes, RAY_AXIS)
-        e_im = lax.psum(jnp.sin(phase) @ amplitudes, RAY_AXIS)
+        re, im = _wavelet_field(sources, opl, amplitudes, grid, k,
+                                jnp.asarray(medium_n, dtype))
+        e_re, e_im = lax.psum((re, im), RAY_AXIS)  # one collective
         return e_re * e_re + e_im * e_im
 
     mapped = _shard_map(

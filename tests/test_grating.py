@@ -194,3 +194,40 @@ def test_reflection_grating_reports_branch_to_trackers():
     # and the OPL of the out-and-back path is n_glass * 2 * path length
     np.testing.assert_allclose(float(total_optical_path(res.rays)[0]),
                                n_glass * 2.0 / math.cos(th), rtol=1e-12)
+
+
+def test_stacked_trackers_all_see_real_branch():
+    """__reflects__ is read without popping: BOTH stacked trackers
+    (absorption over OPL over a reflection grating) keep their medium
+    state across the reflection (regression: the first consumer used to
+    pop the key, leaving outer trackers on the wrong Snell branch)."""
+    from tensorflowraytrace_tpu.operations import (
+        absorption_reaction, optical_path_reaction, seed_absorption,
+        seed_optical_path,
+    )
+
+    n_glass = 1.5
+    alpha_glass = 0.11
+    th = 0.35
+    a = LAM / (2 * n_glass * math.sin(th))
+    gr = SegmentSet.make([[1.0, -50.0]], [[1.0, 50.0]], mat_in=0, mat_out=1,
+                         dtype=F64)
+    tgt = SegmentSet.make([[0.0, -80.0]], [[0.0, 80.0]], dtype=F64)
+    scene = Scene2D.build(optical_segments=[gr], target_segments=[tgt])
+    materials = (mats.vacuum, mats.build_constant_material(n_glass))
+    rx = absorption_reaction(
+        {"segments": (np.asarray([0.0, 0.0]), np.asarray([0.0, 0.0]))},
+        base_reaction=optical_path_reaction(
+            base_reaction=grating_reaction(
+                [(a, 1, "reflection")], {"segments": np.asarray([0, -1])})))
+    p1 = jnp.asarray([[math.cos(th), math.sin(th)]], F64)
+    rays = seed_optical_path(
+        RaySet.make(jnp.zeros((1, 2), F64), p1, LAM, dtype=F64), n0=n_glass)
+    rays = seed_absorption(rays, alpha0=alpha_glass, seed_field=True)
+    res = trace(rays, scene, materials, TraceConfig(max_bounces=2),
+                reaction=rx)
+    assert int(res.rays.state[0]) == FINISHED
+    # the retro-reflected ray stays in glass for BOTH trackers
+    np.testing.assert_allclose(float(res.rays.fields["cur_n"][0]), n_glass)
+    np.testing.assert_allclose(float(res.rays.fields["cur_alpha"][0]),
+                               alpha_glass)

@@ -142,7 +142,8 @@ def test_ray_chunked_psf_matches_dense():
     np.testing.assert_allclose(np.asarray(g_chunk), np.asarray(g_dense),
                                rtol=1e-10)
 
-    import pytest
-
-    with pytest.raises(ValueError, match="divisible"):
-        huygens_psf(sources, opl, LAM, grid, ray_chunk=7)
+    # non-divisible counts are padded with zero-amplitude wavelets
+    padded = huygens_psf(sources, opl, LAM, grid, amplitudes=amps,
+                         ray_chunk=7)
+    np.testing.assert_allclose(np.asarray(padded), np.asarray(dense),
+                               rtol=1e-12)
