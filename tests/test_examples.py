@@ -69,6 +69,7 @@ CASES = [
     ("spectrometer", {"steps": 400}),
     ("hybrid_achromat", {"steps": 260, "n_heights": 9}),
     ("strehl_lens", {"steps": 150, "n_segments": 32, "n_rays": 96}),
+    ("tolerancing", {"samples": 128, "n_rays": 48}),
 ]
 
 
