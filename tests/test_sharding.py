@@ -514,3 +514,40 @@ def test_parallel_psf_matches_single_device():
                  jax.device_put(amps, rs), par.replicate(grid, mesh))
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
                                rtol=1e-10)
+
+
+def test_parallel_trace_with_field_tracker_reactions():
+    """The new physics reactions (coated intensity over OPL) run unchanged
+    under shard_map -- per-surface tables are closure constants (replicated)
+    and ray fields shard with the rays.  Sharded == single-device."""
+    import dataclasses
+
+    from tensorflowraytrace_tpu.operations import (
+        optical_path_reaction, seed_optical_path,
+        thin_film_intensity_reaction,
+    )
+    from tensorflowraytrace_tpu.ops import thinfilm
+
+    mesh = par.ray_mesh(8)
+    scene, rays = make_scene_and_rays(8 * 6)
+    rays = seed_optical_path(rays)
+    rays = dataclasses.replace(
+        rays, fields={**rays.fields,
+                      "intensity": jnp.ones(rays.n_rays, F64)})
+    materials = (mats.vacuum, mats.reflective)
+    d = float(thinfilm.quarter_wave_thickness(1.38, 500.0))
+    rx = thin_film_intensity_reaction(
+        [[(1.38, d)]], {"triangles": np.asarray([0, 0, -1, -1])},
+        base_reaction=optical_path_reaction())
+    cfg = TraceConfig(max_bounces=3)
+
+    res1 = trace(rays, scene, materials, cfg, reaction=rx)
+    res8 = par.parallel_trace(par.shard_rays(rays, mesh),
+                              par.replicate(scene, mesh), materials, cfg,
+                              mesh, reaction=rx)
+    for f in ("intensity", "opl", "cur_n"):
+        np.testing.assert_allclose(np.asarray(res8.rays.fields[f]),
+                                   np.asarray(res1.rays.fields[f]),
+                                   atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(res8.rays.state),
+                                  np.asarray(res1.rays.state))
