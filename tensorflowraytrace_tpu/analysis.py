@@ -423,3 +423,41 @@ def zernike_fit(pupil_points, opd, n_terms=15, pupil_radius=None,
     coeffs, *_ = jnp.linalg.lstsq(basis, opd)
     residual = opd - basis @ coeffs
     return coeffs, jnp.sqrt(jnp.mean(residual * residual))
+
+
+def polychromatic_psf(result, grid, wavelengths_nm, unit_scale,
+                      weights=None, medium_n=None, use_intensity=True,
+                      ray_chunk=None):
+    """Incoherent polychromatic PSF: rays are grouped by their (nm)
+    ``wavelength`` field and each spectral group's COHERENT Huygens PSF is
+    summed with its spectral weight -- different wavelengths do not
+    interfere.  ``unit_scale`` converts nm to the scene's length units
+    (1e-6 for mm-scale scenes); the static ``wavelengths_nm`` list should
+    enumerate the distinct wavelengths the sources emitted.  Returns the
+    (G,) polychromatic PSF.  Beyond the reference."""
+    from tensorflowraytrace_tpu.config import FINISHED
+
+    rays = result.rays
+    if "opl" not in rays.fields:
+        raise ValueError(
+            "polychromatic_psf needs a trace run with "
+            "optical_path_reaction (rays carry no 'opl' field)")
+    if weights is None:
+        weights = [1.0] * len(wavelengths_nm)
+    dtype = rays.p0.dtype
+    ok = rays.state == FINISHED
+    base_amp = jnp.where(ok, jnp.ones(rays.n_rays, dtype),
+                         jnp.zeros((), dtype))
+    if use_intensity and "intensity" in rays.fields:
+        base_amp = base_amp * jnp.sqrt(
+            jnp.maximum(rays.fields["intensity"], 0.0))
+    if medium_n is None:
+        medium_n = jnp.sum(jnp.where(ok, rays.fields["cur_n"], 0.0)) / \
+            jnp.maximum(jnp.sum(ok), 1)
+    total = jnp.zeros(jnp.asarray(grid).shape[0], dtype)
+    for wl_nm, w in zip(wavelengths_nm, weights):
+        amp = jnp.where(jnp.isclose(rays.wavelength, wl_nm), base_amp, 0.0)
+        total = total + jnp.asarray(w, dtype) * huygens_psf(
+            rays.p0, rays.fields["opl"], wl_nm * unit_scale, grid,
+            amplitudes=amp, medium_n=medium_n, ray_chunk=ray_chunk)
+    return total

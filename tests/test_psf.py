@@ -147,3 +147,46 @@ def test_ray_chunked_psf_matches_dense():
                          ray_chunk=7)
     np.testing.assert_allclose(np.asarray(padded), np.asarray(dense),
                                rtol=1e-12)
+
+
+def test_polychromatic_psf_is_incoherent_sum():
+    """Two wavelengths through the perfect lens: the polychromatic PSF is
+    exactly the weighted sum of the per-wavelength coherent PSFs (no
+    cross-wavelength interference), and broader than either alone when
+    their monochromatic patterns differ."""
+    from tensorflowraytrace_tpu.analysis import polychromatic_psf
+
+    f, n_glass, half_ap, n_rays = 20.0, 1.5, 1.0, 200
+    ys = np.linspace(-half_ap, half_ap, n_rays + 1)
+    xs = hyperbola_x(ys, f, n_glass)
+    surf = SegmentSet.make(np.stack([xs[:-1], ys[:-1]], axis=1),
+                           np.stack([xs[1:], ys[1:]], axis=1),
+                           mat_in=1, mat_out=0, dtype=F64)
+    tgt = SegmentSet.make([[f - 1.0, -50.0]], [[f - 1.0, 50.0]], dtype=F64)
+    scene = Scene2D.build(optical_segments=[surf], target_segments=[tgt])
+    materials = (mats.vacuum, mats.build_constant_material(n_glass))
+    ry = np.linspace(-half_ap * 0.9, half_ap * 0.9, n_rays)
+    p0 = np.stack([np.full(n_rays, -1.0), ry], axis=1)
+    wl = np.where(np.arange(n_rays) % 2 == 0, 450.0, 650.0)
+    rays = seed_optical_path(
+        RaySet.make(jnp.asarray(p0, F64), jnp.asarray(p0 + [1.0, 0.0], F64),
+                    jnp.asarray(wl, F64), dtype=F64))
+    res = trace(rays, scene, materials, TraceConfig(max_bounces=2),
+                reaction=optical_path_reaction())
+    assert bool(jnp.all(res.rays.state == FINISHED))
+
+    ys_g = np.linspace(-0.01, 0.01, 401)
+    grid = jnp.asarray(np.stack([np.full_like(ys_g, f), ys_g], axis=1), F64)
+    scale = 1e-6  # nm -> mm-scale scene units
+    poly = np.asarray(polychromatic_psf(res, grid, [450.0, 650.0], scale,
+                                        weights=[0.4, 0.6]))
+
+    # manual per-wavelength sum with masked amplitudes
+    manual = np.zeros_like(poly)
+    for wl_nm, w in ((450.0, 0.4), (650.0, 0.6)):
+        amp = jnp.asarray((wl == wl_nm).astype(np.float64))
+        manual += w * np.asarray(huygens_psf(
+            res.rays.p0, res.rays.fields["opl"], wl_nm * scale, grid,
+            amplitudes=amp, medium_n=n_glass))
+    np.testing.assert_allclose(poly, manual, rtol=1e-10)
+    assert poly[200] == poly.max()  # peak on axis
