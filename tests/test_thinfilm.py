@@ -329,3 +329,64 @@ def test_class_ops_forward_field_parameter():
                reaction=op2.reaction)
     assert float(r1.rays.fields["power"][0]) < 1.0
     np.testing.assert_allclose(float(r2.rays.fields["power"][0]), 1.0)
+
+
+def test_grand_composition_matches_individual_trackers():
+    """All four field trackers in ONE trace -- bulk absorption over coated
+    interface intensity over Jones polarization over OPL -- and every
+    field equals its single-tracker run: the composition machinery neither
+    double-applies nor drops any physics."""
+    from tensorflowraytrace_tpu.operations import (
+        absorption_reaction, jones_polarization_reaction,
+        optical_path_reaction, seed_absorption, seed_optical_path,
+        seed_polarization, stokes_parameters,
+    )
+
+    scene, materials = glass_wall_scene()
+    cfg = TraceConfig(max_bounces=2)
+    alpha = 0.2
+    tables = {"segments": (np.asarray([alpha, 0.0]), np.asarray([0.0, 0.0]))}
+    d = float(thinfilm.quarter_wave_thickness(N_MGF2, 550.0))
+    stack_spec = ([[(N_MGF2, d)]], {"segments": np.asarray([0, -1])})
+
+    def seeded():
+        r = seeded_ray()
+        r = seed_optical_path(r)
+        r = seed_absorption(r, seed_field=False)
+        return seed_polarization(r, jones=(1.0, 0.0))
+
+    composed = trace(seeded(), scene, materials, cfg,
+                     reaction=absorption_reaction(
+                         tables, base_reaction=thin_film_intensity_reaction(
+                             *stack_spec,
+                             base_reaction=jones_polarization_reaction(
+                                 base_reaction=optical_path_reaction()))))
+
+    # singles
+    r_film = trace(seeded(), scene, materials, cfg,
+                   reaction=thin_film_intensity_reaction(*stack_spec))
+    r_abs = trace(seeded(), scene, materials, cfg,
+                  reaction=absorption_reaction(tables))
+    r_jones = trace(seeded(), scene, materials, cfg,
+                    reaction=jones_polarization_reaction())
+    r_opl = trace(seeded(), scene, materials, cfg,
+                  reaction=optical_path_reaction())
+
+    cf = composed.rays.fields
+    # intensity chains multiplicatively: coated transmittance x Beer-Lambert
+    np.testing.assert_allclose(
+        float(cf["intensity"][0]),
+        float(r_film.rays.fields["intensity"][0])
+        * float(r_abs.rays.fields["intensity"][0]), rtol=1e-12)
+    # polarization, OPL and the carried media are untouched by the others
+    s_c = stokes_parameters(composed.rays)
+    s_1 = stokes_parameters(r_jones.rays)
+    np.testing.assert_allclose(float(s_c["S0"][0]), float(s_1["S0"][0]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(float(cf["opl"][0]),
+                               float(r_opl.rays.fields["opl"][0]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(float(cf["cur_n"][0]),
+                               float(r_opl.rays.fields["cur_n"][0]))
+    np.testing.assert_allclose(float(cf["cur_alpha"][0]),
+                               float(r_abs.rays.fields["cur_alpha"][0]))
