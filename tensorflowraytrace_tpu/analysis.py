@@ -461,3 +461,19 @@ def polychromatic_psf(result, grid, wavelengths_nm, unit_scale,
             rays.p0, rays.fields["opl"], wl_nm * unit_scale, grid,
             amplitudes=amp, medium_n=medium_n, ray_chunk=ray_chunk)
     return total
+
+
+def encircled_energy(psf, grid, center, radii):
+    """Fraction of PSF energy within each radius of ``center`` -- the other
+    standard diffraction-aware image metric (with the Strehl ratio).
+    Assumes a uniformly spaced ``grid`` (equal quadrature weights);
+    differentiable, so an encircled-energy spec can be optimized directly.
+    Returns (len(radii),) fractions."""
+    psf = jnp.asarray(psf)
+    grid = jnp.asarray(grid)
+    center = jnp.asarray(center, grid.dtype)
+    dist = jnp.linalg.norm(grid - center[None, :], axis=1)
+    total = jnp.maximum(jnp.sum(psf), jnp.finfo(psf.dtype).tiny)
+    radii = jnp.asarray(radii, grid.dtype)
+    inside = dist[None, :] <= radii[:, None]
+    return jnp.sum(jnp.where(inside, psf[None, :], 0.0), axis=1) / total

@@ -190,3 +190,26 @@ def test_polychromatic_psf_is_incoherent_sum():
             amplitudes=amp, medium_n=n_glass))
     np.testing.assert_allclose(poly, manual, rtol=1e-10)
     assert poly[200] == poly.max()  # peak on axis
+
+
+def test_encircled_energy_main_lobe():
+    """The perfect lens's slit-diffraction PSF holds the textbook ~90.3%
+    of its energy inside the first zero (1D sinc^2 main-lobe fraction)."""
+    from tensorflowraytrace_tpu.analysis import encircled_energy
+
+    res, f, n_glass, half_ap = perfect_lens_result()
+    ys = np.linspace(-0.02, 0.02, 3201)
+    grid = jnp.asarray(np.stack([np.full_like(ys, f), ys], axis=1), F64)
+    psf = psf_from_result(res, grid, wavelength=LAM)
+    y_zero = LAM * f / (n_glass * 2 * half_ap * 0.98)
+    ee = encircled_energy(psf, grid, jnp.asarray([f, 0.0], F64),
+                          [y_zero, 3 * y_zero])
+    # sinc^2 main lobe carries 90.3% of the total energy; the window here
+    # only spans +-14 zeros so the denominator slightly underestimates
+    np.testing.assert_allclose(float(ee[0]), 0.903, atol=0.02)
+    assert float(ee[1]) > float(ee[0])
+
+    g = jax.grad(lambda o: encircled_energy(
+        huygens_psf(res.rays.p0, o, LAM, grid), grid,
+        jnp.asarray([f, 0.0], F64), [y_zero])[0])(res.rays.fields["opl"])
+    assert np.all(np.isfinite(np.asarray(g)))
