@@ -122,6 +122,28 @@ def main(steps=800, n_segments=64, n_rays=192, lr=1e-2):
     # the optimizer was never told the answer; it rediscovers the
     # eccentricity-n hyperbola from the wavefront objective alone
     assert dev.max() < 5e-3, dev.max()
+
+    # name the aberrations: Zernike decomposition of the start vs final
+    # OPD maps (2D scene -> pupil points on the launch line, x == 0)
+    from tensorflowraytrace_tpu.analysis import zernike_fit
+
+    def zernikes(xs_surface):
+        res = wavefront_sq(xs_surface)[1]
+        to_focus = jnp.linalg.norm(res.rays.p0 - focus, axis=1)
+        opd = (res.rays.fields["opl"]
+               + res.rays.fields["cur_n"] * to_focus - C)
+        pupil = jnp.stack([ray_ys, jnp.zeros_like(ray_ys)], axis=1)
+        c, resid = zernike_fit(pupil, opd, n_terms=11,
+                               pupil_radius=HALF_AP, center=(0.0, 0.0))
+        return np.asarray(c), float(resid)
+
+    c0, _ = zernikes(jnp.zeros((n_segments + 1,), dtype))
+    c1, _ = zernikes(xs)
+    print("Zernike content (Noll 1, 4, 11 = piston, defocus, spherical):")
+    print(f"  flat start: Z4 {c0[3]:+.4f}  Z11 {c0[10]:+.4f}")
+    print(f"  optimized:  Z4 {c1[3]:+.4f}  Z11 {c1[10]:+.4f}")
+    assert abs(c1[3]) < abs(c0[3]) / 50  # defocus nulled
+    assert abs(c1[10]) < abs(c0[10]) / 10  # spherical nulled
     print("OK: wavefront-error objective rediscovers the perfect asphere")
     return rms_wf
 
