@@ -1314,3 +1314,69 @@ class RoughSurface(RayOperation):
         super().__init__(**kw)
         self.reaction = rough_surface_reaction(sigmas, rough_ids, key,
                                                base_reaction)
+
+
+# ======================================================================
+# surface absorbers (baffles, vanes, housing walls)
+# ======================================================================
+
+def surface_absorber_reaction(absorptivity_tables,
+                              base_reaction=default_reaction,
+                              field="intensity"):
+    """Per-SURFACE absorptivity: each interaction with a marked surface
+    multiplies the ray's ``fields[field]`` by ``1 - A`` (A = the surface's
+    absorptivity), modeling black paint, baffles and housing walls in
+    stray-light analyses -- the counterpart of :func:`absorption_reaction`
+    (bulk media) for surface losses.  Unmarked kinds lose nothing.
+
+    ``absorptivity_tables``: ``{"triangles": arr}`` / ``{"segments": arr,
+    "arcs": arr}`` per-surface absorptivity in [0, 1] (traced values
+    supported -- differentiable).  Composes with the other field trackers
+    via ``base_reaction`` (multiplicative chaining on the shared field).
+    """
+    from tensorflowraytrace_tpu.ops import intersect as isect
+
+    def reaction(proj, rays, cfg):
+        child_p0, child_p1, base_updates = _run_base(
+            base_reaction, proj, rays, cfg)
+        dtype = rays.p0.dtype
+        zero = jnp.zeros((rays.n_rays,), dtype)
+        a = zero
+        if proj.dim == 3:
+            tab = absorptivity_tables.get("triangles")
+            if tab is not None:
+                tab = jnp.asarray(tab, dtype)
+                idx = jnp.clip(proj.surf_idx, 0, tab.shape[0] - 1)
+                a = tab[idx]
+        else:
+            for key, kind in (("segments", isect.KIND_SEGMENT),
+                              ("arcs", isect.KIND_ARC)):
+                tab = absorptivity_tables.get(key)
+                if tab is None:
+                    continue
+                tab = jnp.asarray(tab, dtype)
+                idx = jnp.clip(proj.surf_idx, 0, tab.shape[0] - 1)
+                a = jnp.where(proj.kind == kind, tab[idx], a)
+        old = _chain_field(base_updates, rays, field,
+                           "surface_absorber_reaction")
+        factor = jnp.clip(1.0 - a, 0.0, 1.0)
+        return child_p0, child_p1, _merge_updates(
+            base_updates, {field: old * factor.astype(old.dtype)})
+
+    return reaction
+
+
+class SurfaceAbsorber(RayOperation):
+    """Class-op wrapper for :func:`surface_absorber_reaction`."""
+
+    input_signature = frozenset({"intensity", "wavelength"})
+    output_signature = frozenset({"intensity"})
+    optical_signature = frozenset({"mat_in", "mat_out"})
+    material_signature = frozenset({"n"})
+    simple_ray_inheritance = frozenset({"intensity", "wavelength"})
+
+    def __init__(self, absorptivity_tables, base_reaction=default_reaction,
+                 field="intensity", **kw):
+        super().__init__(**kw)
+        self.reaction = surface_absorber_reaction(absorptivity_tables,
+                                                  base_reaction, field)

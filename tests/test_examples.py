@@ -70,6 +70,7 @@ CASES = [
     ("hybrid_achromat", {"steps": 260, "n_heights": 9}),
     ("strehl_lens", {"steps": 150, "n_segments": 32, "n_rays": 96}),
     ("tolerancing", {"samples": 128, "n_rays": 48}),
+    ("stray_light", {"rays": 1200}),
 ]
 
 

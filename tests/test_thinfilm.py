@@ -390,3 +390,26 @@ def test_grand_composition_matches_individual_trackers():
                                float(r_opl.rays.fields["cur_n"][0]))
     np.testing.assert_allclose(float(cf["cur_alpha"][0]),
                                float(r_abs.rays.fields["cur_alpha"][0]))
+
+
+def test_surface_absorber():
+    """Per-surface absorptivity multiplies intensity by 1 - A per hit and
+    composes with the Fresnel tracker; unmarked kinds lose nothing."""
+    from tensorflowraytrace_tpu.operations import surface_absorber_reaction
+
+    scene, materials = glass_wall_scene()
+    cfg = TraceConfig(max_bounces=2)
+    A = 0.25
+    rx = surface_absorber_reaction(
+        {"segments": np.asarray([A, 0.0])},
+        base_reaction=fresnel_intensity_reaction())
+    res = trace(seeded_ray(), scene, materials, cfg, reaction=rx)
+    T = 1.0 - ((N_GLASS - 1) / (N_GLASS + 1)) ** 2
+    np.testing.assert_allclose(float(res.rays.fields["intensity"][0]),
+                               (1 - A) * T, rtol=1e-12)
+    # unmarked table: pure Fresnel
+    rx0 = surface_absorber_reaction(
+        {}, base_reaction=fresnel_intensity_reaction())
+    res0 = trace(seeded_ray(), scene, materials, cfg, reaction=rx0)
+    np.testing.assert_allclose(float(res0.rays.fields["intensity"][0]), T,
+                               rtol=1e-12)
