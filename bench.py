@@ -148,6 +148,21 @@ def _measure(run, rays, scene, reps=3):
 def main():
     from tensorflowraytrace_tpu import trace
 
+    # Outage guard: when the TPU tunnel is hung, the first in-process
+    # jax.devices() blocks indefinitely.  Probe in a bounded subprocess
+    # first (3 tries, 120 s each) and fail with one clear line instead of
+    # a stall + raw traceback.  An explicit JAX_PLATFORMS=cpu run (local
+    # testing) skips the probe.
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        from tensorflowraytrace_tpu.utils.tpu_probe import probe_tpu
+
+        platform = probe_tpu(timeout=120, retries=3, retry_wait=60)
+        if platform is None:
+            log("TPU unavailable: bounded device probe failed/hung 3x "
+                "(tunnel outage?). Set JAX_PLATFORMS=cpu for a CPU run.")
+            sys.exit(1)
+        log(f"probe: platform={platform}")
+
     dtype = jnp.float32
     dev = jax.devices()[0]
     log(f"device: {dev} platform={dev.platform}")

@@ -13,11 +13,12 @@ default (TPU) env; skipped when no TPU is attached.
 
 import json
 import os
-import re
 import subprocess
 import sys
 
 import pytest
+
+from tensorflowraytrace_tpu.utils.tpu_probe import probe_tpu, tpu_env
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -33,13 +34,14 @@ FLOORS = {
 
 @pytest.fixture(scope="module")
 def agreement():
-    env = dict(os.environ)
     # undo the suite's CPU forcing; let the host env pick the TPU platform
-    env.pop("JAX_PLATFORMS", None)
-    env["XLA_FLAGS"] = re.sub(
-        r"--xla_force_host_platform_device_count=\d+", "",
-        env.get("XLA_FLAGS", "")).strip()
+    env = tpu_env()
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # A hung tunnel (platform registers, device calls block) would stall the
+    # 1200 s run below to ERROR; a bounded subprocess probe degrades that
+    # outage mode to a skip.
+    if probe_tpu(timeout=120, env=env) is None:
+        pytest.skip("no working TPU (device probe failed or hung)")
     r = subprocess.run(
         [sys.executable, os.path.join("examples", "cpu_tpu_agreement.py"),
          "--json"],
