@@ -310,12 +310,18 @@ def fresnel_intensity_reaction(base_reaction=default_reaction,
         rp = (eta * cos_t - cos_i) / rp_d
         reflectance = jnp.clip(0.5 * (rs * rs + rp * rp), 0.0, 1.0)
 
-        # lossless on every branch the child REFLECTS (the prelude's Snell
-        # branch, or the actual branch a direction-modifying base reaction
-        # reported via __reflects__)
+        # the effective reflectance of THIS interface: exactly 1 wherever
+        # the Snell geometry itself reflects (TIR: |r| = 1; mirror
+        # sentinel: r = -1 -- the clamped cos_t makes the computed value
+        # only approximately 1 there), else the Fresnel R.  The branch the
+        # child actually took (prelude, or a base reaction's __reflects__
+        # report: gratings, forced ghost branches) then selects R vs 1 - R
+        # -- so a FORCED reflection at a partial interface carries R, and a
+        # forced transmission under TIR carries exactly 0 (ghost-path
+        # energy bookkeeping, tests/test_ghost.py).
+        R_eff = jnp.where(reflects, jnp.ones_like(reflectance), reflectance)
         eff_reflects = _effective_reflects(base_updates, reflects)
-        factor = jnp.where(eff_reflects, jnp.ones_like(reflectance),
-                           1.0 - reflectance)
+        factor = jnp.where(eff_reflects, R_eff, 1.0 - R_eff)
         old = _chain_field(base_updates, rays, field,
                            "fresnel_intensity_reaction")
         return child_p0, child_p1, _merge_updates(
@@ -1380,3 +1386,147 @@ class SurfaceAbsorber(RayOperation):
         super().__init__(**kw)
         self.reaction = surface_absorber_reaction(absorptivity_tables,
                                                   base_reaction, field)
+
+
+# ======================================================================
+# ghost-path (multi-branch) tracing for coated optics
+# ======================================================================
+
+def branch_override_reaction(schedule, base_reaction=default_reaction):
+    """Deterministic ghost-path tracing: force the reflect/transmit branch
+    per optical interaction (VERDICT r3 next-round #3; the reference's
+    closest hook is GhostThrough, operation.py:311-333, which can only pass
+    straight through).
+
+    The fixed-slot engine follows exactly ONE child per interaction, so a
+    partially reflective surface (bare Fresnel or a thin-film beam
+    splitter) can weight both branches but never follow both.  This
+    reaction closes that gap without changing the engine: a *branch
+    schedule* assigns each interaction index a forced branch, and
+    re-tracing the same rays under different schedules enumerates the
+    ghost tree -- the standard stray-light analysis for coated optics
+    (double-bounce lens ghosts are schedule ``[0, 1, 1, 0]``: transmit,
+    reflect, reflect, transmit).
+
+    Parameters
+    ----------
+    schedule : (K,) int sequence or array
+        Per-interaction branch codes, indexed by the ray's own interaction
+        counter (the ``branch_ctr`` field, seeded with
+        :func:`seed_branch_counter`):
+
+        * ``-1`` -- follow physics (the base reaction's child: Snell
+          refract / TIR / mirror, or a grating's diffracted order),
+        * ``0``  -- force TRANSMIT: the Snell-refracted direction.  Under
+          TIR (no transmitted wave exists) the direction is the clamped
+          near-tangential limit and carries zero power through the
+          intensity trackers (T = 1 - R = 0); through an n == 0 mirror it
+          continues straight (GhostThrough semantics), also at zero power,
+        * ``1``  -- force REFLECT: the specular direction.
+
+        Interactions beyond ``len(schedule)`` follow physics.  May be a
+        traced array: vmapping one trace over a (P, K) batch of schedules
+        follows P ghost paths in a single compiled program (see
+        :func:`all_branch_schedules` and examples/ghost_analysis.py).
+
+    Composes as a BASE reaction under the field trackers, which follow the
+    forced branch through the reserved ``__reflects__`` update -- so
+    ``thin_film_intensity_reaction(..., base_reaction=
+    branch_override_reaction(sched))`` multiplies exactly the R's and T's
+    of the forced path: the traced ghost power IS the product the analytic
+    ghost formula predicts, and summing leaf powers over the full depth-K
+    binary tree conserves energy for lossless stacks (see
+    tests/test_ghost.py).
+    """
+
+    def reaction(proj, rays, cfg):
+        child_p0, child_p1, base_updates = _run_base(
+            base_reaction, proj, rays, cfg)
+        if "branch_ctr" not in rays.fields:
+            raise KeyError(
+                "branch_override_reaction: rays carry no 'branch_ctr' "
+                "field; seed the source rays with seed_branch_counter()")
+        dtype = rays.p0.dtype
+        eps = jnp.finfo(dtype).eps
+        ctr = rays.fields["branch_ctr"]
+
+        sched = jnp.asarray(schedule, jnp.int32).reshape(-1)
+        # append a follow-physics sentinel so interactions past the
+        # schedule's end gather -1 (clip keeps the gather in bounds)
+        sched = jnp.concatenate(
+            [sched, jnp.full((1,), -1, jnp.int32)])
+        idx = jnp.clip(ctr.astype(jnp.int32), 0, sched.shape[0] - 1)
+        force = sched[idx]
+
+        d, n, nu, cos_i, n_in, n_out, eta, radicand, tir, reflects = (
+            _fresnel_prelude(proj, rays))
+
+        # oriented normal m faces the incoming ray (m . d = -cos_i); at
+        # exactly-grazing nu == 0 pick +n (sign irrelevant: cos_i == 0)
+        sgn = jnp.where(nu >= 0, jnp.ones_like(nu), -jnp.ones_like(nu))
+        m = -sgn[:, None] * n
+
+        refl_dir = d - 2.0 * nu[:, None] * n
+        # forced transmit: vector Snell with the engine's clamped-radicand
+        # discipline (TIR slots get the near-tangential limit -- zero power
+        # via the trackers, finite gradients via the eps^2 floor)
+        cos_t = jnp.sqrt(jnp.maximum(radicand, eps * eps))
+        trans_dir = eta[:, None] * d + (eta * cos_i - cos_t)[:, None] * m
+        # through a mirror sentinel (eta == 0) the "transmitted" direction
+        # degenerates to ~0; continue straight instead (GhostThrough)
+        trans_dir = jnp.where((eta == 0.0)[:, None], d, trans_dir)
+
+        forced_dir = jnp.where((force == 1)[:, None], refl_dir, trans_dir)
+        length = jnp.asarray(cfg.new_ray_length, dtype)
+        use = force >= 0
+        p0 = jnp.where(use[:, None], rays.p1, child_p0)
+        p1 = jnp.where(use[:, None], rays.p1 + length * forced_dir,
+                       child_p1)
+
+        base_reflects = _effective_reflects(base_updates, reflects)
+        base_updates["__reflects__"] = jnp.where(use, force == 1,
+                                                 base_reflects)
+        return p0, p1, _merge_updates(base_updates,
+                                      {"branch_ctr": ctr + 1})
+
+    return reaction
+
+
+def seed_branch_counter(rays: RaySet) -> RaySet:
+    """Attach the ``branch_ctr`` interaction counter for
+    :func:`branch_override_reaction` (increments once per optical
+    interaction, so schedules index surface encounters, not scan steps)."""
+    return rays.with_field("branch_ctr",
+                           jnp.zeros((rays.n_rays,), jnp.int32))
+
+
+def all_branch_schedules(depth: int):
+    """The (2**depth, depth) int32 array of every forced branch schedule of
+    the given depth -- the full binary ghost tree.  Row bit j is the branch
+    at interaction j (0 transmit, 1 reflect); feed rows to
+    :func:`branch_override_reaction` (vmap over rows traces every path in
+    one program).
+
+    Leaves that exit the system after j < depth interactions are shared by
+    ``2**(depth - j)`` rows; divide such a leaf's power by that
+    multiplicity when summing the tree (or sum ``power / 2**(depth -
+    branch_ctr)`` uniformly -- see tests/test_ghost.py's conservation
+    check)."""
+    idx = jnp.arange(1 << depth, dtype=jnp.uint32)
+    bits = (idx[:, None] >> jnp.arange(depth, dtype=jnp.uint32)) & 1
+    return bits.astype(jnp.int32)
+
+
+class BranchOverride(RayOperation):
+    """Class-op wrapper for :func:`branch_override_reaction`: children
+    follow a forced reflect/transmit schedule for ghost-path enumeration."""
+
+    input_signature = frozenset({"branch_ctr", "wavelength"})
+    output_signature = frozenset({"branch_ctr"})
+    optical_signature = frozenset({"mat_in", "mat_out"})
+    material_signature = frozenset({"n"})
+    simple_ray_inheritance = frozenset({"branch_ctr", "wavelength"})
+
+    def __init__(self, schedule, base_reaction=default_reaction, **kw):
+        super().__init__(**kw)
+        self.reaction = branch_override_reaction(schedule, base_reaction)

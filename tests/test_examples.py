@@ -71,6 +71,7 @@ CASES = [
     ("strehl_lens", {"steps": 150, "n_segments": 32, "n_rays": 96}),
     ("tolerancing", {"samples": 128, "n_rays": 48}),
     ("stray_light", {"rays": 1200}),
+    ("ghost_analysis", {"rays": 101, "depth": 4, "make_plot": False}),
 ]
 
 
