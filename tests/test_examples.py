@@ -72,6 +72,8 @@ CASES = [
     ("tolerancing", {"samples": 128, "n_rays": 48}),
     ("stray_light", {"rays": 1200}),
     ("ghost_analysis", {"rays": 101, "depth": 4, "make_plot": False}),
+    ("streamed_trace", {"n_rays": 2048, "block": 512, "bounces": 6,
+                        "theta_res": 8, "z_res": 12, "scaling_points": 2}),
 ]
 
 

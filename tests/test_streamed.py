@@ -1,0 +1,208 @@
+"""Streaming mega-batch tracing: trace_streamed / parallel_trace_streamed.
+
+VERDICT r3 next-round #4: fold-style losses past the single-dispatch HBM
+ceiling.  Pins:
+
+* streamed == single-dispatch results exactly (scalar "sum" folds, per-ray
+  "concat" folds, state counts), including a ragged tail padded with DEAD
+  slots that no fold or count sees,
+* the block-generator path (rays as a callable: the input stream never
+  materializes),
+* differentiability through the stream with remat_blocks,
+* composition with sharding: 8-device parallel_trace_streamed equals the
+  single-device streamed result (one psum),
+* the OOM-adjacent error message in trace() pointing here.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorflowraytrace_tpu import (
+    FINISHED, RaySet, Scene2D, SegmentSet, TraceConfig, trace,
+)
+from tensorflowraytrace_tpu.engine import (
+    landing_sum_fold, path_length_fold, trace_streamed,
+)
+from tensorflowraytrace_tpu.ops import materials as mats
+
+F64 = jnp.float64
+PI = math.pi
+
+
+def guide_scene(dtype=F64):
+    """The many-bounce TIR wedge guide (cpu_tpu_agreement config 5 shape)
+    with a target plate at the tip."""
+    guide = SegmentSet.make(
+        [[-0.1, -4.0], [0.0, 4.0]],
+        [[0.0, 4.0], [0.1, -4.0]],
+        mat_in=1, mat_out=0, dtype=dtype)
+    tgt = SegmentSet.make([[-0.5, -4.2]], [[0.5, -4.2]], dtype=dtype)
+    scene = Scene2D.build(optical_segments=[guide], target_segments=[tgt])
+    return scene, (mats.vacuum, mats.acrylic)
+
+
+def lambertian_rays(n, dtype=F64, key=0):
+    from tensorflowraytrace_tpu.models import distributions as dist
+    from tensorflowraytrace_tpu.models import sources as src
+
+    angles = dist.RandomLambertianAngularDistribution(-0.35 * PI, 0.35 * PI, n)
+    beam = dist.RandomUniformBeam(-0.08, 0.08, n)
+    s = src.AngularSource(2, (0.0, 3.9), -PI / 2, angles, beam,
+                          [575.0] * n, dense=False)
+    return s.sample(jax.random.PRNGKey(key), dtype=dtype)
+
+
+CFG = TraceConfig(max_bounces=12)
+
+
+def landing_loss_fold(dtype):
+    return landing_sum_fold(lambda p1: p1[:, 0] ** 2, dtype)
+
+
+def test_streamed_scalar_fold_matches_single_dispatch():
+    scene, materials = guide_scene()
+    rays = lambertian_rays(1000)
+    init, fn = landing_loss_fold(F64)
+    full = trace(rays, scene, materials, CFG, fold_fn=fn, fold_init=init)
+    # 1000 rays in blocks of 256 -> 4 blocks, 24 DEAD padding slots
+    res = trace_streamed(rays, scene, materials, CFG, fold_fn=fn,
+                         fold_init=init, block_size=256)
+    assert res.n_blocks == 4 and res.n_rays == 1000
+    np.testing.assert_allclose(float(res.fold), float(full.fold), rtol=1e-12)
+    # state counts match the single dispatch (padding already subtracted)
+    states = np.asarray(full.rays.state)
+    expect = [int((states == c).sum()) for c in range(4)]
+    np.testing.assert_array_equal(np.asarray(res.state_counts), expect)
+    assert int(res.state_counts.sum()) == 1000
+    assert int(res.counts_by_name["finished"]) == expect[1]
+
+
+def test_streamed_per_ray_fold_concat():
+    """path_length_fold is per-slot: merge='concat' reassembles the (N,)
+    accumulator across blocks, trimming the padding."""
+    scene, materials = guide_scene()
+    rays = lambertian_rays(700)
+    init_f, fn = path_length_fold(700, F64)
+    full = trace(rays, scene, materials, CFG, fold_fn=fn, fold_init=init_f)
+    init_b, _ = path_length_fold(256, F64)
+    res = trace_streamed(rays, scene, materials, CFG, fold_fn=fn,
+                         fold_init=init_b, block_size=256, merge="concat")
+    assert res.fold.shape == (700,)
+    np.testing.assert_allclose(np.asarray(res.fold), np.asarray(full.fold),
+                               rtol=1e-12)
+
+
+def test_streamed_block_generator():
+    """rays as a callable: block i samples the source with fold_in(key, i);
+    the concatenated equivalent traced in one dispatch must agree."""
+    scene, materials = guide_scene()
+    block = 200
+    n_blocks = 3
+    key = jax.random.PRNGKey(7)
+
+    from tensorflowraytrace_tpu.models import distributions as dist
+    from tensorflowraytrace_tpu.models import sources as src
+
+    angles = dist.RandomLambertianAngularDistribution(-0.35 * PI, 0.35 * PI,
+                                                      block)
+    beam = dist.RandomUniformBeam(-0.08, 0.08, block)
+    s = src.AngularSource(2, (0.0, 3.9), -PI / 2, angles, beam,
+                          [575.0] * block, dense=False)
+
+    def _gen_block(i):
+        return s.sample(jax.random.fold_in(key, i), dtype=F64)
+
+    init, fn = landing_loss_fold(F64)
+    res = trace_streamed(_gen_block, scene, materials, CFG, fold_fn=fn,
+                         fold_init=init, block_size=block, n_blocks=n_blocks)
+    assert res.n_rays == block * n_blocks
+
+    import dataclasses
+
+    blocks = [_gen_block(i) for i in range(n_blocks)]
+    cat = jax.tree.map(lambda *a: jnp.concatenate(a), *blocks)
+    full = trace(cat, scene, materials, CFG, fold_fn=fn, fold_init=init)
+    np.testing.assert_allclose(float(res.fold), float(full.fold), rtol=1e-12)
+
+
+def test_streamed_gradient_matches_single_dispatch():
+    """Differentiate a landing loss through the stream (remat_blocks): the
+    gradient w.r.t. a target-plane shift equals the single-dispatch one."""
+    scene, materials = guide_scene()
+    rays = lambertian_rays(400)
+    init, fn = landing_loss_fold(F64)
+
+    def loss_stream(dx):
+        import dataclasses
+
+        r = dataclasses.replace(rays, p0=rays.p0 + jnp.asarray([dx, 0.0]),
+                                p1=rays.p1 + jnp.asarray([dx, 0.0]))
+        return trace_streamed(r, scene, materials, CFG, fold_fn=fn,
+                              fold_init=init, block_size=128).fold
+
+    def loss_full(dx):
+        import dataclasses
+
+        r = dataclasses.replace(rays, p0=rays.p0 + jnp.asarray([dx, 0.0]),
+                                p1=rays.p1 + jnp.asarray([dx, 0.0]))
+        return trace(r, scene, materials, CFG, fold_fn=fn,
+                     fold_init=init).fold
+
+    x = jnp.asarray(0.01, F64)
+    gs = jax.grad(loss_stream)(x)
+    gf = jax.grad(loss_full)(x)
+    assert np.isfinite(float(gs))
+    np.testing.assert_allclose(float(gs), float(gf), rtol=1e-10)
+
+
+def test_parallel_streamed_matches_local():
+    """8 virtual devices x streaming: sharded streamed fold == local
+    streamed fold == plain trace fold; counts global."""
+    from tensorflowraytrace_tpu.parallel import sharding as sh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    mesh = sh.ray_mesh(8)
+    scene, materials = guide_scene()
+    rays = lambertian_rays(1024)
+    init, fn = landing_loss_fold(F64)
+
+    full = trace(rays, scene, materials, CFG, fold_fn=fn, fold_init=init)
+    sharded = sh.shard_rays(rays, mesh)
+    res = sh.parallel_trace_streamed(
+        sharded, scene, materials, CFG, mesh=mesh, fold_fn=fn,
+        fold_init=init, block_size=64)
+    np.testing.assert_allclose(float(res.fold), float(full.fold),
+                               rtol=1e-12)
+    states = np.asarray(full.rays.state)
+    expect = [int((states == c).sum()) for c in range(4)]
+    np.testing.assert_array_equal(np.asarray(res.state_counts), expect)
+
+
+def test_trace_keep_history_oom_guidance():
+    """An absurd keep_history request fails fast with a message pointing at
+    folds + trace_streamed instead of a device OOM."""
+    scene, materials = guide_scene()
+    rays = lambertian_rays(8)
+    import dataclasses
+
+    big = dataclasses.replace(
+        rays, p0=jnp.broadcast_to(rays.p0[:1], (200_000_000, 2)),
+        p1=jnp.broadcast_to(rays.p1[:1], (200_000_000, 2)),
+        wavelength=jnp.broadcast_to(rays.wavelength[:1], (200_000_000,)),
+        state=jnp.broadcast_to(rays.state[:1], (200_000_000,)),
+        fields={})
+    with pytest.raises(ValueError, match="trace_streamed"):
+        trace(big, scene, materials,
+              TraceConfig(max_bounces=50, keep_history=True))
+
+
+def test_streamed_requires_fold():
+    scene, materials = guide_scene()
+    rays = lambertian_rays(8)
+    with pytest.raises(ValueError, match="fold"):
+        trace_streamed(rays, scene, materials, CFG)
