@@ -30,11 +30,21 @@ def run_on(device, fn, *args):
         return jax.tree.map(np.asarray, out)
 
 
-def compare(name, fn, rays, scene, results=None):
-    cpu = jax.devices("cpu")[0]
+def _tpu_device():
     try:
-        tpu = [d for d in jax.devices() if d.platform in ("tpu", "axon")][0]
+        return [d for d in jax.devices() if d.platform in ("tpu", "axon")][0]
     except IndexError:
+        return None
+
+
+def compare(name, fn, rays, scene, results=None):
+    """fn returns (p1, state) or (p1, state, {field: (N,) array}); field
+    deviations are reported RELATIVE to the field's CPU scale, conditioned
+    on same-fate rays (the r3 field trackers ride the same trace, so a
+    fate flip legitimately diverges every field too)."""
+    cpu = jax.devices("cpu")[0]
+    tpu = _tpu_device()
+    if tpu is None:
         print("no TPU attached; nothing to compare")
         return
     r_cpu = run_on(cpu, fn, rays, scene)
@@ -48,9 +58,37 @@ def compare(name, fn, rays, scene, results=None):
     print(f"{name:32s} state agreement = {100 * state_agree:.3f}% "
           f"({int((~same).sum())} edge rays); "
           f"max|p1_cpu - p1_tpu| (same-fate) = {p1_dev:.3e}")
+    entry = {"state_agreement": float(state_agree),
+             "max_same_fate_dev": float(p1_dev)}
+    if len(r_cpu) > 2:
+        field_devs = {}
+        for k in r_cpu[2]:
+            a, b = r_cpu[2][k], r_tpu[2][k]
+            d = np.abs(a - b)[same]
+            scale = max(float(np.abs(a[same]).max()) if same.any() else 0.0,
+                        1e-30)
+            field_devs[k] = float(d.max() / scale) if d.size else 0.0
+            print(f"  field {k:12s} max rel dev (same-fate) = "
+                  f"{field_devs[k]:.3e}")
+        entry["field_devs"] = field_devs
     if results is not None:
-        results[name] = {"state_agreement": float(state_agree),
-                         "max_same_fate_dev": float(p1_dev)}
+        results[name] = entry
+
+
+def compare_values(name, fn, *args, results=None):
+    """Direct array comparison (no ray fates): max deviation relative to
+    the CPU result's peak -- for grid quantities like the Huygens PSF."""
+    cpu = jax.devices("cpu")[0]
+    tpu = _tpu_device()
+    if tpu is None:
+        print("no TPU attached; nothing to compare")
+        return
+    a = run_on(cpu, fn, *args)
+    b = run_on(tpu, fn, *args)
+    rel = float(np.abs(a - b).max() / max(float(np.abs(a).max()), 1e-30))
+    print(f"{name:32s} max rel dev = {rel:.3e}")
+    if results is not None:
+        results[name] = {"max_rel_dev": rel}
 
 
 def main():
@@ -124,6 +162,113 @@ def main():
         return res.rays.p1, res.rays.state
 
     compare("2D TIR guide (depth 50)", traceg, raysg, sceneg, results)
+
+    # ------------------------------------------------------------------
+    # r3 field trackers (VERDICT r3 next-round #5): nothing below changes
+    # ray geometry vs the configs above -- these pin the PHYSICS fields a
+    # TPU-only numerics regression would otherwise slip past
+    # ------------------------------------------------------------------
+    from tensorflowraytrace_tpu.operations import (
+        fresnel_intensity_reaction, jones_polarization_reaction,
+        optical_path_reaction, seed_optical_path, seed_polarization,
+        stokes_parameters, thin_film_intensity_reaction, total_optical_path,
+    )
+    from tensorflowraytrace_tpu.ops import thinfilm
+
+    # config 6: composed intensity + OPL through the dispersive arc lens
+    rays_t = seed_optical_path(rays2d).with_field(
+        "intensity", jnp.ones((rays2d.n_rays,), f32))
+    rx_t = optical_path_reaction(
+        base_reaction=fresnel_intensity_reaction())
+
+    def trace_trackers(r, s):
+        res = trace(r, s, m2, TraceConfig(max_bounces=2), reaction=rx_t)
+        return res.rays.p1, res.rays.state, {
+            "intensity": res.rays.fields["intensity"],
+            "opl_total": total_optical_path(res.rays)}
+
+    compare("intensity+OPL (dispersive arc)", trace_trackers, rays_t,
+            scene2d, results)
+
+    # config 7: Jones through two TIRs (the Fresnel rhomb channel)
+    theta = 0.88
+    climb = math.pi / 2 - theta
+    t = math.tan(climb)
+    x1, x2 = 1.0 / t, 3.0 / t
+
+    def wall(xc, y, mat_in, mat_out):
+        return SegmentSet.make([[xc - 0.6, y]], [[xc + 0.6, y]],
+                               mat_in=mat_in, mat_out=mat_out, dtype=f32)
+
+    scene_rh = Scene2D.build(optical_segments=[
+        wall(x1, 1.0, 1, 0), wall(x2, -1.0, 0, 1)])
+    nrh = 64
+    y0 = np.linspace(-0.05, 0.05, nrh)
+    p0 = np.stack([np.zeros(nrh), y0], axis=1)
+    d = np.tile([math.cos(climb), math.sin(climb)], (nrh, 1))
+    rays_rh = seed_polarization(
+        RaySet.make(jnp.asarray(p0, f32), jnp.asarray(p0 + d, f32), 550.0,
+                    dtype=f32),
+        jones=(1 / math.sqrt(2.0), 1 / math.sqrt(2.0)))
+
+    def trace_rhomb(r, s):
+        res = trace(r, s, m2, TraceConfig(max_bounces=2),
+                    reaction=jones_polarization_reaction())
+        st = stokes_parameters(res.rays)
+        return res.rays.p1, res.rays.state, {k: st[k] for k in
+                                             ("S0", "S1", "S2", "S3")}
+
+    compare("Jones rhomb (two TIRs)", trace_rhomb, rays_rh, scene_rh,
+            results)
+
+    # config 8: thin-film R/T at oblique incidence (quarter-wave MgF2 on
+    # the glass wall, 45-degree beam)
+    nf = 1.38
+    d_qw = float(thinfilm.quarter_wave_thickness(nf, 550.0))
+    wall_c = SegmentSet.make([[2.0, -50.0]], [[2.0, 50.0]], mat_in=1,
+                             mat_out=0, dtype=f32)
+    tgt_c = SegmentSet.make([[6.0, -50.0]], [[6.0, 50.0]], dtype=f32)
+    scene_c = Scene2D.build(optical_segments=[wall_c],
+                            target_segments=[tgt_c])
+    nc = 128
+    yc = np.linspace(-1.0, 1.0, nc)
+    p0c = np.stack([np.zeros(nc), yc], axis=1)
+    dc = np.tile([math.sqrt(0.5), math.sqrt(0.5)], (nc, 1))
+    lamc = np.linspace(480.0, 620.0, nc)
+    rays_c = RaySet.make(jnp.asarray(p0c, f32), jnp.asarray(p0c + dc, f32),
+                         jnp.asarray(lamc, f32), dtype=f32).with_field(
+        "intensity", jnp.ones((nc,), f32))
+    rx_c = thin_film_intensity_reaction(
+        [[(nf, d_qw)]], {"segments": np.asarray([0, -1])})
+
+    def trace_coated(r, s):
+        res = trace(r, s, m2, TraceConfig(max_bounces=2), reaction=rx_c)
+        return res.rays.p1, res.rays.state, {
+            "intensity": res.rays.fields["intensity"]}
+
+    compare("thin-film oblique (45deg)", trace_coated, rays_c, scene_c,
+            results)
+
+    # config 9: a small Huygens PSF grid (coherent wavelet sum -- the most
+    # cancellation-prone r3 quantity)
+    from tensorflowraytrace_tpu.analysis import huygens_psf
+
+    npts = 256
+    rng = np.random.default_rng(3)
+    src_pts = jnp.asarray(
+        np.stack([np.zeros(npts), rng.uniform(-0.5, 0.5, npts)], axis=1),
+        f32)
+    opl_psf = jnp.asarray(rng.uniform(0.0, 2e-3, npts), f32)
+    gx = np.linspace(199.7, 200.3, 32)
+    gy = np.linspace(-0.3, 0.3, 32)
+    grid = jnp.asarray(np.stack([np.repeat(gx, 32), np.tile(gy, 32)],
+                                axis=1), f32)
+
+    def psf_fn(s, o, g):
+        return huygens_psf(s, o, 0.55e-3, g)
+
+    compare_values("Huygens PSF (32x32 grid)", psf_fn, src_pts, opl_psf,
+                   grid, results=results)
     return results
 
 

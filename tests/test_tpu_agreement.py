@@ -29,6 +29,27 @@ FLOORS = {
                                      "max_same_fate_dev": 1e-4},
     "2D TIR guide (depth 50)": {"state_agreement": 0.995,
                                 "max_same_fate_dev": None},
+    # r3 field trackers (VERDICT r3 next-round #5).  Floors are provisional
+    # (set from f32 arithmetic-depth reasoning during the tunnel outage);
+    # tighten to ~3x the measured deviation once a TPU run lands numbers.
+    "intensity+OPL (dispersive arc)": {
+        "state_agreement": 0.97, "max_same_fate_dev": 1e-4,
+        "field_devs": {"intensity": 1e-4, "opl_total": 1e-4}},
+    "Jones rhomb (two TIRs)": {
+        "state_agreement": 0.97, "max_same_fate_dev": 1e-4,
+        "field_devs": {"S0": 1e-4, "S1": 1e-3, "S2": 1e-3, "S3": 1e-4}},
+    "thin-film oblique (45deg)": {
+        "state_agreement": 0.97, "max_same_fate_dev": 1e-4,
+        # complex64 characteristic-matrix chain: looser than the plain
+        # Fresnel fields
+        "field_devs": {"intensity": 1e-3}},
+}
+
+# grid-valued configs (no ray fates): floors on max deviation relative to
+# the CPU peak.  The coherent wavelet sum is cancellation-prone in f32 --
+# generous until measured.
+VALUE_FLOORS = {
+    "Huygens PSF (32x32 grid)": {"max_rel_dev": 5e-3},
 }
 
 
@@ -67,3 +88,18 @@ def test_agreement_floor(agreement, config):
         assert got["max_same_fate_dev"] <= floors["max_same_fate_dev"], (
             f"{config}: same-fate deviation {got['max_same_fate_dev']:.3e} "
             f"above floor {floors['max_same_fate_dev']:.1e}")
+    for field, floor in floors.get("field_devs", {}).items():
+        dev = got["field_devs"][field]
+        assert dev <= floor, (
+            f"{config}: field {field!r} rel deviation {dev:.3e} above floor "
+            f"{floor:.1e} -- TPU physics regression in the r3 trackers?")
+
+
+@pytest.mark.tpu
+@pytest.mark.parametrize("config", sorted(VALUE_FLOORS))
+def test_value_floor(agreement, config):
+    floors = VALUE_FLOORS[config]
+    got = agreement[config]
+    assert got["max_rel_dev"] <= floors["max_rel_dev"], (
+        f"{config}: max rel deviation {got['max_rel_dev']:.3e} above floor "
+        f"{floors['max_rel_dev']:.1e}")
