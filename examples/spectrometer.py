@@ -106,6 +106,37 @@ def main(steps=400):
         np.asarray(y) - np.linspace(y[0], y[-1], 21))))
     print(f"band check: 21 wavelengths match the grating equation; "
           f"max deviation from linear dispersion {nonlin:.4f}")
+
+    # throughput, not just geometry: supply a measured-style blaze
+    # efficiency curve for order 1 and re-trace the band with the intensity
+    # tracker -- per-ray detected power is eta(lambda), the spectrometer's
+    # radiometric response
+    from tensorflowraytrace_tpu.operations import fresnel_intensity_reaction
+
+    blaze = 550.0
+
+    def eta(order, wavelength, cos_i):
+        return 0.82 * jnp.exp(-((wavelength - blaze * order) / 180.0) ** 2)
+
+    scene = build(params[1], dtype)
+    rx = fresnel_intensity_reaction(
+        base_reaction=grating_reaction(
+            [(params[0], 1, "transmission")],
+            {"segments": jnp.asarray([0, -1])}, efficiencies=[eta]))
+    n = lams.shape[0]
+    rays = RaySet.make(
+        jnp.zeros((n, 2), dtype),
+        jnp.concatenate([jnp.ones((n, 1), dtype),
+                         jnp.zeros((n, 1), dtype)], axis=1),
+        lams, dtype=dtype).with_field("intensity", jnp.ones(n, dtype))
+    res = trace(rays, scene, (mats.vacuum,), TraceConfig(max_bounces=2),
+                reaction=rx)
+    thru = np.asarray(res.rays.fields["intensity"])
+    expect = 0.82 * np.exp(-((np.asarray(lams) - blaze) / 180.0) ** 2)
+    np.testing.assert_allclose(thru, expect, rtol=1e-6)
+    print(f"throughput across the band: {thru.min():.3f} .. "
+          f"{thru.max():.3f} (blaze curve applied per-ray; band-average "
+          f"{thru.mean():.3f})")
     print("OK")
 
 

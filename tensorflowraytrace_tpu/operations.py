@@ -322,6 +322,12 @@ def fresnel_intensity_reaction(base_reaction=default_reaction,
         R_eff = jnp.where(reflects, jnp.ones_like(reflectance), reflectance)
         eff_reflects = _effective_reflects(base_updates, reflects)
         factor = jnp.where(eff_reflects, R_eff, 1.0 - R_eff)
+        # a diffraction-efficiency report from a grating/metasurface base
+        # reaction: applied exactly once (popped) by the innermost
+        # intensity tracker in a composed stack
+        eta = base_updates.pop("__efficiency__", None)
+        if eta is not None:
+            factor = factor * eta
         old = _chain_field(base_updates, rays, field,
                            "fresnel_intensity_reaction")
         return child_p0, child_p1, _merge_updates(
@@ -784,6 +790,11 @@ def thin_film_intensity_reaction(stacks, coat_ids,
         R = jnp.clip(jnp.real(0.5 * (jnp.abs(rs) ** 2 + jnp.abs(rp) ** 2)),
                      0.0, 1.0).astype(dtype)
         factor = jnp.where(reflects, R, 1.0 - R)
+        # diffraction-efficiency report from a grating/metasurface base
+        # reaction (see fresnel_intensity_reaction)
+        eta = base_updates.pop("__efficiency__", None)
+        if eta is not None:
+            factor = factor * eta
         return child_p0, child_p1, _merge_updates(
             base_updates, {field: old * factor.astype(old.dtype)})
 
@@ -811,7 +822,8 @@ class ThinFilmIntensity(RayOperation):
 # diffraction gratings (spectrometer / dispersive design)
 # ======================================================================
 
-def grating_reaction(gratings, grating_ids, base_reaction=default_reaction):
+def grating_reaction(gratings, grating_ids, base_reaction=default_reaction,
+                     efficiencies=None):
     """Diffraction-grating surfaces: the vector grating equation as a
     reaction (beyond the reference, which has only Snell surfaces).
 
@@ -828,9 +840,10 @@ def grating_reaction(gratings, grating_ids, base_reaction=default_reaction):
     ``lambda`` the VACUUM wavelength in the same units as ``a`` (nm by
     convention).  Order m = 0 transmission reduces exactly to Snell
     refraction.  Evanescent orders (|u_out_t| > 1) fall back to the base
-    reaction's child, as do non-grating surfaces.  Geometric model only --
-    diffraction efficiency is not modeled (pair with a field tracker and a
-    measured efficiency factor if needed).
+    reaction's child, as do non-grating surfaces.  The geometry is exact;
+    the POWER into the followed order comes from ``efficiencies`` (the
+    groove-profile electromagnetics are not solved -- supply measured or
+    vendor curves).
 
     Parameters
     ----------
@@ -845,9 +858,22 @@ def grating_reaction(gratings, grating_ids, base_reaction=default_reaction):
         ``{"triangles": arr}`` / ``{"segments": arr, "arcs": arr}``,
         aligned with the scene's merged surface sets; index into
         ``gratings``, -1 = ordinary surface.
+    efficiencies : optional sequence aligned with ``gratings``
+        Diffraction efficiency of the followed order, per grating: ``None``
+        (unit power -- geometry only), a float, or a callable
+        ``eta(order, wavelength, cos_i) -> (N,)`` (order is the grating's
+        static m; wavelength / cos_i are per-ray) for measured or vendor
+        efficiency curves.  Emitted as the reserved ``__efficiency__``
+        update, which the intensity trackers
+        (:func:`fresnel_intensity_reaction` /
+        :func:`thin_film_intensity_reaction`) multiply into the followed
+        branch's power exactly once -- so per-order traced powers sum to
+        the table's sum (<= 1 for a physical table), and the spectrometer
+        reports THROUGHPUT (see examples/spectrometer.py).  Traced values
+        are supported: efficiency models can be fit to measurements.
 
-    Fully differentiable in spacing, geometry and wavelength (clamped sqrt
-    at grazing emergence).
+    Fully differentiable in spacing, geometry, wavelength and efficiency
+    (clamped sqrt at grazing emergence).
 
     Field trackers (intensity / OPL / absorption / Jones) compose as OUTER
     wrappers -- ``optical_path_reaction(base_reaction=grating_reaction(...))``
@@ -918,6 +944,23 @@ def grating_reaction(gratings, grating_ids, base_reaction=default_reaction):
         # trackers (reserved key; consumed by _effective_reflects, dropped
         # by the engine otherwise)
         base_updates["__reflects__"] = jnp.where(use, is_refl, reflects)
+        if efficiencies is not None:
+            eff = jnp.ones((rays.n_rays,), dtype)
+            for s, e in enumerate(efficiencies):
+                if e is None:
+                    continue
+                m_s = gratings[s][1]
+                val = (e(m_s, rays.wavelength, cos_i) if callable(e)
+                       else jnp.asarray(e, dtype))
+                val = jnp.broadcast_to(jnp.asarray(val, dtype),
+                                       (rays.n_rays,))
+                eff = jnp.where(grat == s, val, eff)
+            # chain multiplicatively over whatever an inner reaction
+            # already emitted; the first OUTER intensity tracker pops and
+            # applies it exactly once
+            base_updates["__efficiency__"] = (
+                base_updates.get("__efficiency__", 1.0)
+                * jnp.where(use, eff, jnp.ones_like(eff)))
         return p0, p1, base_updates
 
     return reaction
@@ -933,10 +976,11 @@ class Grating(RayOperation):
     simple_ray_inheritance = frozenset({"wavelength"})
 
     def __init__(self, gratings, grating_ids,
-                 base_reaction=default_reaction, **kw):
+                 base_reaction=default_reaction, efficiencies=None, **kw):
         super().__init__(**kw)
         self.reaction = grating_reaction(gratings, grating_ids,
-                                         base_reaction)
+                                         base_reaction,
+                                         efficiencies=efficiencies)
 
 
 # ======================================================================
@@ -1065,7 +1109,8 @@ class Absorption(RayOperation):
 # metasurfaces (generalized law of refraction)
 # ======================================================================
 
-def metasurface_reaction(phases, meta_ids, base_reaction=default_reaction):
+def metasurface_reaction(phases, meta_ids, base_reaction=default_reaction,
+                         efficiencies=None):
     """Metasurface / phase-profile surfaces: the generalized law of
     refraction [Yu et al., Science 334, 333 (2011)] as a reaction.
 
@@ -1094,11 +1139,17 @@ def metasurface_reaction(phases, meta_ids, base_reaction=default_reaction):
         ``{"triangles": arr}`` / ``{"segments": arr, "arcs": arr}``,
         index into ``phases``, -1 = ordinary surface.
 
+    efficiencies : optional sequence aligned with ``phases``
+        Power efficiency of the imparted kick, per profile: ``None``
+        (unit), a float, or ``eta(wavelength, cos_i) -> (N,)`` (the
+        nanostructure electromagnetics are not solved -- supply measured
+        curves, e.g. a metalens's chromatic efficiency roll-off).  Same
+        reserved ``__efficiency__`` mechanism as :func:`grating_reaction`.
+
     Evanescent kicks (|u_out_t| >= 1) fall back to the base reaction's
-    child.  Geometric model only: diffraction efficiency of the
-    nanostructures is not modeled.  Field trackers compose as OUTER
-    wrappers and follow the actual branch via the reserved ``__reflects__``
-    update (see :func:`grating_reaction`).
+    child.  Field trackers compose as OUTER wrappers and follow the actual
+    branch via the reserved ``__reflects__`` update (see
+    :func:`grating_reaction`).
     """
     phases = list(phases)
 
@@ -1150,6 +1201,19 @@ def metasurface_reaction(phases, meta_ids, base_reaction=default_reaction):
         base_updates["__opl_add__"] = jnp.where(
             use, phi * rays.wavelength / (2.0 * jnp.pi),
             jnp.zeros_like(phi))
+        if efficiencies is not None:
+            eff = jnp.ones((rays.n_rays,), dtype)
+            for s, e in enumerate(efficiencies):
+                if e is None:
+                    continue
+                val = (e(rays.wavelength, cos_i) if callable(e)
+                       else jnp.asarray(e, dtype))
+                val = jnp.broadcast_to(jnp.asarray(val, dtype),
+                                       (rays.n_rays,))
+                eff = jnp.where(meta == s, val, eff)
+            base_updates["__efficiency__"] = (
+                base_updates.get("__efficiency__", 1.0)
+                * jnp.where(use, eff, jnp.ones_like(eff)))
         return p0, p1, base_updates
 
     return reaction
@@ -1185,9 +1249,10 @@ class Metasurface(RayOperation):
     simple_ray_inheritance = frozenset({"wavelength"})
 
     def __init__(self, phases, meta_ids, base_reaction=default_reaction,
-                 **kw):
+                 efficiencies=None, **kw):
         super().__init__(**kw)
-        self.reaction = metasurface_reaction(phases, meta_ids, base_reaction)
+        self.reaction = metasurface_reaction(phases, meta_ids, base_reaction,
+                                             efficiencies=efficiencies)
 
 
 # ======================================================================
