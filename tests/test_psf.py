@@ -213,3 +213,21 @@ def test_encircled_energy_main_lobe():
         huygens_psf(res.rays.p0, o, LAM, grid), grid,
         jnp.asarray([f, 0.0], F64), [y_zero])[0])(res.rays.fields["opl"])
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_polychromatic_psf_chunked_matches_dense():
+    """The grouped ray-chunked path (one scan, (G, K) carry) equals the
+    dense one-dispatch evaluation exactly, including a ragged tail."""
+    from tensorflowraytrace_tpu.analysis import polychromatic_psf
+
+    res, f, n_glass, half_ap = perfect_lens_result()
+    ys_g = np.linspace(-0.01, 0.01, 101)
+    grid = jnp.asarray(np.stack([np.full_like(ys_g, f), ys_g], axis=1), F64)
+    scale = 1e-6
+    lines = [550.0]
+    dense = np.asarray(polychromatic_psf(res, grid, lines, scale))
+    chunk = np.asarray(polychromatic_psf(res, grid, lines, scale,
+                                         ray_chunk=37))
+    # blockwise summation reorders the adds; 1e-8 is pure rounding room
+    np.testing.assert_allclose(chunk, dense, rtol=1e-8,
+                               atol=1e-10 * dense.max())
