@@ -33,6 +33,7 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
+import collections.abc as _abc
 from typing import List
 
 import jax
@@ -49,53 +50,57 @@ from tensorflowraytrace_tpu.models.surfaces import (
 from tensorflowraytrace_tpu.update import RecursivelyUpdatable
 
 
-class ReadOnlySet:
-    """Read-only dict-like view of a field set (engine.py:27-47)."""
+class ReadOnlySet(_abc.Mapping):
+    """Immutable mapping view over a field set.
+
+    API-compat stand-in for the reference's ReadOnlySet (engine.py:27-47);
+    built on ``collections.abc.Mapping`` so iteration / ``len`` / ``in`` /
+    ``items`` all work, which the reference's hand-rolled version lacked.
+    """
 
     def __init__(self, fields):
-        self._fields = fields
+        self._fields = dict(fields)
 
     def __getitem__(self, key):
-        try:
-            return self._fields[key]
-        except KeyError as e:
-            raise KeyError(f"key {key} not in the signature of this set.") from e
+        if key not in self._fields:
+            raise KeyError(
+                f"{key!r} is not carried by this set (available: "
+                f"{sorted(map(str, self._fields))})")
+        return self._fields[key]
+
+    def __iter__(self):
+        return iter(self._fields)
+
+    def __len__(self):
+        return len(self._fields)
 
     def __bool__(self):
         return bool(self._fields)
 
-    def keys(self):
-        return self._fields.keys()
-
 
 def amalgamate(stuff, signature=None):
-    """Join a list of indexable field sets into one dict by concatenation on
-    the common (or given) signature (engine.py:50-76)."""
-    processed = [item for item in stuff if bool(item)]
-    if not processed:
+    """Concatenate field sets along the element axis on their shared (or
+    explicitly given) signature.  API-compat with reference engine.py:50-76;
+    empty sets are skipped, an all-empty input gives ``{}``."""
+    nonempty = [s for s in stuff if bool(s)]
+    if not nonempty:
         return {}
     if not signature:
-        signature = None
-        for item in processed:
-            keys = set(item.keys())
-            signature = keys if signature is None else signature & keys
-    return {
-        field: jnp.concatenate([jnp.asarray(item[field]) for item in processed], 0)
-        for field in signature
-    }
+        signature = set.intersection(*(set(s.keys()) for s in nonempty))
+    return {f: jnp.concatenate([jnp.asarray(s[f]) for s in nonempty], axis=0)
+            for f in signature}
 
 
-def recursive_dict_key_print(dict_in, spacer=""):
-    """Debug printer for nested result dicts (engine.py:80-99)."""
-    if not isinstance(dict_in, dict):
+def recursive_dict_key_print(tree, spacer="", _print=print):
+    """Pretty-print the key structure of a nested dict, with array shapes
+    where leaves have them (debug aid; API-compat with reference
+    engine.py:80-99)."""
+    if not isinstance(tree, dict):
         return
-    next_spacer = spacer + "    "
-    for key, value in dict_in.items():
-        try:
-            print(spacer, f"{key} : {value.shape}")
-        except AttributeError:
-            print(spacer, key)
-        recursive_dict_key_print(value, next_spacer)
+    for key, value in tree.items():
+        shape = getattr(value, "shape", None)
+        _print(spacer, f"{key} : {shape}" if shape is not None else key)
+        recursive_dict_key_print(value, spacer + "    ", _print)
 
 
 def annotation_helper(parent, field, value, valid_shape_field, dtype=None):
