@@ -1595,3 +1595,131 @@ class BranchOverride(RayOperation):
     def __init__(self, schedule, base_reaction=default_reaction, **kw):
         super().__init__(**kw)
         self.reaction = branch_override_reaction(schedule, base_reaction)
+
+
+def russian_roulette_reaction(key, base_reaction=default_reaction,
+                              roulette_ids=None, defensive_floor=0.0):
+    """Stochastic multi-branch tracing: sample reflect-vs-transmit with
+    probability proportional to the branch's Fresnel power, compensating
+    the weight so intensity estimates stay UNBIASED -- the production
+    Monte-Carlo complement to :func:`branch_override_reaction`'s exact
+    ghost-tree enumeration (2^K schedules): one stochastic trace of N rays
+    explores the whole tree at O(N) cost, with variance instead of
+    exponential path count.
+
+    At each sampled interface the reaction draws u ~ U[0,1) from the same
+    stateless per-ray counter stream the rough-surface reaction uses
+    (``rr_ctr`` field, seed with :func:`seed_roulette`; same key -> same
+    trace, vmap over keys -> ensembles) and reflects iff ``u < p`` with
+    ``p = R_eff`` (the effective Fresnel reflectance: exactly 1 under
+    TIR/mirror, so those stay deterministic).  It reports the sampled
+    branch via ``__reflects__`` and the compensation ``1/p`` (reflect) or
+    ``1/(1-p)`` (transmit) via ``__efficiency__`` -- the intensity tracker
+    then multiplies ``R_eff / p`` or ``(1 - R_eff)/(1 - p)``, which is
+    exactly 1 when sampling is power-proportional: the carried intensity
+    stays 1 and the LANDED RAY COUNT distribution is the power
+    distribution.  ``defensive_floor`` > 0 clamps p into
+    [floor, 1 - floor] on partial interfaces (bounded weights, classic
+    defensive sampling); weights then differ from 1 but the estimator
+    remains unbiased (tests/test_roulette.py pins both properties against
+    the deterministic branch-tree enumeration).
+
+    ``roulette_ids``: optional per-surface tables (like ``grating_ids``);
+    surfaces marked -1 follow the base reaction deterministically.  Omit to
+    sample EVERY optical interface.  Bare-Fresnel reflectance only: for
+    thin-film-coated surfaces the compensation must use the stack's R --
+    enumerate those deterministically (branch_override) or extend via a
+    custom reflectance model.  Beyond the reference (tfrt follows one
+    branch, always).
+    """
+
+    def reaction(proj, rays, cfg):
+        child_p0, child_p1, base_updates = _run_base(
+            base_reaction, proj, rays, cfg)
+        if "rr_ctr" not in rays.fields:
+            raise KeyError(
+                "russian_roulette_reaction: rays carry no 'rr_ctr' field; "
+                "seed the source rays with seed_roulette()")
+        dtype = rays.p0.dtype
+        eps = jnp.finfo(dtype).eps
+        n_rays = rays.n_rays
+        ctr = rays.fields["rr_ctr"]
+
+        d, n, nu, cos_i, n_in, n_out, eta, radicand, tir, reflects = (
+            _fresnel_prelude(proj, rays))
+
+        # effective reflectance, same clamp discipline as the intensity
+        # tracker (R == 1 exactly under TIR / mirror)
+        cos_t = jnp.sqrt(jnp.maximum(radicand, eps * eps))
+        rs_d = jnp.maximum(eta * cos_i + cos_t, eps)
+        rp_d = jnp.maximum(eta * cos_t + cos_i, eps)
+        rs = (eta * cos_i - cos_t) / rs_d
+        rp = (eta * cos_t - cos_i) / rp_d
+        R = jnp.clip(0.5 * (rs * rs + rp * rp), 0.0, 1.0)
+        R_eff = jnp.where(reflects, jnp.ones_like(R), R)
+
+        partial = (R_eff > 0.0) & (R_eff < 1.0)
+        if defensive_floor:
+            f = jnp.asarray(defensive_floor, dtype)
+            p = jnp.where(partial, jnp.clip(R_eff, f, 1.0 - f), R_eff)
+        else:
+            p = R_eff
+
+        mix = (jnp.arange(n_rays, dtype=jnp.uint32)
+               + ctr.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(key, mix)
+        u = jax.vmap(lambda k: jax.random.uniform(k, (), dtype))(keys)
+        take_reflect = u < p
+
+        # forced-branch geometry (same construction as branch_override)
+        sgn = jnp.where(nu >= 0, jnp.ones_like(nu), -jnp.ones_like(nu))
+        m = -sgn[:, None] * n
+        refl_dir = d - 2.0 * nu[:, None] * n
+        trans_dir = eta[:, None] * d + (eta * cos_i - cos_t)[:, None] * m
+        trans_dir = jnp.where((eta == 0.0)[:, None], d, trans_dir)
+        chosen = jnp.where(take_reflect[:, None], refl_dir, trans_dir)
+
+        if roulette_ids is None:
+            marked = jnp.ones((n_rays,), bool)
+        else:
+            marked = _per_surface_table(proj, roulette_ids, n_rays, -1) >= 0
+        length = jnp.asarray(cfg.new_ray_length, dtype)
+        p0 = jnp.where(marked[:, None], rays.p1, child_p0)
+        p1 = jnp.where(marked[:, None], rays.p1 + length * chosen, child_p1)
+
+        base_reflects = _effective_reflects(base_updates, reflects)
+        base_updates["__reflects__"] = jnp.where(marked, take_reflect,
+                                                 base_reflects)
+        tiny = jnp.finfo(dtype).tiny
+        comp = jnp.where(take_reflect,
+                         1.0 / jnp.maximum(p, tiny),
+                         1.0 / jnp.maximum(1.0 - p, tiny))
+        base_updates["__efficiency__"] = (
+            base_updates.get("__efficiency__", 1.0)
+            * jnp.where(marked, comp, jnp.ones_like(comp)))
+        return p0, p1, _merge_updates(base_updates, {"rr_ctr": ctr + 1})
+
+    return reaction
+
+
+def seed_roulette(rays: RaySet) -> RaySet:
+    """Attach the ``rr_ctr`` interaction counter for
+    :func:`russian_roulette_reaction`."""
+    return rays.with_field("rr_ctr", jnp.zeros((rays.n_rays,), jnp.int32))
+
+
+class RussianRoulette(RayOperation):
+    """Class-op wrapper for :func:`russian_roulette_reaction`: stochastic
+    power-proportional branch sampling for Monte-Carlo stray light."""
+
+    input_signature = frozenset({"rr_ctr", "wavelength"})
+    output_signature = frozenset({"rr_ctr"})
+    optical_signature = frozenset({"mat_in", "mat_out"})
+    material_signature = frozenset({"n"})
+    simple_ray_inheritance = frozenset({"rr_ctr", "wavelength"})
+
+    def __init__(self, key, base_reaction=default_reaction,
+                 roulette_ids=None, defensive_floor=0.0, **kw):
+        super().__init__(**kw)
+        self.reaction = russian_roulette_reaction(
+            key, base_reaction, roulette_ids, defensive_floor)
