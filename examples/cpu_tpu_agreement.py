@@ -65,7 +65,13 @@ def compare(name, fn, rays, scene, results=None):
         for k in r_cpu[2]:
             a, b = r_cpu[2][k], r_tpu[2][k]
             d = np.abs(a - b)[same]
-            scale = max(float(np.abs(a[same]).max()) if same.any() else 0.0,
+            # Stokes components are bounded by S0; normalizing S1/S2/S3 by
+            # their OWN scale turns an analytically-zero component (e.g. S1
+            # after a quarter-wave rhomb) into 0/0 noise -- measured: S1
+            # "rel dev" 2.2 that was really 2e-8 absolute.  Use S0's scale.
+            sk = "S0" if k in ("S1", "S2", "S3") and "S0" in r_cpu[2] else k
+            ref = r_cpu[2][sk]
+            scale = max(float(np.abs(ref[same]).max()) if same.any() else 0.0,
                         1e-30)
             field_devs[k] = float(d.max() / scale) if d.size else 0.0
             print(f"  field {k:12s} max rel dev (same-fate) = "

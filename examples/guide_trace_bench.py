@@ -21,9 +21,16 @@ import time
 
 import jax
 
-os.makedirs(os.path.expanduser("~/.jax_bench_cache"), exist_ok=True)
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.jax_bench_cache"))
+if __name__ == "__main__":
+    # persistent compile cache for standalone bench runs ONLY: setting it at
+    # import time would leak a shared on-disk cache into any process that
+    # imports this module (e.g. the test suite) -- a concurrent writer can
+    # corrupt a read mid-deserialization (observed: segfault in
+    # jax compilation_cache.get_executable_and_time under pytest while
+    # bench.py wrote the same directory).
+    os.makedirs(os.path.expanduser("~/.jax_bench_cache"), exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.jax_bench_cache"))
 
 import jax.numpy as jnp
 import numpy as np

@@ -204,21 +204,51 @@ class DistributionDifferential:
 # diffraction-aware imaging: the Huygens-Fresnel PSF
 # ======================================================================
 
-def _wavelet_field(src, path, amp, grid, k, medium_n):
+def _phase_refs(src, path, amp):
+    """Amplitude-weighted reference point + reference path for wavelet-phase
+    reduction.  Weighting by |amp| keeps dead rays (amplitude 0, junk OPL)
+    from dragging the reference away from the live wavefront."""
+    dtype = src.dtype
+    w = jnp.abs(amp)
+    sw = jnp.maximum(jnp.sum(w), jnp.asarray(jnp.finfo(dtype).tiny, dtype))
+    origin = jnp.sum(w[:, None] * src, axis=0) / sw
+    path_ref = jnp.sum(w * path) / sw
+    return origin, path_ref
+
+
+def _wavelet_field(src, path, amp, grid, k, medium_n,
+                   origin=None, path_ref=None):
     """Per-ray wavelet field contributions summed onto the grid: the
     (re, im) components of ``sum_j a_j exp(i k (path_j + n |g - p_j|))``.
     One shared implementation for the dense, ray-chunked, and ray-sharded
-    (parallel.parallel_psf) evaluation paths."""
+    (parallel.parallel_psf) evaluation paths.
+
+    When ``origin``/``path_ref`` are given, the phase is evaluated RELATIVE
+    to the reference wavelet ``exp(i k (path_ref + n |g - origin|))`` -- a
+    per-grid-point constant phase factor, so |E|^2 is mathematically
+    unchanged -- which shrinks the trig argument from k*(total path) (~1e6
+    rad at mm scales: f32 ULP there is ~0.25 rad, and CPU/TPU large-argument
+    trig diverges) down to k*(path spread + source extent).  The distance
+    difference is computed in the cancellation-free dot-product form
+    |g-p| - |g-c| = (c-p).((g-p)+(g-c)) / (|g-p|+|g-c|)."""
     dtype = src.dtype
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
     diff = grid[:, None, :] - src[None, :, :]
     dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), tiny))
-    phase = k * (path[None, :] + medium_n * dist)
+    if origin is None:
+        phase = k * (path[None, :] + medium_n * dist)
+    else:
+        gdiff = grid - origin[None, :]
+        dref = jnp.sqrt(jnp.maximum(jnp.sum(gdiff * gdiff, axis=-1), tiny))
+        cp = origin[None, :] - src                       # (N, dim)
+        rel = jnp.einsum("nd,gnd->gn", cp, diff + gdiff[:, None, :])
+        delta = rel / (dist + dref[:, None])             # |g-p| - |g-c|
+        phase = k * ((path - path_ref)[None, :] + medium_n * delta)
     return jnp.cos(phase) @ amp, jnp.sin(phase) @ amp
 
 
 def huygens_psf(sources, opl, wavelength, grid, amplitudes=None,
-                medium_n=1.0, ray_chunk=None):
+                medium_n=1.0, ray_chunk=None, phase_reduction=True):
     """Coherent Huygens-Fresnel point-spread function from traced rays.
 
     Each ray is a spherical wavelet source at ``sources`` (its position on
@@ -258,6 +288,14 @@ def huygens_psf(sources, opl, wavelength, grid, amplitudes=None,
         too (the scan would otherwise save every block's trig residuals --
         O(G x N) again).  Ray counts that don't divide evenly are padded
         with zero-amplitude wavelets.
+    phase_reduction : bool
+        Evaluate wavelet phases relative to a reference wavelet (the
+        amplitude-weighted mean source point + mean path) -- |E|^2 is
+        mathematically identical, but the trig arguments drop from
+        k*(absolute path) (~1e6 rad at mm scales, where f32 ULP is ~0.25
+        rad and CPU/TPU trig diverges; measured 33% PSF deviation) to
+        k*(path spread), making the f32 PSF accurate on TPU.  On by
+        default; disable only to reproduce old bit-exact values.
 
     Returns (G,) PSF intensities.  The two trig matrices contract over the
     ray axis as real matmuls (MXU-friendly at large N x G).
@@ -271,10 +309,15 @@ def huygens_psf(sources, opl, wavelength, grid, amplitudes=None,
     amplitudes = jnp.asarray(amplitudes, dtype)
     k = 2.0 * jnp.pi / jnp.asarray(wavelength, dtype)
     medium_n = jnp.asarray(medium_n, dtype)
+    # references must be fixed before any chunk split so every block (and
+    # the no-chunk path) subtracts the SAME per-grid-point constant phase
+    origin = path_ref = None
+    if phase_reduction:
+        origin, path_ref = _phase_refs(sources, opl, amplitudes)
 
     if ray_chunk is None:
         e_re, e_im = _wavelet_field(sources, opl, amplitudes, grid, k,
-                                    medium_n)
+                                    medium_n, origin, path_ref)
     else:
         n = sources.shape[0]
         pad = (-n) % ray_chunk
@@ -289,7 +332,8 @@ def huygens_psf(sources, opl, wavelength, grid, amplitudes=None,
         opl_b = opl.reshape(blocks, ray_chunk)
         amp_b = amplitudes.reshape(blocks, ray_chunk)
         block = jax.checkpoint(
-            lambda s, o, a: _wavelet_field(s, o, a, grid, k, medium_n))
+            lambda s, o, a: _wavelet_field(s, o, a, grid, k, medium_n,
+                                           origin, path_ref))
 
         def body(carry, xs):
             re, im = carry
@@ -303,7 +347,8 @@ def huygens_psf(sources, opl, wavelength, grid, amplitudes=None,
 
 
 def psf_from_result(result, grid, wavelength, medium_n=None,
-                    use_intensity=True, ray_chunk=None):
+                    use_intensity=True, ray_chunk=None,
+                    phase_reduction=True):
     """Convenience wrapper: Huygens PSF straight from a ``TraceResult``
     traced with :func:`operations.optical_path_reaction` (and optionally an
     intensity tracker).
@@ -334,7 +379,7 @@ def psf_from_result(result, grid, wavelength, medium_n=None,
         amp = amp * jnp.sqrt(jnp.maximum(rays.fields["intensity"], 0.0))
     return huygens_psf(rays.p0, rays.fields["opl"], wavelength, grid,
                        amplitudes=amp, medium_n=medium_n,
-                       ray_chunk=ray_chunk)
+                       ray_chunk=ray_chunk, phase_reduction=phase_reduction)
 
 
 # ======================================================================
@@ -425,23 +470,38 @@ def zernike_fit(pupil_points, opd, n_terms=15, pupil_radius=None,
     return coeffs, jnp.sqrt(jnp.mean(residual * residual))
 
 
-def _wavelet_field_grouped(src, path, amp_cols, grid, k_ray, medium_n):
+def _wavelet_field_grouped(src, path, amp_cols, grid, k_ray, medium_n,
+                           origin=None, path_ref=None):
     """Spectrally-grouped wavelet fields in ONE pass: per-ray wavenumber
     ``k_ray`` and (N, K) group-masked amplitude columns turn the K
     per-wavelength matvecs into one (G, N) trig evaluation and one
     (G, N) @ (N, K) matmul per trig component -- the transcendental work
-    (the dominant cost) is paid once instead of K times."""
+    (the dominant cost) is paid once instead of K times.
+
+    ``origin``/``path_ref`` phase reduction (see :func:`_wavelet_field`):
+    the subtracted phase ``k_j * (path_ref + n |g - origin|)`` is constant
+    per grid point WITHIN each spectral group (all its rays share k), and
+    groups sum incoherently, so every group PSF is unchanged."""
     dtype = src.dtype
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
     diff = grid[:, None, :] - src[None, :, :]
     dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), tiny))
-    phase = k_ray[None, :] * (path[None, :] + medium_n * dist)
+    if origin is None:
+        phase = k_ray[None, :] * (path[None, :] + medium_n * dist)
+    else:
+        gdiff = grid - origin[None, :]
+        dref = jnp.sqrt(jnp.maximum(jnp.sum(gdiff * gdiff, axis=-1), tiny))
+        cp = origin[None, :] - src
+        rel = jnp.einsum("nd,gnd->gn", cp, diff + gdiff[:, None, :])
+        delta = rel / (dist + dref[:, None])
+        phase = k_ray[None, :] * ((path - path_ref)[None, :]
+                                  + medium_n * delta)
     return jnp.cos(phase) @ amp_cols, jnp.sin(phase) @ amp_cols  # (G, K)
 
 
 def polychromatic_psf(result, grid, wavelengths_nm, unit_scale,
                       weights=None, medium_n=None, use_intensity=True,
-                      ray_chunk=None):
+                      ray_chunk=None, phase_reduction=True):
     """Incoherent polychromatic PSF: rays are grouped by their (nm)
     ``wavelength`` field and each spectral group's COHERENT Huygens PSF is
     summed with its spectral weight -- different wavelengths do not
@@ -488,10 +548,14 @@ def polychromatic_psf(result, grid, wavelengths_nm, unit_scale,
     amp_cols = base_amp[:, None] * onehot
     src = rays.p0
     path = rays.fields["opl"]
+    origin = path_ref = None
+    if phase_reduction:
+        origin, path_ref = _phase_refs(src, path, base_amp)
 
     if ray_chunk is None:
         e_re, e_im = _wavelet_field_grouped(src, path, amp_cols, grid,
-                                            k_ray, medium_n)
+                                            k_ray, medium_n, origin,
+                                            path_ref)
     else:
         n = src.shape[0]
         pad = (-n) % ray_chunk
@@ -505,7 +569,8 @@ def polychromatic_psf(result, grid, wavelengths_nm, unit_scale,
         blocks = (n + pad) // ray_chunk
         block = jax.checkpoint(
             lambda s, o, a, kk: _wavelet_field_grouped(s, o, a, grid, kk,
-                                                       medium_n))
+                                                       medium_n, origin,
+                                                       path_ref))
 
         def body(carry, xs):
             re, im = carry

@@ -302,7 +302,8 @@ def parallel_value_and_grad(local_loss: Callable, mesh: Mesh):
 # the two pipelines can never diverge.)
 
 
-def parallel_psf(mesh: Mesh, wavelength, medium_n=1.0):
+def parallel_psf(mesh: Mesh, wavelength, medium_n=1.0,
+                 phase_reduction=True):
     """Ray-sharded Huygens-Fresnel PSF: the coherent wavelet sum
     (:func:`analysis.huygens_psf`) is a reduction over rays, so each device
     sums its own shard's complex field contribution on the (replicated)
@@ -312,15 +313,30 @@ def parallel_psf(mesh: Mesh, wavelength, medium_n=1.0):
 
     Returns a jitted ``f(sources, opl, amplitudes, grid) -> (G,) PSF`` with
     ``sources/opl/amplitudes`` sharded over rays and ``grid`` replicated.
+
+    ``phase_reduction`` (see :func:`analysis.huygens_psf`): the reference
+    wavelet (amplitude-weighted mean source + mean path) must be IDENTICAL
+    on every device for the psum'd field to stay a pure per-grid-point
+    phase shift, so the weighted sums are psum'd globally first (three
+    extra scalars on the same collective path).
     """
     from tensorflowraytrace_tpu.analysis import _wavelet_field
 
     def shard_fn(sources, opl, amplitudes, grid):
         dtype = sources.dtype
         k = 2.0 * jnp.pi / jnp.asarray(wavelength, dtype)
+        origin = path_ref = None
+        if phase_reduction:
+            w = jnp.abs(amplitudes)
+            sw, so, sp = lax.psum(
+                (jnp.sum(w), jnp.sum(w[:, None] * sources, axis=0),
+                 jnp.sum(w * opl)), RAY_AXIS)
+            sw = jnp.maximum(sw, jnp.asarray(jnp.finfo(dtype).tiny, dtype))
+            origin, path_ref = so / sw, sp / sw
         re, im = _wavelet_field(sources, opl, amplitudes, grid, k,
-                                jnp.asarray(medium_n, dtype))
-        e_re, e_im = lax.psum((re, im), RAY_AXIS)  # one collective
+                                jnp.asarray(medium_n, dtype),
+                                origin, path_ref)
+        e_re, e_im = lax.psum((re, im), RAY_AXIS)  # one field collective
         return e_re * e_re + e_im * e_im
 
     mapped = _shard_map(

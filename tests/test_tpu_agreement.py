@@ -29,27 +29,27 @@ FLOORS = {
                                      "max_same_fate_dev": 1e-4},
     "2D TIR guide (depth 50)": {"state_agreement": 0.995,
                                 "max_same_fate_dev": None},
-    # r3 field trackers (VERDICT r3 next-round #5).  Floors are provisional
-    # (set from f32 arithmetic-depth reasoning during the tunnel outage);
-    # tighten to ~3x the measured deviation once a TPU run lands numbers.
+    # r3 field trackers (VERDICT r3 next-round #5).  Floors are ~10x the
+    # deviations measured on a live v5e chip 2026-08-18 (docs/notes.md):
+    # intensity 6.2e-8, opl 4.8e-7, Stokes ~3.6e-7 (vs the S0 scale),
+    # thin-film 6.1e-8.
     "intensity+OPL (dispersive arc)": {
         "state_agreement": 0.97, "max_same_fate_dev": 1e-4,
-        "field_devs": {"intensity": 1e-4, "opl_total": 1e-4}},
+        "field_devs": {"intensity": 1e-6, "opl_total": 5e-6}},
     "Jones rhomb (two TIRs)": {
         "state_agreement": 0.97, "max_same_fate_dev": 1e-4,
-        "field_devs": {"S0": 1e-4, "S1": 1e-3, "S2": 1e-3, "S3": 1e-4}},
+        "field_devs": {"S0": 4e-6, "S1": 4e-6, "S2": 4e-6, "S3": 4e-6}},
     "thin-film oblique (45deg)": {
         "state_agreement": 0.97, "max_same_fate_dev": 1e-4,
-        # complex64 characteristic-matrix chain: looser than the plain
-        # Fresnel fields
-        "field_devs": {"intensity": 1e-3}},
+        "field_devs": {"intensity": 1e-6}},
 }
 
 # grid-valued configs (no ray fates): floors on max deviation relative to
-# the CPU peak.  The coherent wavelet sum is cancellation-prone in f32 --
-# generous until measured.
+# the CPU peak.  With the reference-wavelet phase reduction the coherent sum
+# agrees to 1.4e-6 (measured on v5e 2026-08-18; it was 0.33 before the
+# reduction -- k*(absolute path) ~2e6 rad overwhelmed f32 trig).
 VALUE_FLOORS = {
-    "Huygens PSF (32x32 grid)": {"max_rel_dev": 5e-3},
+    "Huygens PSF (32x32 grid)": {"max_rel_dev": 2e-5},
 }
 
 
