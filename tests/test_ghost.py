@@ -129,13 +129,22 @@ def test_branch_tree_conserves_energy(coated):
     else:
         tracker = fresnel_intensity_reaction
 
-    total = 0.0
-    for row in schedules:
-        res = run(list(row), max_bounces=K, tracker=tracker)
-        p = float(res.rays.fields["intensity"][0])
-        j = int(res.rays.fields["branch_ctr"][0])
-        assert j <= K
-        total += p / (2.0 ** (K - j))
+    # one compiled program vmapped over the 2**K schedules (looping would
+    # compile the engine per row and bloat the suite's XLA compile memory)
+    scene, materials = slab_scene()
+    rays = one_ray()
+    cfg = TraceConfig(max_bounces=K)
+
+    @jax.jit
+    def leaf(sched):
+        rx = tracker(base_reaction=branch_override_reaction(sched))
+        res = trace(rays, scene, materials, cfg, reaction=rx)
+        return (res.rays.fields["intensity"][0],
+                res.rays.fields["branch_ctr"][0])
+
+    p, j = jax.vmap(leaf)(jnp.asarray(schedules))
+    assert int(np.max(np.asarray(j))) <= K
+    total = float(jnp.sum(p * 2.0 ** (j.astype(F64) - K)))
     np.testing.assert_allclose(total, 1.0, rtol=1e-10)
 
 

@@ -13,6 +13,7 @@ Pins, on the glass-slab scene shared with tests/test_ghost.py:
 * reproducibility: same key -> identical trace.
 """
 
+import functools
 import math
 
 import jax
@@ -59,24 +60,30 @@ K = 6
 CFG = TraceConfig(max_bounces=K)
 
 
+@functools.lru_cache(maxsize=1)
 def exact_landed_power():
     """Ground truth: exhaustive depth-K branch tree (one on-axis ray),
-    landed-on-target power with early-exit multiplicity weighting."""
+    landed-on-target power with early-exit multiplicity weighting.  One
+    compiled program vmapped over the 2**K schedules (a Python loop would
+    compile the engine 64x and bloat the suite's XLA compile memory), and
+    memoized across the parametrized callers."""
     scene, materials = slab_scene()
     rays = seed_branch_counter(
         RaySet.make(jnp.zeros((1, 2), F64), jnp.asarray([[1.0, 0.0]], F64),
                     550.0, dtype=F64)).with_field("intensity",
                                                   jnp.ones(1, F64))
-    total = 0.0
-    for row in np.asarray(all_branch_schedules(K)):
+
+    @jax.jit
+    def leaf(sched):
         rx = fresnel_intensity_reaction(
-            base_reaction=branch_override_reaction(list(row)))
+            base_reaction=branch_override_reaction(sched))
         res = trace(rays, scene, materials, CFG, reaction=rx)
-        if int(res.rays.state[0]) == FINISHED:
-            pwr = float(res.rays.fields["intensity"][0])
-            j = int(res.rays.fields["branch_ctr"][0])
-            total += pwr / 2.0 ** (K - j)
-    return total
+        landed = res.rays.state[0] == FINISHED
+        pwr = jnp.where(landed, res.rays.fields["intensity"][0], 0.0)
+        j = res.rays.fields["branch_ctr"][0]
+        return pwr * 2.0 ** (j.astype(F64) - K)
+
+    return float(jnp.sum(jax.vmap(leaf)(all_branch_schedules(K))))
 
 
 @pytest.mark.parametrize("floor", [0.0, 0.1],
