@@ -76,6 +76,7 @@ CASES = [
                         "theta_res": 8, "z_res": 12, "scaling_points": 2}),
     ("interactive_optimize", {"simulate": [" ", " ", "b", "s", " ", "q"],
                               "verbose": False}),
+    ("tpu_physics_bench", {"tiny": True}),
 ]
 
 
