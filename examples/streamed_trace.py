@@ -12,6 +12,12 @@ Workload: the structured cylindrical light guide (bench.py's second
 metric), Lambertian-lit, traced deep.  Prints per-stream throughput and the
 linear-time scaling across stream sizes.
 
+Blocks are mapped in HOST dispatches of a few blocks each
+(``blocks_per_dispatch``): fusing the whole stream into one XLA program
+runs multi-minute device times that trip the TPU runtime's execution
+watchdog (measured: an 8-block ~160 s single dispatch reproducibly kills
+the remote worker; the same blocks in 2-block dispatches stream fine).
+
 On a TPU chip the default arguments push past 100M rays; under CI this runs
 at toy sizes (see tests/test_examples.py).
 
@@ -70,9 +76,23 @@ def block_generator(key, block, dtype):
 
 
 def main(n_rays=1 << 27, block=1 << 22, bounces=24, theta_res=64, z_res=128,
-         scaling_points=3):
+         scaling_points=3, blocks_per_dispatch="auto"):
+    import os
+
+    # repeated trace_streamed calls build fresh jit closures; the
+    # persistent cache makes their identical chunk programs compile once
+    os.makedirs(os.path.expanduser("~/.jax_bench_cache"), exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.jax_bench_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     dtype = jnp.float32
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    if blocks_per_dispatch == "auto":
+        # ~11 s of device time per 4.2M-ray block on v5e: 2 blocks per
+        # dispatch stays far below the TPU runtime's execution watchdog
+        # (an 8-block single program reproducibly kills the worker)
+        blocks_per_dispatch = 2
     scene, materials = build_guide(dtype, theta_res, z_res)
     m = scene.triangles.n_surfaces
     cfg = TraceConfig(max_bounces=bounces, use_pallas=on_tpu,
@@ -84,16 +104,17 @@ def main(n_rays=1 << 27, block=1 << 22, bounces=24, theta_res=64, z_res=128,
     def run(n_blocks):
         res = trace_streamed(
             gen, scene, materials, cfg, fold_fn=fn, fold_init=init,
-            block_size=block, n_blocks=n_blocks, remat_blocks=False)
+            block_size=block, n_blocks=n_blocks, remat_blocks=False,
+            blocks_per_dispatch=blocks_per_dispatch)
         return res.fold, res.state_counts
 
-    runner = jax.jit(run, static_argnums=0)
     total_blocks = max(1, n_rays // block)
 
-    # warm up / compile on one block
+    # warm up / compile one full dispatch chunk
     fold, counts = jax.tree.map(lambda a: a.block_until_ready(),
-                                runner(1))
-    print(f"scene: {m} triangles, {bounces} bounces, block = {block} rays")
+                                run(blocks_per_dispatch))
+    print(f"scene: {m} triangles, {bounces} bounces, block = {block} rays, "
+          f"{blocks_per_dispatch} blocks/dispatch")
 
     sizes = sorted({max(1, total_blocks >> k)
                     for k in range(scaling_points)})
@@ -101,7 +122,7 @@ def main(n_rays=1 << 27, block=1 << 22, bounces=24, theta_res=64, z_res=128,
     for nb in sizes:
         t0 = time.time()
         fold, counts = jax.tree.map(lambda a: a.block_until_ready(),
-                                    runner(nb))
+                                    run(nb))
         dt = time.time() - t0
         n = nb * block
         rate = n / dt
@@ -127,5 +148,7 @@ if __name__ == "__main__":
     ap.add_argument("--n-rays", type=int, default=1 << 27)
     ap.add_argument("--block", type=int, default=1 << 22)
     ap.add_argument("--bounces", type=int, default=24)
+    ap.add_argument("--blocks-per-dispatch", type=int, default=None)
     a = ap.parse_args()
-    main(n_rays=a.n_rays, block=a.block, bounces=a.bounces)
+    main(n_rays=a.n_rays, block=a.block, bounces=a.bounces,
+         blocks_per_dispatch=a.blocks_per_dispatch or "auto")

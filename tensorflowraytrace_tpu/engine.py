@@ -820,12 +820,31 @@ def _pad_rays_dead(rays: RaySet, pad: int) -> RaySet:
     return dataclasses.replace(padded, state=state)
 
 
+def _map_in_dispatches(body, xs, bpd):
+    """``lax.map(body, xs)`` split into host-side dispatches of at most
+    ``bpd`` blocks each, concatenated back along the block axis.
+
+    One jitted mapper serves every full dispatch (the ragged tail, if any,
+    compiles once more).  This bounds the uninterrupted device time of any
+    single XLA program -- the remote TPU runtime kills workers whose
+    dispatch runs multi-minute (see trace_streamed's blocks_per_dispatch
+    doc) -- at the cost of one tunnel round-trip per dispatch, which is
+    noise next to the tens of seconds each dispatch computes."""
+    n = jax.tree.leaves(xs)[0].shape[0]
+    mapper = jax.jit(lambda chunk: lax.map(body, chunk))
+    parts = [mapper(jax.tree.map(lambda a: a[d0:d0 + bpd], xs))
+             for d0 in range(0, n, bpd)]
+    return jax.tree.map(lambda *ps: jnp.concatenate(ps, axis=0), *parts)
+
+
 def trace_streamed(rays, scene, materials=None,
                    cfg: TraceConfig = TraceConfig(),
                    reaction: Callable = default_reaction,
                    fold_fn: Callable = None, fold_init=None,
                    block_size: int = 1 << 20, n_blocks: Optional[int] = None,
-                   merge="sum", remat_blocks: bool = True) -> StreamedResult:
+                   merge="sum", remat_blocks: bool = True,
+                   blocks_per_dispatch: Optional[int] = None
+                   ) -> StreamedResult:
     """Trace an unbounded number of rays through ``lax.map`` over ray
     super-blocks, merging fold accumulators across blocks -- the streaming
     answer to the single-dispatch HBM ceiling (VERDICT r3 next-round #4:
@@ -857,6 +876,20 @@ def trace_streamed(rays, scene, materials=None,
         O(block_size) + O(fold) instead of storing every block's residuals
         -- gradient-trained streaming losses at 100M+ rays.  Costs one
         extra forward per block in backward.
+    blocks_per_dispatch : optional int
+        Split the block map into HOST-side dispatches of at most this many
+        blocks each (one compiled program serves every dispatch; a ragged
+        tail compiles once more).  A deep many-block map fused into ONE
+        XLA program runs minutes of uninterrupted device time, long enough
+        to trip the TPU runtime's execution watchdog -- measured on the
+        remote-attached v5e chip: 8 blocks x 4.2M rays x 24 bounces
+        (~160 s) reproducibly kills the worker ("TPU worker process
+        crashed"), while the same blocks run fine as separate dispatches
+        (docs/notes.md).  Pick a value that keeps each dispatch well under
+        a minute of device time.  Host-side only: leave ``None`` (the
+        single ``lax.map`` program) when calling under ``jit``/``shard_map``
+        (e.g. via ``parallel_trace_streamed``), and for gradient use --
+        the host loop is not differentiable end-to-end.
 
     Composes with sharding: see ``parallel.sharding.parallel_trace_streamed``
     (devices split the stream, each streams its shard in blocks, one psum
@@ -903,7 +936,11 @@ def trace_streamed(rays, scene, materials=None,
     if remat_blocks:
         body = jax.checkpoint(body)
 
-    folds, counts = lax.map(body, xs)
+    if blocks_per_dispatch is None:
+        folds, counts = lax.map(body, xs)
+    else:
+        folds, counts = _map_in_dispatches(body, xs,
+                                           int(blocks_per_dispatch))
 
     if merge == "sum":
         fold = jax.tree.map(lambda a: jnp.sum(a, axis=0), folds)

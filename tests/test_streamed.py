@@ -129,6 +129,35 @@ def test_streamed_block_generator():
     np.testing.assert_allclose(float(res.fold), float(full.fold), rtol=1e-12)
 
 
+@pytest.mark.parametrize("bpd", [1, 2, 3])
+def test_blocks_per_dispatch_matches_single_dispatch(bpd):
+    """Host-chunked dispatches (the TPU-watchdog guard) are bit-identical
+    to the one-lax.map program: scalar fold, concat fold, and counts, with
+    a ragged dispatch tail (4 blocks at bpd=3) and a ragged ray tail."""
+    scene, materials = guide_scene()
+    rays = lambertian_rays(1000)
+    init, fn = landing_loss_fold(F64)
+    one = trace_streamed(rays, scene, materials, CFG, fold_fn=fn,
+                         fold_init=init, block_size=256)
+    res = trace_streamed(rays, scene, materials, CFG, fold_fn=fn,
+                         fold_init=init, block_size=256,
+                         blocks_per_dispatch=bpd)
+    np.testing.assert_array_equal(np.asarray(res.fold),
+                                  np.asarray(one.fold))
+    np.testing.assert_array_equal(np.asarray(res.state_counts),
+                                  np.asarray(one.state_counts))
+
+    init_b, fn_p = path_length_fold(256, F64)
+    cat_one = trace_streamed(rays, scene, materials, CFG, fold_fn=fn_p,
+                             fold_init=init_b, block_size=256,
+                             merge="concat")
+    cat = trace_streamed(rays, scene, materials, CFG, fold_fn=fn_p,
+                         fold_init=init_b, block_size=256, merge="concat",
+                         blocks_per_dispatch=bpd)
+    np.testing.assert_array_equal(np.asarray(cat.fold),
+                                  np.asarray(cat_one.fold))
+
+
 def test_streamed_gradient_matches_single_dispatch():
     """Differentiate a landing loss through the stream (remat_blocks): the
     gradient w.r.t. a target-plane shift equals the single-dispatch one."""
