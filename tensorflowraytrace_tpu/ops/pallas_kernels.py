@@ -1610,17 +1610,20 @@ def _nearest_hit_arcs_twolevel_impl(rays8, arcs16, aabbs, i_eps, r_eps,
 # range gating does not rescue large tables in the engine's backward: the
 # cotangent/idx stream arrives in ray-SLOT order (project_3d's Morton
 # resort is inverted before the table gather), so per-block idx ranges
-# span nearly the whole table and flops stay ~2 N m k.  Measured at
-# 1M rays, k=13, random idx (v5e, fresh-input transfer excluded):
-#   m=256: kernel ~1 ms | m=1024: ~9 ms | m=2048: ~18 ms | m=16386: ~131 ms
-#   scatter: ~8 ms FLAT (serialized over N, independent of m)
-# so the crossover is m ~= 1024 and SEGSUM_MAX_M pins the engine's fast
-# path there.  The 16k-triangle guide keeps the scatter backward -- which
+# span nearly the whole table and flops stay ~2 N m k.  Measured ON CHIP
+# at the engine's exact VJP shapes (1M rays, k=13, slot-order uniform
+# idx; examples/tpu_physics_bench.py segsum, v5e):
+#   m=256: kernel 4.1 ms | m=512: 6.2 ms | m=1024: 10.6 ms | m=2048: 19.2 ms
+#   scatter: 8.1 ms FLAT (serialized over N, independent of m)
+# so the on-chip crossover sits between 512 and 1024 and SEGSUM_MAX_M
+# pins the engine's fast path at 512 (the r3 CPU-reasoned 1024 retune
+# was one step too high: scatter wins 1.31x there on real hardware).
+# The 16k-triangle guide keeps the scatter backward -- which
 # is only ~10% of its 2.56 s training step; recovering it would need the
 # gather performed in resorted order (one extra (k,N) permutation gather
 # per bounce), evaluated and not worth it (docs/notes.md).
 
-SEGSUM_MAX_M = 1024     # measured kernel-vs-scatter crossover (see above)
+SEGSUM_MAX_M = 512      # measured on-chip kernel-vs-scatter crossover
 SEGSUM_RAY_BLOCK = 1024
 SEGSUM_M_TILE = 512
 
