@@ -24,8 +24,8 @@ from tensorflowraytrace_tpu.config import (
     ACTIVE, DEAD, FINISHED, OPTICAL, STOP, STOPPED, TARGET,
 )
 from tensorflowraytrace_tpu.engine import (
-    TraceConfig, TraceResult, bounce_count_fold, landing_sum_fold,
-    newly_terminated, path_length_fold, trace,
+    TraceConfig, TraceResult, bounce_count_fold, landing_histogram_fold,
+    landing_sum_fold, newly_terminated, path_length_fold, trace,
 )
 from tensorflowraytrace_tpu.models.acceleration import (
     morton_sort_segments, morton_sort_triangles,

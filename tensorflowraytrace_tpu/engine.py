@@ -617,7 +617,7 @@ def single_pass(rays: RaySet, scene, materials, cfg: TraceConfig,
 def trace(rays: RaySet, scene, materials=None, cfg: TraceConfig = TraceConfig(),
           reaction: Callable = default_reaction,
           fold_fn: Optional[Callable] = None,
-          fold_init=None) -> TraceResult:
+          fold_init=None, fold_fields: bool = False) -> TraceResult:
     """Multi-bounce trace (ray_trace, engine.py:2311-2330) as a lax.scan.
 
     jit-friendly: wrap as ``jax.jit(trace, static_argnames=('cfg',))`` or
@@ -631,7 +631,14 @@ def trace(rays: RaySet, scene, materials=None, cfg: TraceConfig = TraceConfig(),
     per-bounce reductions (running losses, optical path length, bounce
     counts) at O(1) memory in the bounce count -- use it instead of
     ``keep_history`` for deep traces.  Composes with ``cfg.remat`` and is
-    differentiable.  See ``path_length_fold`` / ``landing_sum_fold``.
+    differentiable.  See ``path_length_fold`` / ``landing_sum_fold`` /
+    ``landing_histogram_fold``.
+
+    ``fold_fields=True`` appends the post-bounce ray ``fields`` dict as a
+    fifth record element, so folds can reduce tracker-carried physics
+    (e.g. intensity-weighted landing histograms) without keeping per-ray
+    results.  History records are unchanged (fields would multiply the
+    stacked history cost; folds reduce them instead).
 
     Scaling note: one dispatch holds every per-ray slot (plus per-bounce
     residuals under ``jax.grad``) in HBM at once -- measured single-chip
@@ -672,7 +679,8 @@ def trace(rays: RaySet, scene, materials=None, cfg: TraceConfig = TraceConfig(),
             new_rays, record = single_pass(rays_c, scene, materials, cfg,
                                            reaction)
             if fold_fn is not None:
-                acc = fold_fn(acc, record)
+                rec = record + (new_rays.fields,) if fold_fields else record
+                acc = fold_fn(acc, rec)
             return new_rays, acc, i + 1
 
         final, acc, n_done = lax.while_loop(
@@ -689,7 +697,8 @@ def trace(rays: RaySet, scene, materials=None, cfg: TraceConfig = TraceConfig(),
         rays_c, acc = carry
         new_rays, record = single_pass(rays_c, scene, materials, cfg, reaction)
         if fold_fn is not None:
-            acc = fold_fn(acc, record)
+            rec = record + (new_rays.fields,) if fold_fields else record
+            acc = fold_fn(acc, rec)
         ys = record if cfg.keep_history else None
         return (new_rays, acc), ys
 
@@ -759,9 +768,58 @@ def landing_sum_fold(value_fn, dtype, state_code=FINISHED):
     init = jnp.zeros((), dtype=dtype)
 
     def fn(acc, record):
-        _, p1, state, alive = record
+        _, p1, state, alive = record[:4]
         mask = alive & (state == state_code)
         return acc + jnp.sum(jnp.where(mask, value_fn(p1), 0))
+
+    return init, fn
+
+
+def landing_histogram_fold(value_range, x_bins, y_bins=None,
+                           dtype=jnp.float32, axes=(0, 1),
+                           state_code=FINISHED, weight_field=None):
+    """(init, fn): a (y_bins, x_bins) landing-position histogram
+    accumulated in-scan -- the irradiance / caustic image of every ray at
+    the bounce it reaches ``state_code``, at O(bins) memory regardless of
+    ray count or bounce depth.  Composes with :func:`trace_streamed`
+    (merge="sum" stacks every block into the same image), so a 100M+ ray
+    render is one pass (examples/caustic_render.py).
+
+    ``axes``: which two components of the landing point to bin as (x, y)
+    -- e.g. ``(0, 1)`` bins the (x, y) coordinates of landings on a
+    z-normal 3D target plane.  ``weight_field``: name of a per-ray field
+    (e.g. "intensity" under ``fresnel_intensity_reaction``) weighting each
+    landing; requires ``trace(..., fold_fields=True)`` so the fold record
+    carries the tracker fields.  Binning follows ``analysis.histogram2d``
+    (reference analyze.py:103-106): y on axis 0, out-of-range landings
+    clamped into the edge bins.
+    """
+    y_bins = y_bins or x_bins
+    (x0, x1), (y0, y1) = value_range
+    init = jnp.zeros((y_bins, x_bins), dtype=dtype)
+    ax, ay = axes
+
+    def fn(acc, record):
+        _, p1, state, alive = record[:4]
+        mask = alive & (state == state_code)
+        if weight_field is not None:
+            if len(record) < 5:
+                raise KeyError(
+                    "landing_histogram_fold(weight_field=...) reduces a "
+                    "tracker-carried ray field, so the fold record must "
+                    "include fields: pass fold_fields=True to trace() / "
+                    "trace_streamed()")
+            w = record[4][weight_field].astype(acc.dtype)
+        else:
+            w = jnp.ones(p1.shape[:-1], acc.dtype)
+        xi = jnp.clip(((p1[..., ax] - x0) / (x1 - x0)
+                       * x_bins).astype(jnp.int32), 0, x_bins - 1)
+        yi = jnp.clip(((p1[..., ay] - y0) / (y1 - y0)
+                       * y_bins).astype(jnp.int32), 0, y_bins - 1)
+        flat = yi * x_bins + xi
+        w = jnp.where(mask, w, 0)
+        return (acc.reshape(-1).at[flat].add(w)
+                .reshape(acc.shape))
 
     return init, fn
 
@@ -843,8 +901,8 @@ def trace_streamed(rays, scene, materials=None,
                    fold_fn: Callable = None, fold_init=None,
                    block_size: int = 1 << 20, n_blocks: Optional[int] = None,
                    merge="sum", remat_blocks: bool = True,
-                   blocks_per_dispatch: Optional[int] = None
-                   ) -> StreamedResult:
+                   blocks_per_dispatch: Optional[int] = None,
+                   fold_fields: bool = False) -> StreamedResult:
     """Trace an unbounded number of rays through ``lax.map`` over ray
     super-blocks, merging fold accumulators across blocks -- the streaming
     answer to the single-dispatch HBM ceiling (VERDICT r3 next-round #4:
@@ -930,7 +988,8 @@ def trace_streamed(rays, scene, materials=None,
     def body(x):
         blk = get_block(x)
         res = trace(blk, scene, materials, cfg, reaction,
-                    fold_fn=fold_fn, fold_init=fold_init)
+                    fold_fn=fold_fn, fold_init=fold_init,
+                    fold_fields=fold_fields)
         return res.fold, _state_counts(res.rays.state)
 
     if remat_blocks:

@@ -74,6 +74,8 @@ CASES = [
     ("ghost_analysis", {"rays": 101, "depth": 4, "make_plot": False}),
     ("streamed_trace", {"n_rays": 2048, "block": 512, "bounces": 6,
                         "theta_res": 8, "z_res": 12, "scaling_points": 2}),
+    ("caustic_render", {"n_rays": 2048, "block": 512, "res": 32,
+                        "mesh_steps": 8}),
     ("interactive_optimize", {"simulate": [" ", " ", "b", "s", " ", "q"],
                               "verbose": False}),
     ("tpu_physics_bench", {"tiny": True}),

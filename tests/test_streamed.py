@@ -158,6 +158,71 @@ def test_blocks_per_dispatch_matches_single_dispatch(bpd):
                                   np.asarray(cat_one.fold))
 
 
+def test_landing_histogram_fold_matches_final_histogram():
+    """The in-scan histogram equals histogram2d over the final finished
+    landings: each ray is binned exactly once, at its terminating bounce."""
+    from tensorflowraytrace_tpu import landing_histogram_fold
+    from tensorflowraytrace_tpu.analysis import histogram2d
+
+    scene, materials = guide_scene()
+    rays = lambertian_rays(800)
+    rng = ((-0.5, 0.5), (-4.25, -4.15))
+    init, fn = landing_histogram_fold(rng, 32, 8, dtype=F64)
+    res = trace(rays, scene, materials, CFG, fold_fn=fn, fold_init=init)
+    fin = np.asarray(res.rays.state) == FINISHED
+    assert fin.sum() > 20
+    p1 = np.asarray(res.rays.p1)
+    ref = histogram2d(p1[fin, 0], p1[fin, 1], rng, 32, 8, dtype=F64)
+    np.testing.assert_array_equal(np.asarray(res.fold), np.asarray(ref))
+
+
+def test_landing_histogram_fold_weighted_by_tracker_field():
+    """fold_fields=True exposes tracker fields to the fold: the
+    intensity-weighted landing image equals histogram2d weighted by the
+    final per-ray Fresnel intensities."""
+    from tensorflowraytrace_tpu import landing_histogram_fold
+    from tensorflowraytrace_tpu.analysis import histogram2d
+    from tensorflowraytrace_tpu.operations import fresnel_intensity_reaction
+
+    scene, materials = guide_scene()
+    rays = lambertian_rays(800).with_field(
+        "intensity", jnp.ones((800,), F64))
+    rng = ((-0.5, 0.5), (-4.25, -4.15))
+    init, fn = landing_histogram_fold(rng, 32, 8, dtype=F64,
+                                      weight_field="intensity")
+    res = trace(rays, scene, materials, CFG,
+                reaction=fresnel_intensity_reaction(),
+                fold_fn=fn, fold_init=init, fold_fields=True)
+    fin = np.asarray(res.rays.state) == FINISHED
+    p1 = np.asarray(res.rays.p1)
+    w = np.asarray(res.rays.fields["intensity"])
+    ref = histogram2d(p1[fin, 0], p1[fin, 1], rng, 32, 8, dtype=F64,
+                      weights=jnp.asarray(w[fin]))
+    np.testing.assert_allclose(np.asarray(res.fold), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+    # ... and refuses to run without the fields in the record
+    with pytest.raises(KeyError, match="fold_fields"):
+        trace(rays, scene, materials, CFG,
+              reaction=fresnel_intensity_reaction(),
+              fold_fn=fn, fold_init=init)
+
+
+def test_landing_histogram_fold_streamed():
+    """Streaming the histogram fold block-by-block sums to the
+    single-dispatch image exactly (integer counts; ragged tail)."""
+    from tensorflowraytrace_tpu import landing_histogram_fold
+
+    scene, materials = guide_scene()
+    rays = lambertian_rays(1000)
+    rng = ((-0.5, 0.5), (-4.25, -4.15))
+    init, fn = landing_histogram_fold(rng, 16, 4, dtype=F64)
+    full = trace(rays, scene, materials, CFG, fold_fn=fn, fold_init=init)
+    res = trace_streamed(rays, scene, materials, CFG, fold_fn=fn,
+                         fold_init=init, block_size=256)
+    np.testing.assert_array_equal(np.asarray(res.fold),
+                                  np.asarray(full.fold))
+
+
 def test_streamed_gradient_matches_single_dispatch():
     """Differentiate a landing loss through the stream (remat_blocks): the
     gradient w.r.t. a target-plane shift equals the single-dispatch one."""
