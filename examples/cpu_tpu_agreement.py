@@ -275,6 +275,65 @@ def main():
 
     compare_values("Huygens PSF (32x32 grid)", psf_fn, src_pts, opl_psf,
                    grid, results=results)
+
+    # ------------------------------------------------------------------
+    # r4 multi-branch tracing: the ghost enumerator is deterministic; the
+    # roulette sampler's branch choices must ALSO agree across backends
+    # because threefry bits are platform-deterministic and the acceptance
+    # test u < p only flips when f32 rounding moves p across u (~1e-7)
+    # ------------------------------------------------------------------
+    from tensorflowraytrace_tpu.operations import (
+        branch_override_reaction, russian_roulette_reaction,
+        seed_branch_counter, seed_roulette,
+    )
+
+    front = SegmentSet.make([[1.0, -50.0]], [[1.0, 50.0]], mat_in=1,
+                            mat_out=0, dtype=f32)
+    back = SegmentSet.make([[2.0, -50.0]], [[2.0, 50.0]], mat_in=1,
+                           mat_out=0, dtype=f32)
+    tgt_s = SegmentSet.make([[5.0, -50.0]], [[5.0, 50.0]], dtype=f32)
+    scene_slab = Scene2D.build(optical_segments=[front, back],
+                               target_segments=[tgt_s])
+    m_slab = (mats.vacuum, mats.build_constant_material(1.5))
+    ns = 96
+    ys = np.linspace(-1.0, 1.0, ns)
+    ps = np.stack([np.zeros(ns), ys], axis=1)
+    ds = np.stack([np.ones(ns), np.linspace(-0.35, 0.35, ns)], axis=1)
+    rays_slab = RaySet.make(jnp.asarray(ps, f32),
+                            jnp.asarray(ps + ds, f32), 550.0, dtype=f32)
+
+    # config 10: forced double-bounce ghost (transmit, reflect, reflect,
+    # transmit) -- the traced power is T1 R2 R1 T2 of the actual angles
+    rays_gh = seed_branch_counter(rays_slab).with_field(
+        "intensity", jnp.ones((ns,), f32))
+    rx_gh = fresnel_intensity_reaction(
+        base_reaction=branch_override_reaction((0, 1, 1, 0)))
+
+    def trace_ghost(r, s):
+        res = trace(r, s, m_slab, TraceConfig(max_bounces=6),
+                    reaction=rx_gh)
+        return res.rays.p1, res.rays.state, {
+            "intensity": res.rays.fields["intensity"]}
+
+    compare("ghost double-bounce (slab)", trace_ghost, rays_gh,
+            scene_slab, results)
+
+    # config 11: russian-roulette branch sampling with a defensive floor
+    # (non-trivial compensation weights ride the intensity field)
+    rays_rr = seed_roulette(rays_slab).with_field(
+        "intensity", jnp.ones((ns,), f32))
+    rx_rr = fresnel_intensity_reaction(
+        base_reaction=russian_roulette_reaction(
+            jax.random.PRNGKey(7), defensive_floor=0.1))
+
+    def trace_rr(r, s):
+        res = trace(r, s, m_slab, TraceConfig(max_bounces=6),
+                    reaction=rx_rr)
+        return res.rays.p1, res.rays.state, {
+            "intensity": res.rays.fields["intensity"]}
+
+    compare("russian roulette (slab)", trace_rr, rays_rr, scene_slab,
+            results)
     return results
 
 

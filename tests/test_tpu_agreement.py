@@ -42,6 +42,18 @@ FLOORS = {
     "thin-film oblique (45deg)": {
         "state_agreement": 0.97, "max_same_fate_dev": 1e-4,
         "field_devs": {"intensity": 1e-6}},
+    # r4 multi-branch tracing, measured on v5e 2026-08-18: ghost 100%
+    # agreement / p1 1.7e-6 / intensity 5.5e-7; roulette 100% agreement
+    # (the threefry acceptance bits are platform-deterministic, so the
+    # SAMPLED branches match exactly) / p1 7.2e-7 / intensity 1.3e-7.
+    # Roulette's state floor is looser: a branch flips whenever f32
+    # rounding moves R across the drawn u (~1e-7 odds per decision).
+    "ghost double-bounce (slab)": {
+        "state_agreement": 0.99, "max_same_fate_dev": 1e-4,
+        "field_devs": {"intensity": 1e-5}},
+    "russian roulette (slab)": {
+        "state_agreement": 0.95, "max_same_fate_dev": 1e-4,
+        "field_devs": {"intensity": 1e-5}},
 }
 
 # grid-valued configs (no ray fates): floors on max deviation relative to
