@@ -353,7 +353,8 @@ def parallel_trace_streamed(rays, scene, materials=None,
                             reaction=default_reaction,
                             fold_fn=None, fold_init=None,
                             block_size: int = 1 << 20, merge="sum",
-                            fold_reduce="sum", remat_blocks: bool = True):
+                            fold_reduce="sum", remat_blocks: bool = True,
+                            fold_fields: bool = False):
     """N_chips x streaming: devices split the ray stream, each streams its
     local shard in ``block_size`` super-blocks (:func:`engine.trace_streamed`
     under ``shard_map``), and the merged accumulators combine with ONE psum
@@ -384,7 +385,8 @@ def parallel_trace_streamed(rays, scene, materials=None,
         return trace_streamed(
             r, s, materials, cfg, reaction, fold_fn=fold_fn,
             fold_init=fold_init, block_size=min(block_size, n_local),
-            merge=merge, remat_blocks=remat_blocks)
+            merge=merge, remat_blocks=remat_blocks,
+            fold_fields=fold_fields)
 
     local_rays = jax.tree.map(lambda a: jax.ShapeDtypeStruct(
         (n_local,) + a.shape[1:], a.dtype), rays)

@@ -253,6 +253,40 @@ def test_streamed_gradient_matches_single_dispatch():
     np.testing.assert_allclose(float(gs), float(gf), rtol=1e-10)
 
 
+@pytest.mark.parametrize("bpd", [1, 3])
+def test_streamed_value_and_grad_matches_fused(bpd):
+    """Host-accumulated per-dispatch gradients (the watchdog-safe
+    differentiable stream) equal jax.value_and_grad of the fused
+    sum-over-blocks loss, including a ragged dispatch tail."""
+    from tensorflowraytrace_tpu.engine import streamed_value_and_grad
+
+    scene, materials = guide_scene()
+    block, n_blocks = 128, 4
+    rays = lambertian_rays(block * n_blocks)
+    stacked = jax.tree.map(
+        lambda a: a.reshape((n_blocks, block) + a.shape[1:]), rays)
+
+    def block_loss(tx, i):
+        import dataclasses
+
+        blk = jax.tree.map(lambda a: a[i], stacked)
+        init, fn = landing_sum_fold(
+            lambda p1: (p1[:, 0] - tx) ** 2, F64)
+        return trace(blk, scene, materials, CFG, fold_fn=fn,
+                     fold_init=init).fold
+
+    def fused(tx):
+        return sum(block_loss(tx, i) for i in range(n_blocks))
+
+    x = jnp.asarray(0.02, F64)
+    v_ref, g_ref = jax.value_and_grad(fused)(x)
+    run = streamed_value_and_grad(block_loss, n_blocks,
+                                  blocks_per_dispatch=bpd)
+    v, g = run(x)
+    np.testing.assert_allclose(float(v), float(v_ref), rtol=1e-12)
+    np.testing.assert_allclose(float(g), float(g_ref), rtol=1e-10)
+
+
 def test_parallel_streamed_matches_local():
     """8 virtual devices x streaming: sharded streamed fold == local
     streamed fold == plain trace fold; counts global."""
@@ -275,6 +309,34 @@ def test_parallel_streamed_matches_local():
     states = np.asarray(full.rays.state)
     expect = [int((states == c).sum()) for c in range(4)]
     np.testing.assert_array_equal(np.asarray(res.state_counts), expect)
+
+
+def test_parallel_streamed_histogram_with_fields():
+    """The rendering composition: 8 devices x streaming x intensity-weighted
+    landing image.  The psum'd sharded image equals the local one exactly."""
+    from tensorflowraytrace_tpu import landing_histogram_fold
+    from tensorflowraytrace_tpu.operations import fresnel_intensity_reaction
+    from tensorflowraytrace_tpu.parallel import sharding as sh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    mesh = sh.ray_mesh(8)
+    scene, materials = guide_scene()
+    rays = lambertian_rays(1024).with_field(
+        "intensity", jnp.ones((1024,), F64))
+    rng = ((-0.5, 0.5), (-4.25, -4.15))
+    init, fn = landing_histogram_fold(rng, 16, 4, dtype=F64,
+                                      weight_field="intensity")
+    rx = fresnel_intensity_reaction()
+
+    full = trace(rays, scene, materials, CFG, reaction=rx, fold_fn=fn,
+                 fold_init=init, fold_fields=True)
+    res = sh.parallel_trace_streamed(
+        sh.shard_rays(rays, mesh), scene, materials, CFG, mesh=mesh,
+        reaction=rx, fold_fn=fn, fold_init=init, block_size=64,
+        fold_fields=True)
+    np.testing.assert_allclose(np.asarray(res.fold), np.asarray(full.fold),
+                               rtol=1e-12, atol=1e-12)
 
 
 def test_trace_keep_history_oom_guidance():
