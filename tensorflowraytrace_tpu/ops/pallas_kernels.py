@@ -1096,6 +1096,21 @@ def _twolevel_triangle_kernel(i_eps, s_eps, r_eps, n_chunks, max_cand,
     idx_ref[...] = best_idx
 
 
+def _cand_chunk_group(n_pad, n_chunks):
+    """Chunk-axis group size for the candidate precompute's slab test.
+
+    The per-ray x per-chunk test materializes an (nb, Cg, B) f32
+    intermediate (XLA fuses the 3-axis min/max reduce but not the
+    any-over-rays): at full slab scale (4.2M rays) with 1537 chunks
+    (393k triangles / 256) that is 25.8 GB and the compile OOMs HBM
+    (measured, examples/caustic_render.py at mesh_steps=256).  Grouping
+    the chunk axis bounds the intermediate at ~4 GB; small scenes keep a
+    single group (identical program to the ungrouped original)."""
+    budget = 4 << 30
+    per_col = max(n_pad, 1) * 4 * 4   # f32 x ~4 live temps per column
+    return max(16, min(n_chunks, budget // per_col))
+
+
 def _twolevel_candidates(rays8, aabbs, r_eps, ray_block, max_cand=None):
     """Static geometric candidate chunks per ray block, vectorized in XLA:
     chunk c is a candidate for block b iff ANY of b's rays' slab test can hit
@@ -1109,17 +1124,24 @@ def _twolevel_candidates(rays8, aabbs, r_eps, ray_block, max_cand=None):
     o = rays8[0:3].reshape(3, nb, 1, ray_block)
     e = rays8[3:6].reshape(3, nb, 1, ray_block)
     d = e - o
-    lo = aabbs[0:3][:, None, :, None]   # (3, 1, C, 1)
-    hi = aabbs[3:6][:, None, :, None]
     tiny = 1e-30
     inv = 1.0 / jnp.where(jnp.abs(d) < tiny,
                           jnp.where(d < 0, -tiny, tiny), d)
-    t1 = (lo - o) * inv                 # (3, nb, C, B)
-    t2 = (hi - o) * inv
-    tmin = jnp.max(jnp.minimum(t1, t2), axis=0)   # (nb, C, B)
-    tmax = jnp.min(jnp.maximum(t1, t2), axis=0)
-    can_hit = (tmax * (1 + 1e-6) + 1e-6 >= jnp.maximum(tmin, r_eps))
-    need = jnp.any(can_hit, axis=-1)              # (nb, C)
+
+    def group_need(ab):
+        lo = ab[0:3][:, None, :, None]   # (3, 1, Cg, 1)
+        hi = ab[3:6][:, None, :, None]
+        t1 = (lo - o) * inv              # (3, nb, Cg, B)
+        t2 = (hi - o) * inv
+        tmin = jnp.max(jnp.minimum(t1, t2), axis=0)   # (nb, Cg, B)
+        tmax = jnp.min(jnp.maximum(t1, t2), axis=0)
+        can_hit = (tmax * (1 + 1e-6) + 1e-6 >= jnp.maximum(tmin, r_eps))
+        return jnp.any(can_hit, axis=-1)              # (nb, Cg)
+
+    cg = _cand_chunk_group(n_pad, aabbs.shape[1])
+    need = jnp.concatenate(
+        [group_need(aabbs[:, c0:c0 + cg])
+         for c0 in range(0, aabbs.shape[1], cg)], axis=1)
     n_chunks = need.shape[1]
     counts = jnp.sum(need, axis=1).astype(jnp.int32)
     # stable argsort of ~need packs candidate ids first, in ascending order
@@ -1435,17 +1457,24 @@ def _twolevel_candidates_2d(rays8, aabbs, r_eps, ray_block, max_cand=None):
     o = rays8[0:2].reshape(2, nb, 1, ray_block)
     e = rays8[2:4].reshape(2, nb, 1, ray_block)
     d = e - o
-    lo = aabbs[0:2][:, None, :, None]
-    hi = aabbs[2:4][:, None, :, None]
     tiny = 1e-30
     inv = 1.0 / jnp.where(jnp.abs(d) < tiny,
                           jnp.where(d < 0, -tiny, tiny), d)
-    t1 = (lo - o) * inv
-    t2 = (hi - o) * inv
-    tmin = jnp.max(jnp.minimum(t1, t2), axis=0)
-    tmax = jnp.min(jnp.maximum(t1, t2), axis=0)
-    can_hit = (tmax * (1 + 1e-6) + 1e-6 >= jnp.maximum(tmin, r_eps))
-    need = jnp.any(can_hit, axis=-1)
+
+    def group_need(ab):
+        lo = ab[0:2][:, None, :, None]
+        hi = ab[2:4][:, None, :, None]
+        t1 = (lo - o) * inv
+        t2 = (hi - o) * inv
+        tmin = jnp.max(jnp.minimum(t1, t2), axis=0)
+        tmax = jnp.min(jnp.maximum(t1, t2), axis=0)
+        can_hit = (tmax * (1 + 1e-6) + 1e-6 >= jnp.maximum(tmin, r_eps))
+        return jnp.any(can_hit, axis=-1)
+
+    cg = _cand_chunk_group(n_pad, aabbs.shape[1])
+    need = jnp.concatenate(
+        [group_need(aabbs[:, c0:c0 + cg])
+         for c0 in range(0, aabbs.shape[1], cg)], axis=1)
     n_chunks = need.shape[1]
     counts = jnp.sum(need, axis=1).astype(jnp.int32)
     cand = jnp.argsort(~need, axis=1, stable=True).astype(jnp.int32)
