@@ -1104,11 +1104,15 @@ def _cand_chunk_group(n_pad, n_chunks):
     any-over-rays): at full slab scale (4.2M rays) with 1537 chunks
     (393k triangles / 256) that is 25.8 GB and the compile OOMs HBM
     (measured, examples/caustic_render.py at mesh_steps=256).  Grouping
-    the chunk axis bounds the intermediate at ~4 GB; small scenes keep a
-    single group (identical program to the ungrouped original)."""
-    budget = 4 << 30
+    the chunk axis bounds the intermediate at ~CAND_GROUP_BYTES; small
+    scenes keep a single group (identical program to the ungrouped
+    original).  tests/test_pallas.py shrinks the budget to force multiple
+    groups at CI scale and pins equality."""
     per_col = max(n_pad, 1) * 4 * 4   # f32 x ~4 live temps per column
-    return max(16, min(n_chunks, budget // per_col))
+    return max(16, min(n_chunks, CAND_GROUP_BYTES // per_col))
+
+
+CAND_GROUP_BYTES = 4 << 30
 
 
 def _twolevel_candidates(rays8, aabbs, r_eps, ray_block, max_cand=None):

@@ -655,3 +655,29 @@ def test_gather_rows_t_gradient_matches_plain_gather(rng):
     g1 = jax.grad(lambda t: jnp.sum(w * _gather_rows_t(t, idx) ** 2))(table)
     g2 = jax.grad(lambda t: jnp.sum(w * (t[idx].T) ** 2))(table)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-12)
+
+
+def test_candidate_precompute_grouping_matches_single_group(rng, monkeypatch):
+    """The chunk-axis grouping of the candidate slab test (the 4 GB bound
+    that fixed the 393k-triangle compile OOM) is result-identical to the
+    single-group program.  Shrink the budget so CI scale forces multiple
+    groups (5200 tris -> 21 chunks, cg = 16 -> 2 groups); distinct shapes
+    from the other twolevel tests so the jit cache cannot mask the patch."""
+    from tensorflowraytrace_tpu.models.acceleration import morton_sort_triangles
+    from tensorflowraytrace_tpu.ops import pallas_kernels as pk
+
+    tri = random_tri_scene(rng, 5200)
+    tri, _ = morton_sort_triangles(tri)
+    p0, p1 = random_rays(rng, 1600)
+    eps = 1e-6
+    monkeypatch.setattr(pk, "CAND_GROUP_BYTES", 1)  # cg floors at 16
+    assert pk._cand_chunk_group(1600, 21) == 16
+    vb, ib, ub = pk.nearest_hit_triangles_pallas(
+        p0, p1, tri, eps, eps, eps, interpret=True, cull=False)
+    vg, ig, ug = pk.nearest_hit_triangles_pallas(
+        p0, p1, tri, eps, eps, eps, interpret=True, cull="grid")
+    np.testing.assert_array_equal(np.asarray(vb), np.asarray(vg))
+    h = np.asarray(vb)
+    np.testing.assert_array_equal(np.asarray(ib)[h], np.asarray(ig)[h])
+    np.testing.assert_array_equal(np.asarray(ub)[h], np.asarray(ug)[h])
+    assert h.any()
