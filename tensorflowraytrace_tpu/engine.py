@@ -1047,10 +1047,14 @@ def streamed_value_and_grad(block_loss: Callable, n_blocks: int,
 
     Parameters
     ----------
-    block_loss : callable ``(params, i) -> scalar``
+    block_loss : callable ``(params, i, *aux) -> scalar``
         Loss contribution of block ``i`` (an int32 scalar): typically
         sample/slice the block's rays from ``i``, trace with a fold, and
         return the folded scalar.  Must be pure and jit-traceable.
+        ``aux`` are extra NON-differentiated arguments passed through from
+        the returned function's call (e.g. the step's PRNG key -- closing
+        over a Python variable instead would bake its first value into the
+        jitted chunk program).
     n_blocks : total number of blocks in the stream.
     blocks_per_dispatch : blocks fused per device program.  Size so one
         dispatch (forward + backward per block) stays well under a minute
@@ -1066,9 +1070,9 @@ def streamed_value_and_grad(block_loss: Callable, n_blocks: int,
     ``parallel.sharding``).
     """
 
-    def chunk(params, idxs):
+    def chunk(params, aux, idxs):
         def body(i):
-            f = lambda p: block_loss(p, i)
+            f = lambda p: block_loss(p, i, *aux)
             if remat_blocks:
                 f = jax.checkpoint(f)
             return jax.value_and_grad(f)(params)
@@ -1080,12 +1084,12 @@ def streamed_value_and_grad(block_loss: Callable, n_blocks: int,
     jitted = jax.jit(chunk)
     bpd = int(blocks_per_dispatch)
 
-    def run(params):
+    def run(params, *aux):
         value = None
         grad = None
         for d0 in range(0, n_blocks, bpd):
             idxs = jnp.arange(d0, min(d0 + bpd, n_blocks), dtype=jnp.int32)
-            v, g = jitted(params, idxs)
+            v, g = jitted(params, aux, idxs)
             value = v if value is None else value + v
             grad = g if grad is None else jax.tree.map(jnp.add, grad, g)
         return value, grad

@@ -76,6 +76,8 @@ CASES = [
                         "theta_res": 8, "z_res": 12, "scaling_points": 2}),
     ("caustic_render", {"n_rays": 2048, "block": 512, "res": 32,
                         "mesh_steps": 8}),
+    ("streamed_training", {"rays_per_step": 2048, "block": 512, "steps": 3,
+                           "bounces": 6, "theta_res": 6, "z_res": 6}),
     ("interactive_optimize", {"simulate": [" ", " ", "b", "s", " ", "q"],
                               "verbose": False}),
     ("tpu_physics_bench", {"tiny": True}),
