@@ -729,8 +729,9 @@ def trace(rays: RaySet, scene, materials=None, cfg: TraceConfig = TraceConfig(),
 # ======================================================================
 
 def newly_terminated(record, state_code):
-    """Mask of slots whose ray reached ``state_code`` on THIS bounce."""
-    _, _, state, alive = record
+    """Mask of slots whose ray reached ``state_code`` on THIS bounce.
+    Tolerates both record arities (4-tuple, or 5 with ``fold_fields``)."""
+    _, _, state, alive = record[:4]
     return alive & (state == state_code)
 
 
@@ -742,7 +743,7 @@ def path_length_fold(n_rays, dtype):
     init = jnp.zeros((n_rays,), dtype=dtype)
 
     def fn(acc, record):
-        p0, p1, state, alive = record
+        p0, p1, state, alive = record[:4]
         seg = jnp.linalg.norm(p1 - p0, axis=-1)
         return acc + jnp.where(alive, seg, 0)
 
@@ -754,7 +755,7 @@ def bounce_count_fold(n_rays):
     init = jnp.zeros((n_rays,), dtype=jnp.int32)
 
     def fn(acc, record):
-        _, _, _, alive = record
+        _, _, _, alive = record[:4]
         return acc + alive.astype(jnp.int32)
 
     return init, fn
