@@ -19,7 +19,6 @@ On a v5e chip the defaults render a 512x512 image from 2^27 = 134M rays.
 Under CI this runs at toy sizes (tests/test_examples.py).
 """
 
-import math
 import time
 
 import jax

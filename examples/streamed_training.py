@@ -27,7 +27,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from tensorflowraytrace_tpu import FINISHED, Scene3D, TraceConfig, TriangleSet
 from tensorflowraytrace_tpu.engine import (
@@ -45,7 +44,8 @@ def main(rays_per_step=1 << 23, block=1 << 21, steps=4, bounces=12,
          theta_res=12, z_res=10, blocks_per_dispatch=2, lr=3e-3,
          momentum=0.8):
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-    dtype = jnp.float32 if on_tpu else jnp.float64
+    dtype = (jnp.float64 if not on_tpu and jax.config.read("jax_enable_x64")
+             else jnp.float32)
     block = min(block, rays_per_step)
     n_blocks = max(1, rays_per_step // block)
 

@@ -791,12 +791,13 @@ def landing_histogram_fold(value_range, x_bins, y_bins=None,
     z-normal 3D target plane.  ``weight_field``: name of a per-ray field
     (e.g. "intensity" under ``fresnel_intensity_reaction``) weighting each
     landing; requires ``trace(..., fold_fields=True)`` so the fold record
-    carries the tracker fields.  Binning follows ``analysis.histogram2d``
+    carries the tracker fields.  Bins via ``analysis.histogram2d``
     (reference analyze.py:103-106): y on axis 0, out-of-range landings
-    clamped into the edge bins.
+    clamped into the edge bins; non-landing slots contribute weight 0.
     """
+    from tensorflowraytrace_tpu.analysis import histogram2d
+
     y_bins = y_bins or x_bins
-    (x0, x1), (y0, y1) = value_range
     init = jnp.zeros((y_bins, x_bins), dtype=dtype)
     ax, ay = axes
 
@@ -813,14 +814,9 @@ def landing_histogram_fold(value_range, x_bins, y_bins=None,
             w = record[4][weight_field].astype(acc.dtype)
         else:
             w = jnp.ones(p1.shape[:-1], acc.dtype)
-        xi = jnp.clip(((p1[..., ax] - x0) / (x1 - x0)
-                       * x_bins).astype(jnp.int32), 0, x_bins - 1)
-        yi = jnp.clip(((p1[..., ay] - y0) / (y1 - y0)
-                       * y_bins).astype(jnp.int32), 0, y_bins - 1)
-        flat = yi * x_bins + xi
-        w = jnp.where(mask, w, 0)
-        return (acc.reshape(-1).at[flat].add(w)
-                .reshape(acc.shape))
+        return acc + histogram2d(p1[..., ax], p1[..., ay], value_range,
+                                 x_bins, y_bins, dtype=acc.dtype,
+                                 weights=jnp.where(mask, w, 0))
 
     return init, fn
 
@@ -1063,13 +1059,19 @@ def streamed_value_and_grad(block_loss: Callable, n_blocks: int,
     remat_blocks : wrap each block in ``jax.checkpoint`` so the backward
         holds one block's residuals at a time (the trace_streamed policy).
 
-    Returns ``fn(params) -> (value, grad)`` with ``value`` the summed loss
-    and ``grad`` matching ``jax.grad`` of the fused sum
+    Returns ``fn(params, *aux) -> (value, grad)`` with ``value`` the
+    summed loss and ``grad`` matching ``jax.grad`` of the fused sum
     (tests/test_streamed.py pins the equality).  For multi-chip streams
     compose per device: shard the block index space, run this per process,
     and psum value/grad (the same one-collective step as
     ``parallel.sharding``).
     """
+
+    if n_blocks <= 0:
+        raise ValueError(
+            f"streamed_value_and_grad: n_blocks must be positive, got "
+            f"{n_blocks} (a rays // block computation may have rounded "
+            "to zero -- clamp with max(1, ...))")
 
     def chunk(params, aux, idxs):
         def body(i):

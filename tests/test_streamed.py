@@ -267,8 +267,6 @@ def test_streamed_value_and_grad_matches_fused(bpd):
         lambda a: a.reshape((n_blocks, block) + a.shape[1:]), rays)
 
     def block_loss(tx, i):
-        import dataclasses
-
         blk = jax.tree.map(lambda a: a[i], stacked)
         init, fn = landing_sum_fold(
             lambda p1: (p1[:, 0] - tx) ** 2, F64)
