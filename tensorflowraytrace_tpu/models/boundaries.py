@@ -615,3 +615,174 @@ class ParametricCylindricalGuide:
     def updated_mesh(self, params) -> mt.TriMesh:
         return mt.TriMesh(np.asarray(self.params_to_vertices(params)),
                           np.asarray(self.faces))
+
+
+# ======================================================================
+# even-asphere surfaces (beyond reference)
+# ======================================================================
+
+def _asphere_sag(r2, params, n_aspheric, dtype):
+    """Even-asphere sag as a function of squared radial coordinate::
+
+        sag(r) = c r^2 / (1 + sqrt(1 - (1+k) c^2 r^2)) + sum_i a_i r^(2i+4)
+
+    with ``params = [c, k, a4, a6, ...]`` (curvature, conic constant, then
+    ``n_aspheric`` even polynomial coefficients starting at r^4; the r^2
+    term is absorbed into the curvature).  Differentiable in every
+    parameter.  The conic radicand is clamped from below so vertices past
+    the conic's natural aperture (where ``(1+k) c^2 r^2 > 1``) produce a
+    finite value and finite gradients instead of NaN -- the same guarded
+    sqrt discipline as the reference's safe divides
+    (/root/reference/tfrt/geometry.py:44-52)."""
+    c = params[0]
+    k = params[1]
+    r2 = jnp.asarray(r2, dtype)
+    rad = 1.0 - (1.0 + k) * (c * c) * r2
+    rad = jnp.maximum(rad, jnp.asarray(1e-8, dtype))
+    sag = c * r2 / (1.0 + jnp.sqrt(rad))
+    # static Python loop: n_aspheric is a build-time constant, so XLA sees
+    # a fixed fused polynomial (Horner in r^2, starting at r^4)
+    if n_aspheric:
+        poly = params[2 + n_aspheric - 1]
+        for i in range(n_aspheric - 2, -1, -1):
+            poly = poly * r2 + params[2 + i]
+        sag = sag + poly * r2 * r2
+    return sag
+
+
+def _perp_frame(axis):
+    """Right-handed orthonormal (e1, e2, axis) frame from a unit axis."""
+    a = np.asarray(axis, np.float64)
+    a = a / np.linalg.norm(a)
+    helper = np.zeros(3)
+    helper[int(np.argmin(np.abs(a)))] = 1.0
+    e1 = np.cross(helper, a)
+    e1 /= np.linalg.norm(e1)
+    e2 = np.cross(a, e1)
+    return e1, e2, a
+
+
+class ParametricAsphereBoundary:
+    """A 3D rotationally-symmetric **even-asphere** surface -- the industry
+    standard lens-surface parametrization -- with a FEW global trainable
+    parameters instead of one parameter per vertex:
+
+        params = [c, k, a4, a6, ... ]   (2 + n_aspheric entries)
+
+    sag(r) = c r^2 / (1 + sqrt(1 - (1+k) c^2 r^2)) + a4 r^4 + a6 r^6 + ...
+
+    applied along ``axis`` over a circular mesh of ``aperture_radius``
+    centered at ``vertex``.  Special cases: c = 1/R, k = 0 is a sphere of
+    radius R; k = -e^2 selects the conic family (paraboloid k = -1,
+    hyperboloid k < -1).  No reference counterpart (the reference's only
+    trainable 3D surfaces are per-vertex freeform meshes,
+    /root/reference/tfrt/boundaries.py:967-1112); this composes with them --
+    few-parameter global shape here, per-vertex figure correction there.
+
+    The low parameter count changes the optimization landscape: no mesh
+    accumulator/smoother conditioning is needed, and classical designs
+    (e.g. the perfect collimator hyperbola, examples/wavefront_lens.py)
+    are exactly representable.
+    """
+
+    def __init__(self, vertex, axis, aperture_radius, target_edge_size,
+                 n_aspheric=0, initial_curvature=0.0, initial_conic=0.0,
+                 flip_norm=False, mat_in=None, mat_out=None,
+                 category=OPTICAL, dtype=None):
+        dtype = resolve_dtype(dtype)
+        self.dtype = dtype
+        self.n_aspheric = int(n_aspheric)
+        base = mt.circular_mesh(aperture_radius, target_edge_size)
+        if flip_norm:
+            base = base.flip_faces()
+        self.mesh = base
+        e1, e2, a = _perp_frame(axis)
+        xy = base.points[:, :2]
+        self._r2 = jnp.asarray((xy ** 2).sum(1), dtype)
+        self._base = jnp.asarray(
+            np.asarray(vertex, np.float64)[None, :]
+            + xy[:, :1] * e1[None, :] + xy[:, 1:2] * e2[None, :], dtype)
+        self._axis = jnp.asarray(a, dtype)
+        self.faces = jnp.asarray(base.faces, dtype=jnp.int32)
+        self.initial_curvature = initial_curvature
+        self.initial_conic = initial_conic
+        self.mat_in = mat_in
+        self.mat_out = mat_out
+        self.category = category
+
+    @property
+    def n_params(self) -> int:
+        return 2 + self.n_aspheric
+
+    def init_params(self):
+        p = np.zeros(self.n_params)
+        p[0] = self.initial_curvature
+        p[1] = self.initial_conic
+        return jnp.asarray(p, self.dtype)
+
+    def sag(self, r2, params):
+        return _asphere_sag(r2, params, self.n_aspheric, self.dtype)
+
+    def params_to_vertices(self, params):
+        s = self.sag(self._r2, params)
+        return self._base + s[:, None] * self._axis[None, :]
+
+    def build(self, params) -> TriangleSet:
+        vertices = self.params_to_vertices(params)
+        vp, v1, v2 = _masked_gather(vertices, self.faces, None)
+        return TriangleSet.make(vp, v1, v2, category=self.category,
+                                mat_in=self.mat_in, mat_out=self.mat_out,
+                                dtype=self.dtype)
+
+    def updated_mesh(self, params) -> mt.TriMesh:
+        return mt.TriMesh(np.asarray(self.params_to_vertices(params)),
+                          np.asarray(self.faces))
+
+
+class ParametricAsphereSegment:
+    """The 2D profile of an even asphere: a polyline of ``resolution``
+    segments spanning ``y in [-half_aperture, half_aperture]`` at
+    ``x = vertex_x + sag(|y|)`` (sag along +x).  Same parameter vector as
+    :class:`ParametricAsphereBoundary`.  Segment norms follow the p0->p1
+    left-hand convention (reference engine.py:580-586); ``flip_norm``
+    reverses each segment."""
+
+    def __init__(self, vertex_x, half_aperture, resolution=64, n_aspheric=0,
+                 initial_curvature=0.0, initial_conic=0.0, flip_norm=False,
+                 mat_in=None, mat_out=None, category=OPTICAL, dtype=None):
+        dtype = resolve_dtype(dtype)
+        self.dtype = dtype
+        self.n_aspheric = int(n_aspheric)
+        y = np.linspace(-half_aperture, half_aperture, resolution + 1)
+        self._y = jnp.asarray(y, dtype)
+        self._r2 = jnp.asarray(y * y, dtype)
+        self._vertex_x = jnp.asarray(vertex_x, dtype)
+        self.flip_norm = flip_norm
+        self.initial_curvature = initial_curvature
+        self.initial_conic = initial_conic
+        self.mat_in = mat_in
+        self.mat_out = mat_out
+        self.category = category
+
+    @property
+    def n_params(self) -> int:
+        return 2 + self.n_aspheric
+
+    def init_params(self):
+        p = np.zeros(self.n_params)
+        p[0] = self.initial_curvature
+        p[1] = self.initial_conic
+        return jnp.asarray(p, self.dtype)
+
+    def sag(self, r2, params):
+        return _asphere_sag(r2, params, self.n_aspheric, self.dtype)
+
+    def build(self, params) -> SegmentSet:
+        x = self._vertex_x + self.sag(self._r2, params)
+        pts = jnp.stack([x, self._y], axis=1)
+        p0, p1 = pts[:-1], pts[1:]
+        if self.flip_norm:
+            p0, p1 = p1, p0
+        return SegmentSet.make(p0, p1, category=self.category,
+                               mat_in=self.mat_in, mat_out=self.mat_out,
+                               dtype=self.dtype)

@@ -80,6 +80,8 @@ CASES = [
                            "bounces": 6, "theta_res": 6, "z_res": 6}),
     ("interactive_optimize", {"simulate": [" ", " ", "b", "s", " ", "q"],
                               "verbose": False}),
+    ("asphere_singlet", {"steps": 300, "resolution": 64, "n_rays": 64,
+                         "verbose": False}),
     ("tpu_physics_bench", {"tiny": True}),
 ]
 
