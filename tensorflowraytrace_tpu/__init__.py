@@ -11,6 +11,7 @@ Layer map (mirrors SURVEY.md section 1):
   ops/        geometry + intersection kernels, materials, spectrum
   models/     rays, surfaces, sources, distributions, boundaries, meshes
   engine      the multi-bounce trace loop
+  sequential  analytic ordered-asphere tracer (classical lens design)
   operations  pluggable per-bounce reactions
   optim       gradient processing + training routines
   parallel/   multi-chip sharding (shard_map over a ray mesh)
@@ -33,6 +34,9 @@ from tensorflowraytrace_tpu.models.acceleration import (
 from tensorflowraytrace_tpu.models.rays import RaySet, concat_rays
 from tensorflowraytrace_tpu.models.surfaces import (
     ArcSet, Scene2D, Scene3D, SegmentSet, TriangleSet,
+)
+from tensorflowraytrace_tpu.sequential import (
+    AsphereStack, SequentialResult, collimated_bundle, trace_sequential,
 )
 
 __version__ = "0.1.0"

@@ -622,32 +622,18 @@ class ParametricCylindricalGuide:
 # ======================================================================
 
 def _asphere_sag(r2, params, n_aspheric, dtype):
-    """Even-asphere sag as a function of squared radial coordinate::
-
-        sag(r) = c r^2 / (1 + sqrt(1 - (1+k) c^2 r^2)) + sum_i a_i r^(2i+4)
-
-    with ``params = [c, k, a4, a6, ...]`` (curvature, conic constant, then
+    """Even-asphere sag as a function of squared radial coordinate, with
+    ``params = [c, k, a4, a6, ...]`` (curvature, conic constant, then
     ``n_aspheric`` even polynomial coefficients starting at r^4; the r^2
     term is absorbed into the curvature).  Differentiable in every
-    parameter.  The conic radicand is clamped from below so vertices past
-    the conic's natural aperture (where ``(1+k) c^2 r^2 > 1``) produce a
-    finite value and finite gradients instead of NaN -- the same guarded
-    sqrt discipline as the reference's safe divides
-    (/root/reference/tfrt/geometry.py:44-52)."""
-    c = params[0]
-    k = params[1]
-    r2 = jnp.asarray(r2, dtype)
-    rad = 1.0 - (1.0 + k) * (c * c) * r2
-    rad = jnp.maximum(rad, jnp.asarray(1e-8, dtype))
-    sag = c * r2 / (1.0 + jnp.sqrt(rad))
-    # static Python loop: n_aspheric is a build-time constant, so XLA sees
-    # a fixed fused polynomial (Horner in r^2, starting at r^4)
-    if n_aspheric:
-        poly = params[2 + n_aspheric - 1]
-        for i in range(n_aspheric - 2, -1, -1):
-            poly = poly * r2 + params[2 + i]
-        sag = sag + poly * r2 * r2
-    return sag
+    parameter.  Delegates to the canonical shared model in
+    :mod:`ops.asphere` -- the same implementation the analytic sequential
+    tracer (``sequential.py``) intersects exactly, so the tessellated and
+    analytic engines can never drift on the sag."""
+    from tensorflowraytrace_tpu.ops import asphere
+
+    return asphere.sag(jnp.asarray(r2, dtype), params[0], params[1],
+                       params[2:2 + n_aspheric])
 
 
 def _perp_frame(axis):

@@ -53,6 +53,32 @@ def layer_cosine(n0, cos0, n_layer):
     return jnp.sqrt(jnp.asarray(1.0 - sin2, cdt) + guard)
 
 
+def stack_rt(n0, n_sub, cos0, wavelength, layer_n, layer_d,
+             layer_valid=None):
+    """Complex reflection AND transmission amplitudes of a multilayer stack.
+
+    Returns ``(rs, rp, ts, tp)``.  The transmission amplitudes are
+    POWER-NORMALIZED: ``t_norm = t sqrt(Re(eta_sub) / eta_0)`` with
+    ``t = 2 eta_0 / (eta_0 B + C)``, so ``|t_norm|^2`` equals the power
+    transmittance ``T = 4 eta_0 Re(eta_sub) / |eta_0 B + C|^2`` [Macleod
+    ch. 2] and ``|r|^2 + |t_norm|^2 = 1`` exactly for these lossless
+    stacks.  This is the amplitude a Jones transport applies so that
+    ``|Es|^2 + |Ep|^2`` keeps tracking the ray's radiant power while the
+    transmission PHASE (which a bare-Fresnel sqrt(1-R) factor discards) is
+    preserved -- coatings retard as well as diattenuate.
+
+    Limits: the empty stack gives the bare-Fresnel r and a real positive
+    ``t_norm = sqrt(1 - r^2)``; under TIR ``Re(eta_sub) = 0`` so
+    ``t_norm = 0`` and ``|r| = 1``; the n == 0 mirror-substrate sentinel
+    forces ``eta_sub = 0`` (r = +1 for an empty stack -- an ideal
+    admittance-0 mirror; callers wanting the perfect-conductor convention
+    r = -1 override mirror rows themselves, as the Jones reactions do).
+    Parameters are those of :func:`stack_r`.
+    """
+    return _stack_amplitudes(n0, n_sub, cos0, wavelength, layer_n, layer_d,
+                             layer_valid)
+
+
 def stack_r(n0, n_sub, cos0, wavelength, layer_n, layer_d, layer_valid=None):
     """Complex reflection amplitudes (rs, rp) of a multilayer stack.
 
@@ -82,6 +108,13 @@ def stack_r(n0, n_sub, cos0, wavelength, layer_n, layer_d, layer_valid=None):
     An empty stack (L == 0 or all-invalid) reduces exactly to the bare
     Fresnel interface n0 -> n_sub.
     """
+    rs, rp, _, _ = _stack_amplitudes(n0, n_sub, cos0, wavelength, layer_n,
+                                     layer_d, layer_valid)
+    return rs, rp
+
+
+def _stack_amplitudes(n0, n_sub, cos0, wavelength, layer_n, layer_d,
+                      layer_valid=None):
     cos0 = jnp.asarray(cos0)
     dtype = cos0.dtype
     cdt = _complex_dtype(dtype)
@@ -139,17 +172,34 @@ def stack_r(n0, n_sub, cos0, wavelength, layer_n, layer_d, layer_valid=None):
         n22 = m21_p * jp_12 + m22_p * c
         m11_p, m12_p, m21_p, m22_p = n11, n12, n21, n22
 
-    def reflect(m11, m12, m21, m22, eta0, etas):
+    eps = jnp.finfo(dtype).eps
+
+    def coefs(m11, m12, m21, m22, eta0, etas):
         b = m11 + m12 * etas
         c = m21 + m22 * etas
-        num = eta0 * b - c
         den = eta0 * b + c
         den = jnp.where(jnp.abs(den) > 0, den, one)
-        return num / den
+        r = (eta0 * b - c) / den
+        # power-normalized transmission: T = 4 eta0 Re(etas) / |den|^2
+        # (Macleod 2.115; eta0 is real), so t_norm = t sqrt(Re(etas)/eta0)
+        # has |t_norm|^2 == T.  Double-where the sqrt: under TIR / mirror
+        # substrates Re(etas) == 0 and sqrt'(0) = inf would NaN the zeroed
+        # cotangent of the untaken branch; the eps^2 clamp bounds the
+        # derivative at near-critical incidence on the taken branch (the
+        # engine's standard radicand discipline).
+        t = 2.0 * eta0 / den
+        re_s = jnp.real(etas)
+        pos = re_s > 0
+        eta0_re = jnp.maximum(jnp.real(eta0), eps)
+        scale = jnp.sqrt(jnp.where(pos, jnp.maximum(re_s, eps * eps), 1.0)
+                         / eta0_re)
+        t_norm = jnp.where(pos, t * jnp.asarray(scale, t.dtype),
+                           jnp.zeros_like(t))
+        return r, t_norm
 
-    rs = reflect(m11_s, m12_s, m21_s, m22_s, eta0_s, etas_s)
-    rp = reflect(m11_p, m12_p, m21_p, m22_p, eta0_p, etas_p)
-    return rs, rp
+    rs, ts = coefs(m11_s, m12_s, m21_s, m22_s, eta0_s, etas_s)
+    rp, tp = coefs(m11_p, m12_p, m21_p, m22_p, eta0_p, etas_p)
+    return rs, rp, ts, tp
 
 
 def stack_R_unpolarized(n0, n_sub, cos0, wavelength, layer_n, layer_d,

@@ -48,51 +48,11 @@ import jax
 import jax.numpy as jnp
 
 from tensorflowraytrace_tpu.config import resolve_dtype
+from tensorflowraytrace_tpu.ops.asphere import sag as _sag
+from tensorflowraytrace_tpu.ops.asphere import sag_du as _sag_du
 from tensorflowraytrace_tpu.ops.materials import material_index_lookup
 
 NEWTON_ITERS = 8
-
-
-# ======================================================================
-# sag and its radial derivative
-# ======================================================================
-
-def _sag(u, c, k, coeffs):
-    """Even-asphere sag as a function of u = r^2 (same model and guarded
-    radicand as models/boundaries._asphere_sag; ``coeffs`` has a STATIC
-    trailing length, possibly 0)."""
-    dtype = u.dtype
-    rad = 1.0 - (1.0 + k) * (c * c) * u
-    rad = jnp.maximum(rad, jnp.asarray(1e-8, dtype))
-    s = c * u / (1.0 + jnp.sqrt(rad))
-    n_a = coeffs.shape[-1]
-    if n_a:
-        poly = coeffs[..., n_a - 1]
-        for i in range(n_a - 2, -1, -1):
-            poly = poly * u + coeffs[..., i]
-        s = s + poly * u * u
-    return s
-
-
-def _sag_du(u, c, k, coeffs):
-    """d(sag)/du, analytic.  With s = sqrt(1 - (1+k) c^2 u)::
-
-        d/du [c u / (1+s)] = c/(1+s) + c u (1+k) c^2 / (2 s (1+s)^2)
-
-    plus ``sum (i+2) a_i u^(i+1)`` for the polynomial tail."""
-    dtype = u.dtype
-    rad = 1.0 - (1.0 + k) * (c * c) * u
-    rad = jnp.maximum(rad, jnp.asarray(1e-8, dtype))
-    s = jnp.sqrt(rad)
-    one_p_s = 1.0 + s
-    d = c / one_p_s + c * u * (1.0 + k) * (c * c) / (2.0 * s * one_p_s ** 2)
-    n_a = coeffs.shape[-1]
-    if n_a:
-        dp = (n_a + 1) * coeffs[..., n_a - 1]
-        for i in range(n_a - 2, -1, -1):
-            dp = dp * u + (i + 2) * coeffs[..., i]
-        d = d + dp * u
-    return d
 
 
 # ======================================================================
@@ -319,7 +279,14 @@ def trace_sequential(p, d, wavelength, stack: AsphereStack, materials,
         n2 = material_index_lookup(
             materials, wavelength,
             jnp.broadcast_to(mat_after, (n_rays,)))
-        eta = n_cur / n2
+        # the refraction branch must never divide by the n = 0 reflective
+        # sentinel (mirror rows do not consult mat_after) or by a NaN
+        # out-of-range lookup: the untaken jnp.where branch still runs in
+        # backward mode, so sanitize the divisor first and kill bad-index
+        # refractions below (double-where discipline, ADVICE r4)
+        n2_ok = jnp.isfinite(n2) & (n2 != 0)
+        n2_safe = jnp.where(n2_ok, n2, n_cur)
+        eta = n_cur / n2_safe
         rad = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
         tir = rad < 0
         safe_rad = jnp.maximum(jnp.where(tir, 1.0, rad),
@@ -335,8 +302,8 @@ def trace_sequential(p, d, wavelength, stack: AsphereStack, materials,
                             d[:, 2] + two_nd * nz], axis=1)
 
         d_new = jnp.where(mirror, d_refl, d_refr)
-        n_new = jnp.where(mirror, n_cur, n2)
-        ok = ok & (mirror | ~tir)
+        n_new = jnp.where(mirror, n_cur, n2_safe)
+        ok = ok & (mirror | (~tir & n2_ok))
 
         step_alive = alive & ok
         hit = hit_local + jnp.stack(
