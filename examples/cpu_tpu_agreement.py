@@ -255,6 +255,26 @@ def main():
     compare("thin-film oblique (45deg)", trace_coated, rays_c, scene_c,
             results)
 
+    # config 8b: the coated Jones transport on the same scene (complex
+    # stack amplitudes -> Stokes parameters; r5 thin_film_jones_reaction)
+    from tensorflowraytrace_tpu.operations import thin_film_jones_reaction
+
+    rays_cj = seed_polarization(
+        RaySet.make(jnp.asarray(p0c, f32), jnp.asarray(p0c + dc, f32),
+                    jnp.asarray(lamc, f32), dtype=f32),
+        jones=(1 / math.sqrt(2.0), 1 / math.sqrt(2.0)))
+    rx_cj = thin_film_jones_reaction(
+        [[(nf, d_qw)]], {"segments": np.asarray([0, -1])})
+
+    def trace_coated_jones(r, s):
+        res = trace(r, s, m2, TraceConfig(max_bounces=2), reaction=rx_cj)
+        st = stokes_parameters(res.rays)
+        return res.rays.p1, res.rays.state, {k: st[k] for k in
+                                             ("S0", "S1", "S2", "S3")}
+
+    compare("thin-film Jones (coated oblique)", trace_coated_jones, rays_cj,
+            scene_c, results)
+
     # config 9: a small Huygens PSF grid (coherent wavelet sum -- the most
     # cancellation-prone r3 quantity)
     from tensorflowraytrace_tpu.analysis import huygens_psf

@@ -373,6 +373,91 @@ def _cdiv(nr, ni, dr, di, eps):
     return (nr * dr + ni * di) / den, (ni * dr - nr * di) / den
 
 
+def _pol_basis_rotation(proj, rays, d, n, dtype):
+    """Shared plane-of-incidence basis transport for the Jones reactions:
+    reads the ray's (Es, Ep) fields (failing loudly if unseeded), rotates
+    them into the new plane of incidence (3D; s_new = d x n, kept at normal
+    incidence), and returns ``(es_re, es_im, ep_re, ep_im, updates)`` where
+    ``updates`` carries the child's new s-axis fields (3D) or is empty
+    (2D: s is globally the out-of-plane axis, rotation is the identity)."""
+    for f in (POL_FIELDS_3D if proj.dim == 3 else POL_FIELDS_2D):
+        if f not in rays.fields:
+            raise KeyError(
+                f"jones polarization transport: rays carry no {f!r} "
+                "field; seed the source rays with seed_polarization()")
+    es_re, es_im = rays.fields["es_re"], rays.fields["es_im"]
+    ep_re, ep_im = rays.fields["ep_re"], rays.fields["ep_im"]
+
+    updates = {}
+    if proj.dim == 3:
+        # rotate (Es, Ep) from the ray's stored basis into the plane of
+        # incidence: s_new = d x n (kept at normal incidence), and with
+        # p = d x s the rotation is [[c, s], [-s, c]]
+        s_old = jnp.stack([rays.fields["pol_sx"], rays.fields["pol_sy"],
+                           rays.fields["pol_sz"]], axis=1)
+        p_old = jnp.cross(d, s_old)
+        dxn = jnp.cross(d, n)
+        c_len = jnp.linalg.norm(dxn, axis=-1, keepdims=True)
+        s_new = jnp.where(c_len > jnp.finfo(dtype).eps ** 0.5,
+                          dxn / jnp.maximum(c_len, jnp.finfo(dtype).tiny),
+                          s_old)
+        cr = jnp.sum(s_old * s_new, axis=-1)
+        sr = jnp.sum(p_old * s_new, axis=-1)
+        es_re, ep_re = cr * es_re + sr * ep_re, -sr * es_re + cr * ep_re
+        es_im, ep_im = cr * es_im + sr * ep_im, -sr * es_im + cr * ep_im
+        # the new s axis is normal to the plane of incidence, hence
+        # perpendicular to BOTH child directions (reflected or
+        # refracted) -- it is the child's basis as-is
+        updates.update(pol_sx=s_new[:, 0], pol_sy=s_new[:, 1],
+                       pol_sz=s_new[:, 2])
+    return es_re, es_im, ep_re, ep_im, updates
+
+
+def _bare_jones_coefs(dtype, cos_i, eta, radicand, tir, reflects):
+    """Bare-Fresnel complex amplitude coefficients of the taken branch
+    (the Jones reactions' shared core): complex (rs, rp) with the TIR
+    phase continuation ``cos_t -> i b``, the ideal-mirror ``r = -1``
+    override on non-TIR reflections, and the power-normalized real
+    transmissions ``sqrt(1 - |r|^2)``.  Returns
+    ``(rs_re, rs_im, rp_re, rp_im, ts, tp)``; see
+    :func:`jones_polarization_reaction` for the clamp rationale."""
+    eps = jnp.finfo(dtype).eps
+    # cos_t continued to the upper complex half-plane under TIR.
+    # double-where around each sqrt (masked-branch inf derivative times
+    # its zeroed cotangent = NaN), PLUS an eps**2 clamp on the SELECTED
+    # branch: radicand == 0 exactly (critical incidence; escapes the
+    # strict < 0 TIR test, and TPU remat is known to round a
+    # near-critical radicand to 0 -- see snells_law_3D) would otherwise
+    # feed sqrt'(0) = inf straight into the backward pass
+    eps2 = eps * eps
+    a = jnp.where(tir, jnp.zeros_like(radicand),
+                  jnp.sqrt(jnp.where(tir, 1.0,
+                                     jnp.maximum(radicand, eps2))))
+    b = jnp.where(tir, jnp.sqrt(jnp.where(tir, jnp.maximum(-radicand,
+                                                           eps2), 1.0)),
+                  jnp.zeros_like(radicand))
+    rs_re, rs_im = _cdiv(eta * cos_i - a, -b, eta * cos_i + a, b, eps)
+    rp_re, rp_im = _cdiv(cos_i - eta * a, -eta * b,
+                         cos_i + eta * a, eta * b, eps)
+    # ideal mirror (n == 0 sentinel): r = -1 for both components
+    mirror = reflects & ~tir
+    rs_re = jnp.where(mirror, -jnp.ones_like(rs_re), rs_re)
+    rs_im = jnp.where(mirror, jnp.zeros_like(rs_im), rs_im)
+    rp_re = jnp.where(mirror, -jnp.ones_like(rp_re), rp_re)
+    rp_im = jnp.where(mirror, jnp.zeros_like(rp_im), rp_im)
+
+    # transmissions only matter on the refract branch; under reflection
+    # |r| = 1 makes the radicand 0 and sqrt's derivative inf, so feed the
+    # sqrt a safe value there and mask after.  The refract branch needs
+    # the same eps**2 clamp: grazing refraction (|r| -> 1) drives the
+    # radicand to exactly 0 on the SELECTED branch
+    ts_rad = jnp.clip(1.0 - (rs_re * rs_re + rs_im * rs_im), 0.0, 1.0)
+    tp_rad = jnp.clip(1.0 - (rp_re * rp_re + rp_im * rp_im), 0.0, 1.0)
+    ts = jnp.sqrt(jnp.where(reflects, 1.0, jnp.maximum(ts_rad, eps2)))
+    tp = jnp.sqrt(jnp.where(reflects, 1.0, jnp.maximum(tp_rad, eps2)))
+    return rs_re, rs_im, rp_re, rp_im, ts, tp
+
+
 def jones_polarization_reaction(base_reaction=default_reaction):
     """Wrap a reaction with full polarization ray tracing.
 
@@ -410,75 +495,14 @@ def jones_polarization_reaction(base_reaction=default_reaction):
         child_p0, child_p1, base_updates = _run_base(
             base_reaction, proj, rays, cfg)
         dtype = rays.p0.dtype
-        eps = jnp.finfo(dtype).eps
         d, n, nu, cos_i, n_in, _n_out, eta, radicand, tir, reflects = (
             _fresnel_prelude(proj, rays))
         reflects = _effective_reflects(base_updates, reflects)
 
-        for f in (POL_FIELDS_3D if proj.dim == 3 else POL_FIELDS_2D):
-            if f not in rays.fields:
-                raise KeyError(
-                    f"jones_polarization_reaction: rays carry no {f!r} "
-                    "field; seed the source rays with seed_polarization()")
-        es_re, es_im = rays.fields["es_re"], rays.fields["es_im"]
-        ep_re, ep_im = rays.fields["ep_re"], rays.fields["ep_im"]
-
-        updates = {}
-        if proj.dim == 3:
-            # rotate (Es, Ep) from the ray's stored basis into the plane of
-            # incidence: s_new = d x n (kept at normal incidence), and with
-            # p = d x s the rotation is [[c, s], [-s, c]]
-            s_old = jnp.stack([rays.fields["pol_sx"], rays.fields["pol_sy"],
-                               rays.fields["pol_sz"]], axis=1)
-            p_old = jnp.cross(d, s_old)
-            dxn = jnp.cross(d, n)
-            c_len = jnp.linalg.norm(dxn, axis=-1, keepdims=True)
-            s_new = jnp.where(c_len > jnp.finfo(dtype).eps ** 0.5,
-                              dxn / jnp.maximum(c_len, jnp.finfo(dtype).tiny),
-                              s_old)
-            cr = jnp.sum(s_old * s_new, axis=-1)
-            sr = jnp.sum(p_old * s_new, axis=-1)
-            es_re, ep_re = cr * es_re + sr * ep_re, -sr * es_re + cr * ep_re
-            es_im, ep_im = cr * es_im + sr * ep_im, -sr * es_im + cr * ep_im
-            # the new s axis is normal to the plane of incidence, hence
-            # perpendicular to BOTH child directions (reflected or
-            # refracted) -- it is the child's basis as-is
-            updates.update(pol_sx=s_new[:, 0], pol_sy=s_new[:, 1],
-                           pol_sz=s_new[:, 2])
-
-        # cos_t continued to the upper complex half-plane under TIR.
-        # double-where around each sqrt (masked-branch inf derivative times
-        # its zeroed cotangent = NaN), PLUS an eps**2 clamp on the SELECTED
-        # branch: radicand == 0 exactly (critical incidence; escapes the
-        # strict < 0 TIR test, and TPU remat is known to round a
-        # near-critical radicand to 0 -- see snells_law_3D) would otherwise
-        # feed sqrt'(0) = inf straight into the backward pass
-        eps2 = eps * eps
-        a = jnp.where(tir, jnp.zeros_like(radicand),
-                      jnp.sqrt(jnp.where(tir, 1.0,
-                                         jnp.maximum(radicand, eps2))))
-        b = jnp.where(tir, jnp.sqrt(jnp.where(tir, jnp.maximum(-radicand,
-                                                               eps2), 1.0)),
-                      jnp.zeros_like(radicand))
-        rs_re, rs_im = _cdiv(eta * cos_i - a, -b, eta * cos_i + a, b, eps)
-        rp_re, rp_im = _cdiv(cos_i - eta * a, -eta * b,
-                             cos_i + eta * a, eta * b, eps)
-        # ideal mirror (n == 0 sentinel): r = -1 for both components
-        mirror = reflects & ~tir
-        rs_re = jnp.where(mirror, -jnp.ones_like(rs_re), rs_re)
-        rs_im = jnp.where(mirror, jnp.zeros_like(rs_im), rs_im)
-        rp_re = jnp.where(mirror, -jnp.ones_like(rp_re), rp_re)
-        rp_im = jnp.where(mirror, jnp.zeros_like(rp_im), rp_im)
-
-        # transmissions only matter on the refract branch; under reflection
-        # |r| = 1 makes the radicand 0 and sqrt's derivative inf, so feed the
-        # sqrt a safe value there and mask after.  The refract branch needs
-        # the same eps**2 clamp: grazing refraction (|r| -> 1) drives the
-        # radicand to exactly 0 on the SELECTED branch
-        ts_rad = jnp.clip(1.0 - (rs_re * rs_re + rs_im * rs_im), 0.0, 1.0)
-        tp_rad = jnp.clip(1.0 - (rp_re * rp_re + rp_im * rp_im), 0.0, 1.0)
-        ts = jnp.sqrt(jnp.where(reflects, 1.0, jnp.maximum(ts_rad, eps2)))
-        tp = jnp.sqrt(jnp.where(reflects, 1.0, jnp.maximum(tp_rad, eps2)))
+        es_re, es_im, ep_re, ep_im, updates = _pol_basis_rotation(
+            proj, rays, d, n, dtype)
+        rs_re, rs_im, rp_re, rp_im, ts, tp = _bare_jones_coefs(
+            dtype, cos_i, eta, radicand, tir, reflects)
 
         cs_re = jnp.where(reflects, rs_re, ts)
         cs_im = jnp.where(reflects, rs_im, jnp.zeros_like(ts))
@@ -678,6 +702,69 @@ class OldestAncestor(RayOperation):
 # thin-film coated surfaces (multilayer AR / HR stacks)
 # ======================================================================
 
+def _coating_inputs(proj, rays, reflects, n_in, n_out, nu,
+                    stacks, lens, lmax, coat_ids, dtype):
+    """Per-ray characteristic-matrix inputs shared by the thin-film
+    reactions: the coating id (-1 = bare), the sanitized incident /
+    substrate indices of the hit side, and the (L, N) layer index /
+    thickness tables in TRAVERSAL order (stacks are specified
+    outer(mat_out) -> inner(mat_in); internal hits see them reversed
+    within the valid prefix).  Returns
+    ``(coat, n_inc, n_sub, layer_n, layer_d, layer_valid)``."""
+    internal = nu > 0
+    n_inc = jnp.where(internal, n_in, n_out)
+    # the 2D one-sided mirror REFRACTS n_in == 0 internal hits with
+    # eta = 1/n_out (n_in_safe discipline, geometry.select_eta); the
+    # stack must see the same sanitized incident index on refracting
+    # branches, while reflecting branches keep the 0 sentinel so
+    # eta0 = 0 -> r = -1 -> R = 1 (ideal mirror)
+    n_inc = jnp.where(~reflects & (n_inc == 0), jnp.ones_like(n_inc),
+                      n_inc)
+    n_sub = jnp.where(internal, n_out, n_in)
+    wl = rays.wavelength
+
+    # per-ray coating id from the per-kind tables (-1 = bare)
+    coat = _per_surface_table(proj, coat_ids, rays.n_rays, -1)
+
+    if lmax == 0:
+        layer_n = jnp.ones((0, rays.n_rays), dtype)
+        layer_d = jnp.zeros((0, rays.n_rays), dtype)
+        layer_valid = None
+        return coat, n_inc, n_sub, layer_n, layer_d, layer_valid
+
+    # select-chain the per-stack layer tables into per-ray rows
+    ray_len = jnp.zeros((rays.n_rays,), jnp.int32)
+    for s, length in enumerate(lens):
+        ray_len = jnp.where(coat == s, length, ray_len)
+    rows_n, rows_d = [], []
+    for j in range(lmax):
+        nj = jnp.ones((rays.n_rays,), dtype)
+        dj = jnp.zeros((rays.n_rays,), dtype)
+        for s, stack in enumerate(stacks):
+            if j >= len(stack):
+                continue
+            n_s, d_s = stack[j]
+            n_val = n_s(wl) if callable(n_s) else n_s
+            sel = coat == s
+            nj = jnp.where(sel, jnp.asarray(n_val, dtype), nj)
+            dj = jnp.where(sel, jnp.asarray(d_s, dtype), dj)
+        rows_n.append(nj)
+        rows_d.append(dj)
+    layer_n = jnp.stack(rows_n)          # (L, N)
+    layer_d = jnp.stack(rows_d)
+    jidx = jnp.arange(lmax, dtype=jnp.int32)[:, None]
+    # stacks are specified outer(mat_out)->inner(mat_in); internal
+    # hits traverse them in reverse, within the valid prefix
+    ridx = jnp.clip(ray_len[None, :] - 1 - jidx, 0, lmax - 1)
+    eff = jnp.where(internal[None, :], ridx, jidx)
+    layer_n = jnp.take_along_axis(layer_n, eff, axis=0)
+    layer_d = jnp.take_along_axis(layer_d, eff, axis=0)
+    layer_valid = jidx < ray_len[None, :]
+    layer_n = jnp.where(layer_valid, layer_n, jnp.ones_like(layer_n))
+    layer_d = jnp.where(layer_valid, layer_d, jnp.zeros_like(layer_d))
+    return coat, n_inc, n_sub, layer_n, layer_d, layer_valid
+
+
 def thin_film_intensity_reaction(stacks, coat_ids,
                                  base_reaction=default_reaction,
                                  field="intensity"):
@@ -732,60 +819,12 @@ def thin_film_intensity_reaction(stacks, coat_ids,
         reflects = _effective_reflects(base_updates, reflects)
         old = _chain_field(base_updates, rays, field,
                            "thin_film_intensity_reaction")
-        internal = nu > 0
-        n_inc = jnp.where(internal, n_in, n_out)
-        # the 2D one-sided mirror REFRACTS n_in == 0 internal hits with
-        # eta = 1/n_out (n_in_safe discipline, geometry.select_eta); the
-        # stack must see the same sanitized incident index on refracting
-        # branches, while reflecting branches keep the 0 sentinel so
-        # eta0 = 0 -> r = -1 -> R = 1 (ideal mirror)
-        n_inc = jnp.where(~reflects & (n_inc == 0), jnp.ones_like(n_inc),
-                          n_inc)
-        n_sub = jnp.where(internal, n_out, n_in)
-        wl = rays.wavelength
-
-        # per-ray coating id from the per-kind tables (-1 = bare)
-        coat = _per_surface_table(proj, coat_ids, rays.n_rays, -1)
-
-        if lmax == 0:
-            layer_n = jnp.ones((0, rays.n_rays), dtype)
-            layer_d = jnp.zeros((0, rays.n_rays), dtype)
-            layer_valid = None
-        else:
-            # select-chain the per-stack layer tables into per-ray rows
-            ray_len = jnp.zeros((rays.n_rays,), jnp.int32)
-            for s, length in enumerate(lens):
-                ray_len = jnp.where(coat == s, length, ray_len)
-            rows_n, rows_d = [], []
-            for j in range(lmax):
-                nj = jnp.ones((rays.n_rays,), dtype)
-                dj = jnp.zeros((rays.n_rays,), dtype)
-                for s, stack in enumerate(stacks):
-                    if j >= len(stack):
-                        continue
-                    n_s, d_s = stack[j]
-                    n_val = n_s(wl) if callable(n_s) else n_s
-                    sel = coat == s
-                    nj = jnp.where(sel, jnp.asarray(n_val, dtype), nj)
-                    dj = jnp.where(sel, jnp.asarray(d_s, dtype), dj)
-                rows_n.append(nj)
-                rows_d.append(dj)
-            layer_n = jnp.stack(rows_n)          # (L, N)
-            layer_d = jnp.stack(rows_d)
-            jidx = jnp.arange(lmax, dtype=jnp.int32)[:, None]
-            # stacks are specified outer(mat_out)->inner(mat_in); internal
-            # hits traverse them in reverse, within the valid prefix
-            ridx = jnp.clip(ray_len[None, :] - 1 - jidx, 0, lmax - 1)
-            eff = jnp.where(internal[None, :], ridx, jidx)
-            layer_n = jnp.take_along_axis(layer_n, eff, axis=0)
-            layer_d = jnp.take_along_axis(layer_d, eff, axis=0)
-            layer_valid = jidx < ray_len[None, :]
-            layer_n = jnp.where(layer_valid, layer_n, jnp.ones_like(layer_n))
-            layer_d = jnp.where(layer_valid, layer_d,
-                                jnp.zeros_like(layer_d))
+        coat, n_inc, n_sub, layer_n, layer_d, layer_valid = _coating_inputs(
+            proj, rays, reflects, n_in, n_out, nu,
+            stacks, lens, lmax, coat_ids, dtype)
 
         cos_inc = jnp.clip(cos_i, eps, 1.0)
-        rs, rp = thinfilm.stack_r(n_inc, n_sub, cos_inc, wl,
+        rs, rp = thinfilm.stack_r(n_inc, n_sub, cos_inc, rays.wavelength,
                                   layer_n, layer_d, layer_valid)
         R = jnp.clip(jnp.real(0.5 * (jnp.abs(rs) ** 2 + jnp.abs(rp) ** 2)),
                      0.0, 1.0).astype(dtype)
@@ -816,6 +855,134 @@ class ThinFilmIntensity(RayOperation):
         super().__init__(**kw)
         self.reaction = thin_film_intensity_reaction(stacks, coat_ids,
                                                      base_reaction, field)
+
+
+def thin_film_jones_reaction(stacks, coat_ids,
+                             base_reaction=default_reaction):
+    """Full polarization transport through thin-film COATED surfaces.
+
+    The composition of :func:`jones_polarization_reaction` and
+    :func:`thin_film_intensity_reaction` the matrices always allowed but
+    round 4 left unmet: on COATED surfaces (coat id >= 0) the ray's Jones
+    vector is multiplied by the stack's COMPLEX per-polarization amplitude
+    coefficients from :func:`ops.thinfilm.stack_rt` -- ``(rs, rp)`` on the
+    reflect branch, the power-normalized ``(ts, tp)`` on the refract branch
+    -- so coatings diattenuate (|rs| != |rp|: a quarter-wave stack near
+    Brewster is a polarizer) AND retard (arg rs != arg rp: coating-induced
+    ellipticity), which a scalar intensity transport cannot express.  BARE
+    surfaces (coat id -1) take exactly the bare-Fresnel path of
+    ``jones_polarization_reaction`` -- same amplitudes, TIR phases, and
+    mirror convention -- and a coated surface whose layers have zero
+    thickness degenerates to the same thing (pinned by tests).
+
+    Conventions:
+
+    * The characteristic-matrix rp carries the opposite sign of the
+      engine's Fresnel-convention rp (Verdet vs Fresnel reflected-p
+      basis); the reflected rp is sign-flipped here (tp needs none) so
+      the empty stack matches ``jones_polarization_reaction`` identically
+      on every branch.
+    * Mirror-substrate rows (n == 0 sentinel) take the exact
+      perfect-conductor limit (``pec_substrate`` of stack_rt): the bare
+      mirror reflects with r = -1 for BOTH components (the repo's pinned
+      ideal-mirror convention) and a coating contributes its round-trip
+      phase on top; these rows keep the matrix-convention rp sign so the
+      zero-thickness limit still matches.
+    * ``|Es|^2 + |Ep|^2`` tracks radiant power on every branch: an
+      equal-power incoherent split reproduces
+      ``thin_film_intensity_reaction``'s unpolarized factor exactly.
+
+    Parameters are those of :func:`thin_film_intensity_reaction` (stacks
+    ordered mat_out -> mat_in, per-kind coat-id tables, -1 = bare); seed
+    rays with :func:`seed_polarization`, read back with
+    :func:`stokes_parameters`.  Fully differentiable in layer thicknesses
+    and indices (co-optimize coatings with geometry).
+    """
+    from tensorflowraytrace_tpu.ops import thinfilm
+
+    stacks = [list(s) for s in stacks]
+    lmax = max((len(s) for s in stacks), default=0)
+    lens = [len(s) for s in stacks]
+
+    def reaction(proj, rays, cfg):
+        child_p0, child_p1, base_updates = _run_base(
+            base_reaction, proj, rays, cfg)
+        dtype = rays.p0.dtype
+        eps = jnp.finfo(dtype).eps
+        d, n, nu, cos_i, n_in, n_out, eta, radicand, tir, reflects = (
+            _fresnel_prelude(proj, rays))
+        reflects = _effective_reflects(base_updates, reflects)
+
+        es_re, es_im, ep_re, ep_im, updates = _pol_basis_rotation(
+            proj, rays, d, n, dtype)
+
+        # bare-Fresnel path: EXACTLY jones_polarization_reaction's
+        # amplitudes (complex r with TIR phases, mirror r = -1, real
+        # power-normalized t)
+        brs_re, brs_im, brp_re, brp_im, bts, btp = _bare_jones_coefs(
+            dtype, cos_i, eta, radicand, tir, reflects)
+
+        # stack path: complex amplitudes of the characteristic matrix
+        coat, n_inc, n_sub, layer_n, layer_d, layer_valid = _coating_inputs(
+            proj, rays, reflects, n_in, n_out, nu,
+            stacks, lens, lmax, coat_ids, dtype)
+        cos_inc = jnp.clip(cos_i, eps, 1.0)
+        pec = n_sub == 0
+        srs, srp, sts, stp = thinfilm.stack_rt(
+            n_inc, n_sub, cos_inc, rays.wavelength,
+            layer_n, layer_d, layer_valid, pec_substrate=pec)
+        # Verdet -> Fresnel p-sign flip of the REFLECTED p amplitude on
+        # dielectric rows (the transmitted p basis does not flip, so tp
+        # matches as-is); PEC rows keep the matrix sign so the bare mirror
+        # gives rp = -1 (see docstring)
+        p_sign = jnp.where(pec, jnp.ones_like(cos_i), -jnp.ones_like(cos_i))
+        srp = srp * jnp.asarray(p_sign, srp.dtype)
+
+        coated = coat >= 0
+        rs_re = jnp.where(coated, jnp.real(srs).astype(dtype), brs_re)
+        rs_im = jnp.where(coated, jnp.imag(srs).astype(dtype), brs_im)
+        rp_re = jnp.where(coated, jnp.real(srp).astype(dtype), brp_re)
+        rp_im = jnp.where(coated, jnp.imag(srp).astype(dtype), brp_im)
+        ts_re = jnp.where(coated, jnp.real(sts).astype(dtype), bts)
+        ts_im = jnp.where(coated, jnp.imag(sts).astype(dtype),
+                          jnp.zeros_like(bts))
+        tp_re = jnp.where(coated, jnp.real(stp).astype(dtype), btp)
+        tp_im = jnp.where(coated, jnp.imag(stp).astype(dtype),
+                          jnp.zeros_like(btp))
+
+        cs_re = jnp.where(reflects, rs_re, ts_re)
+        cs_im = jnp.where(reflects, rs_im, ts_im)
+        cp_re = jnp.where(reflects, rp_re, tp_re)
+        cp_im = jnp.where(reflects, rp_im, tp_im)
+
+        updates.update(
+            es_re=(cs_re * es_re - cs_im * es_im).astype(dtype),
+            es_im=(cs_re * es_im + cs_im * es_re).astype(dtype),
+            ep_re=(cp_re * ep_re - cp_im * ep_im).astype(dtype),
+            ep_im=(cp_re * ep_im + cp_im * ep_re).astype(dtype),
+        )
+        return child_p0, child_p1, _merge_updates(base_updates, updates)
+
+    return reaction
+
+
+class ThinFilmJones(RayOperation):
+    """Class-op wrapper for :func:`thin_film_jones_reaction`: standard
+    Snell children plus complex s/p Jones transport with coated surfaces
+    applying their multilayer amplitude coefficients (diattenuation AND
+    retardance); bare surfaces identical to :class:`JonesPolarization`."""
+
+    input_signature = frozenset(POL_FIELDS_2D) | {"wavelength"}
+    output_signature = frozenset(POL_FIELDS_2D)
+    optical_signature = frozenset({"mat_in", "mat_out"})
+    material_signature = frozenset({"n"})
+    simple_ray_inheritance = frozenset(POL_FIELDS_2D) | {"wavelength"}
+
+    def __init__(self, stacks, coat_ids, base_reaction=default_reaction,
+                 **kw):
+        super().__init__(**kw)
+        self.reaction = thin_film_jones_reaction(stacks, coat_ids,
+                                                 base_reaction)
 
 
 # ======================================================================

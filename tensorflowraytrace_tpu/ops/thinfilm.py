@@ -54,7 +54,7 @@ def layer_cosine(n0, cos0, n_layer):
 
 
 def stack_rt(n0, n_sub, cos0, wavelength, layer_n, layer_d,
-             layer_valid=None):
+             layer_valid=None, pec_substrate=None):
     """Complex reflection AND transmission amplitudes of a multilayer stack.
 
     Returns ``(rs, rp, ts, tp)``.  The transmission amplitudes are
@@ -69,14 +69,20 @@ def stack_rt(n0, n_sub, cos0, wavelength, layer_n, layer_d,
 
     Limits: the empty stack gives the bare-Fresnel r and a real positive
     ``t_norm = sqrt(1 - r^2)``; under TIR ``Re(eta_sub) = 0`` so
-    ``t_norm = 0`` and ``|r| = 1``; the n == 0 mirror-substrate sentinel
-    forces ``eta_sub = 0`` (r = +1 for an empty stack -- an ideal
-    admittance-0 mirror; callers wanting the perfect-conductor convention
-    r = -1 override mirror rows themselves, as the Jones reactions do).
-    Parameters are those of :func:`stack_r`.
+    ``t_norm = 0`` and ``|r| = 1``.
+
+    ``pec_substrate``: optional (N,) bool selecting rows whose substrate is
+    a perfect electric conductor (the engine's n == 0 mirror sentinel).
+    Those rows take the exact ``eta_sub -> inf`` limit of the matrix
+    method, ``r = (eta_0 m12 - m22) / (eta_0 m12 + m22)`` -- the bare PEC
+    gives ``r = -1`` for both polarizations (matrix convention) and a
+    coating contributes its round-trip phase on top; ``t = 0``.  Without
+    the flag, n_sub == 0 rows fall back to the admittance-0 convention
+    (bare ``r = +1``), which power-only callers (``|r| = 1`` either way)
+    use.  Other parameters are those of :func:`stack_r`.
     """
     return _stack_amplitudes(n0, n_sub, cos0, wavelength, layer_n, layer_d,
-                             layer_valid)
+                             layer_valid, pec_substrate)
 
 
 def stack_r(n0, n_sub, cos0, wavelength, layer_n, layer_d, layer_valid=None):
@@ -114,7 +120,7 @@ def stack_r(n0, n_sub, cos0, wavelength, layer_n, layer_d, layer_valid=None):
 
 
 def _stack_amplitudes(n0, n_sub, cos0, wavelength, layer_n, layer_d,
-                      layer_valid=None):
+                      layer_valid=None, pec_substrate=None):
     cos0 = jnp.asarray(cos0)
     dtype = cos0.dtype
     cdt = _complex_dtype(dtype)
@@ -177,6 +183,13 @@ def _stack_amplitudes(n0, n_sub, cos0, wavelength, layer_n, layer_d,
     def coefs(m11, m12, m21, m22, eta0, etas):
         b = m11 + m12 * etas
         c = m21 + m22 * etas
+        if pec_substrate is not None:
+            # exact eta_sub -> inf limit: [B; C] ~ etas [m12; m22], and the
+            # common etas factor cancels in r.  t is untouched -- etas was
+            # forced to 0 on these rows above, so the Re(etas) > 0 gate
+            # already zeroes it.
+            b = jnp.where(pec_substrate, m12, b)
+            c = jnp.where(pec_substrate, m22, c)
         den = eta0 * b + c
         den = jnp.where(jnp.abs(den) > 0, den, one)
         r = (eta0 * b - c) / den

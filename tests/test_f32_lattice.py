@@ -134,6 +134,33 @@ def test_jones_exact_critical_f32(critical_point):
     assert np.isfinite(float(g)), f"jones grad at exact critical = {g}"
 
 
+def test_thinfilm_jones_exact_critical_f32(critical_point):
+    """The coated Jones transport at EXACT critical incidence: both its
+    bare path (the double-where'd a/b pair) and its stack path
+    (layer_cosine's +i eps^2 branch-point guard inside stack_rt) sit on
+    the radicand == 0 lattice point; gradients w.r.t. n_in AND the coating
+    thickness must stay finite in f32."""
+    from tensorflowraytrace_tpu.operations import thin_film_jones_reaction
+
+    n_crit, ny = critical_point
+    d_qw = float(thinfilm.quarter_wave_thickness(N_COAT, 550.0))
+
+    def loss(n_in, d_coat):
+        proj, rays = make_proj3d(n_in, ny)
+        rays = seed_polarization(rays)
+        rx = thin_film_jones_reaction(
+            [[(N_COAT, d_coat)]], {"triangles": np.asarray([0])})
+        _, _, upd = rx(proj, rays, CFG)
+        return sum(jnp.sum(v) for k, v in upd.items()
+                   if k.startswith(("es_", "ep_")))
+
+    (v, (g_n, g_d)) = jax.value_and_grad(loss, argnums=(0, 1))(
+        jnp.asarray(n_crit, F32), jnp.asarray(d_qw, F32))
+    assert np.isfinite(float(v))
+    assert np.isfinite(float(g_n)), f"tf-jones d/dn at exact critical = {g_n}"
+    assert np.isfinite(float(g_d)), f"tf-jones d/dd at exact critical = {g_d}"
+
+
 # ----------------------------------------------------------------------
 # thin-film stack_r: layer_cosine's +i eps^2 branch-point guard
 # ----------------------------------------------------------------------

@@ -42,6 +42,13 @@ FLOORS = {
     "thin-film oblique (45deg)": {
         "state_agreement": 0.97, "max_same_fate_dev": 1e-4,
         "field_devs": {"intensity": 1e-6}},
+    # r5 coated-surface Jones transport (stack_rt complex amplitudes ->
+    # Stokes), measured on v5e 2026-08-19: 100% state agreement, same-fate
+    # 2.9e-6, Stokes devs S0 4.9e-7 / S1 3.3e-7 / S2 4.3e-7 / S3 1.3e-7.
+    # Floors ~10x measured.
+    "thin-film Jones (coated oblique)": {
+        "state_agreement": 0.97, "max_same_fate_dev": 1e-4,
+        "field_devs": {"S0": 5e-6, "S1": 5e-6, "S2": 5e-6, "S3": 5e-6}},
     # r4 multi-branch tracing, measured on v5e 2026-08-18: ghost 100%
     # agreement / p1 1.7e-6 / intensity 5.5e-7; roulette 100% agreement
     # (the threefry acceptance bits are platform-deterministic, so the
