@@ -133,16 +133,32 @@ def build_structured_workload(dtype):
     return rays, scene, materials, cfg, n_rays, bounces
 
 
-def _measure(run, rays, scene, reps=3):
+def _measure(run, rays, scene, reps=5):
+    """Time ``reps`` synced calls.  Returns ``(compile_and_first, stats)``
+    with per-rep timing stats so the artifact self-describes its noise
+    (VERDICT r4 #6: the r4 structured metric read 156.5 G in BENCH but
+    168.8 G in notes -- ~8% capture-to-capture tunnel variance that the
+    JSON must make visible).  The headline uses the MEDIAN rep."""
     t0 = time.time()
     out = run(rays, scene)
     float(out)
     compile_and_first = time.time() - t0
-    t0 = time.time()
+    times = []
     for _ in range(reps):
+        t0 = time.time()
         out = run(rays, scene)
         float(out)  # host sync each rep (includes tunnel RTT)
-    return compile_and_first, (time.time() - t0) / reps
+        times.append(time.time() - t0)
+    med = float(np.median(times))
+    stats = {
+        "reps": reps,
+        "min_s": round(float(np.min(times)), 6),
+        "median_s": round(med, 6),
+        "max_s": round(float(np.max(times)), 6),
+        "spread_pct": round(
+            100.0 * (float(np.max(times)) - float(np.min(times))) / med, 2),
+    }
+    return compile_and_first, stats
 
 
 def main():
@@ -175,11 +191,13 @@ def main():
         # reduce to a scalar so only one value crosses the wire
         return jnp.sum(res.rays.p1) + jnp.sum(res.rays.state)
 
-    compile_and_first, per_call = _measure(run, rays, scene)
+    compile_and_first, stats = _measure(run, rays, scene)
     log(f"first call (compile+run): {compile_and_first:.2f}s")
+    per_call = stats["median_s"]
     intersections = N_RAYS * N_TRIS * BOUNCES
     rate = intersections / per_call
-    log(f"{per_call * 1e3:.1f} ms per {BOUNCES}-bounce trace of "
+    log(f"{per_call * 1e3:.1f} ms (median of {stats['reps']}, spread "
+        f"{stats['spread_pct']}%) per {BOUNCES}-bounce trace of "
         f"{N_RAYS} rays x {N_TRIS} tris -> {rate / 1e9:.2f} G intersections/s")
 
     # second metric: the structured light-guide scene where the grid-culling

@@ -17,8 +17,15 @@ sharded_light_guide).  Every block re-samples fresh rays from a
 counter-folded PRNG stream, so a 4-block step IS an 8.4M-ray batch --
 gradient noise falls as 1/sqrt(rays) at fixed memory.
 
-Run:  python examples/streamed_training.py [--rays-per-step N]
-Under CI this runs at toy sizes (tests/test_examples.py).
+With ``--mesh N`` the same step runs multi-chip: the block index space is
+sharded over an N-device ray mesh (`parallel_streamed_value_and_grad`),
+each chip streams its own blocks, and one psum per dispatch reduces
+value/grad -- rays/step scales as chips x blocks with identical
+`block_loss` code.
+
+Run:  python examples/streamed_training.py [--rays-per-step N] [--mesh N]
+Under CI this runs at toy sizes, including the mesh path
+(tests/test_examples.py).
 """
 
 import argparse
@@ -42,7 +49,7 @@ PI = math.pi
 
 def main(rays_per_step=1 << 23, block=1 << 21, steps=4, bounces=12,
          theta_res=12, z_res=10, blocks_per_dispatch=2, lr=3e-3,
-         momentum=0.8):
+         momentum=0.8, mesh_devices=0):
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     dtype = (jnp.float64 if not on_tpu and jax.config.read("jax_enable_x64")
              else jnp.float32)
@@ -80,14 +87,26 @@ def main(rays_per_step=1 << 23, block=1 << 21, steps=4, bounces=12,
         lost = res.rays.state != FINISHED
         return jnp.sum(jnp.where(lost, dist2, 0.0))
 
-    run = streamed_value_and_grad(block_loss, n_blocks,
-                                  blocks_per_dispatch=blocks_per_dispatch)
+    if mesh_devices:
+        from tensorflowraytrace_tpu.parallel.sharding import (
+            parallel_streamed_value_and_grad, ray_mesh,
+        )
+
+        mesh = ray_mesh(mesh_devices)
+        run = parallel_streamed_value_and_grad(
+            block_loss, n_blocks, mesh=mesh,
+            blocks_per_dispatch=blocks_per_dispatch)
+        where = f"{mesh.devices.size}-device mesh"
+    else:
+        run = streamed_value_and_grad(
+            block_loss, n_blocks, blocks_per_dispatch=blocks_per_dispatch)
+        where = "single device"
 
     params = guide.init_params()
     vel = jnp.zeros_like(params)
     print(f"{n_blocks} blocks x {block:,} rays = {n_blocks * block:,} "
           f"rays/step, {bounces} bounces, {blocks_per_dispatch} "
-          f"blocks/dispatch")
+          f"blocks/dispatch, {where}")
     losses = []
     for s in range(steps):
         step_key = jax.random.fold_in(jax.random.PRNGKey(7), s)
@@ -112,6 +131,8 @@ if __name__ == "__main__":
     ap.add_argument("--block", type=int, default=1 << 21)
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--bounces", type=int, default=12)
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard the block stream over an N-device ray mesh")
     a = ap.parse_args()
     main(rays_per_step=a.rays_per_step, block=a.block, steps=a.steps,
-         bounces=a.bounces)
+         bounces=a.bounces, mesh_devices=a.mesh)

@@ -1062,9 +1062,9 @@ def streamed_value_and_grad(block_loss: Callable, n_blocks: int,
     Returns ``fn(params, *aux) -> (value, grad)`` with ``value`` the
     summed loss and ``grad`` matching ``jax.grad`` of the fused sum
     (tests/test_streamed.py pins the equality).  For multi-chip streams
-    compose per device: shard the block index space, run this per process,
-    and psum value/grad (the same one-collective step as
-    ``parallel.sharding``).
+    use :func:`parallel.sharding.parallel_streamed_value_and_grad` -- the
+    same loop with the block index space sharded over the ray mesh and one
+    psum of value/grad per dispatch.
     """
 
     if n_blocks <= 0:

@@ -429,3 +429,91 @@ def parallel_trace_streamed(rays, scene, materials=None,
     return _shard_map(
         local, mesh=mesh, in_specs=(P(RAY_AXIS), P()), out_specs=out_specs,
     )(rays, scene)
+
+
+def parallel_streamed_value_and_grad(block_loss: Callable, n_blocks: int,
+                                     mesh: Optional[Mesh] = None,
+                                     blocks_per_dispatch: int = 1,
+                                     remat_blocks: bool = True) -> Callable:
+    """Multi-chip :func:`engine.streamed_value_and_grad`: the block index
+    space is sharded over the ray mesh, each device runs its own bounded
+    fwd+bwd chunk, and ONE psum per dispatch reduces value and gradient --
+    the composition `engine.py` documents for differentiated streams past
+    both the per-chip watchdog AND the chip count.
+
+    A streaming loss is a sum over blocks, so its gradient is the sum of
+    per-block gradients; summation commutes with both the host dispatch
+    loop and the device mesh.  Each dispatch jits one shard_mapped chunk
+    program: every device ``lax.map``s ``jax.value_and_grad`` of
+    ``block_loss`` over its ``blocks_per_dispatch`` local block indices
+    (``jax.checkpoint`` per block under ``remat_blocks``, the
+    trace_streamed residency policy), in-dispatch sums, then psums the
+    scalar and the gradient pytree over ICI.  The host accumulates across
+    dispatches.  Device programs stay index-driven and fixed-shape: the
+    dispatch grid is padded to ``n_devices x blocks_per_dispatch`` and
+    out-of-range indices are clamped and zero-masked (their value AND
+    gradient contributions vanish), so every dispatch reuses one compiled
+    program -- no ragged-tail recompile.
+
+    Parameters match :func:`engine.streamed_value_and_grad`:
+    ``block_loss(params, i, *aux) -> scalar`` must be pure and
+    jit-traceable with ``i`` a GLOBAL int32 block index (typically: slice
+    block ``i``'s rays, trace with a fold, return the folded scalar --
+    identical code single-chip and multi-chip); ``aux`` are extra
+    non-differentiated per-call arguments (e.g. the step's PRNG key).
+    ``params`` and ``aux`` are replicated over the mesh.
+
+    Returns ``fn(params, *aux) -> (value, grad)`` equal (up to f32
+    reduction-order rounding) to single-device
+    ``streamed_value_and_grad`` and to ``jax.grad`` of the fused
+    sum-over-blocks loss (tests/test_streamed.py pins both equalities on
+    the 8-device mesh).
+    """
+    if n_blocks <= 0:
+        raise ValueError(
+            f"parallel_streamed_value_and_grad: n_blocks must be positive, "
+            f"got {n_blocks} (a rays // block computation may have rounded "
+            "to zero -- clamp with max(1, ...))")
+    if mesh is None:
+        mesh = ray_mesh()
+    n_dev = int(mesh.devices.size)
+    bpd = int(blocks_per_dispatch)
+    per_dispatch = n_dev * bpd
+
+    def chunk(params, aux, idxs):
+        def body(i):
+            valid = i < n_blocks
+            i_safe = jnp.minimum(i, n_blocks - 1)
+
+            def f(p):
+                # padded rows re-trace the last block with a zeroed loss:
+                # where's untaken-branch cotangent is 0, so their gradient
+                # contribution is exactly zero too
+                l = block_loss(p, i_safe, *aux)
+                return jnp.where(valid, l, jnp.zeros_like(l))
+
+            if remat_blocks:
+                f = jax.checkpoint(f)
+            return jax.value_and_grad(f)(params)
+
+        vals, grads = lax.map(body, idxs)
+        v = lax.psum(jnp.sum(vals), RAY_AXIS)
+        g = jax.tree.map(
+            lambda a: lax.psum(jnp.sum(a, axis=0), RAY_AXIS), grads)
+        return v, g
+
+    jitted = jax.jit(_shard_map(
+        chunk, mesh=mesh, in_specs=(P(), P(), P(RAY_AXIS)),
+        out_specs=(P(), P())))
+
+    def run(params, *aux):
+        value = None
+        grad = None
+        for d0 in range(0, n_blocks, per_dispatch):
+            idxs = d0 + jnp.arange(per_dispatch, dtype=jnp.int32)
+            v, g = jitted(params, aux, idxs)
+            value = v if value is None else value + v
+            grad = g if grad is None else jax.tree.map(jnp.add, grad, g)
+        return value, grad
+
+    return run

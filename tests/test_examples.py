@@ -78,6 +78,11 @@ CASES = [
                         "mesh_steps": 8}),
     ("streamed_training", {"rays_per_step": 2048, "block": 512, "steps": 3,
                            "bounces": 6, "theta_res": 6, "z_res": 6}),
+    # the multi-chip differentiated stream: block index space sharded over
+    # the 8-device virtual mesh, one psum per dispatch
+    ("streamed_training#mesh", {"rays_per_step": 2048, "block": 256,
+                                "steps": 2, "bounces": 4, "theta_res": 6,
+                                "z_res": 6, "mesh_devices": 8}),
     ("interactive_optimize", {"simulate": [" ", " ", "b", "s", " ", "q"],
                               "verbose": False}),
     ("asphere_singlet", {"steps": 300, "resolution": 64, "n_rays": 64,
@@ -89,7 +94,8 @@ CASES = [
 
 @pytest.mark.parametrize("name,kwargs", CASES, ids=[c[0] for c in CASES])
 def test_example_runs(name, kwargs):
-    mod = load(name)
+    # "script#variant" runs the same script under a second configuration
+    mod = load(name.split("#")[0])
     mod.main(**kwargs)
 
 

@@ -309,6 +309,63 @@ def test_parallel_streamed_matches_local():
     np.testing.assert_array_equal(np.asarray(res.state_counts), expect)
 
 
+@pytest.mark.parametrize("bpd,aux", [(1, False), (2, True)])
+def test_parallel_streamed_value_and_grad_matches(bpd, aux):
+    """8 devices x differentiated streaming: the block-index space sharded
+    over the mesh with one psum per dispatch equals BOTH single-device
+    streamed_value_and_grad and jax.value_and_grad of the fused
+    sum-over-blocks loss -- including a grid-padded tail (n_blocks=6 does
+    not divide 8 x bpd) whose clamped/masked blocks must contribute
+    exactly zero value and gradient."""
+    from tensorflowraytrace_tpu.engine import streamed_value_and_grad
+    from tensorflowraytrace_tpu.parallel.sharding import (
+        parallel_streamed_value_and_grad, ray_mesh,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    mesh = ray_mesh(8)
+    scene, materials = guide_scene()
+    block, n_blocks = 64, 6
+    rays = lambertian_rays(block * n_blocks)
+    stacked = jax.tree.map(
+        lambda a: a.reshape((n_blocks, block) + a.shape[1:]), rays)
+
+    def block_loss(tx, i, *extra):
+        shift = extra[0] if extra else 0.0
+        blk = jax.tree.map(lambda a: a[i], stacked)
+        init, fn = landing_sum_fold(
+            lambda p1: (p1[:, 0] - tx + shift) ** 2, F64)
+        return trace(blk, scene, materials, CFG, fold_fn=fn,
+                     fold_init=init).fold
+
+    x = jnp.asarray(0.02, F64)
+    extra = (jnp.asarray(0.003, F64),) if aux else ()
+
+    def fused(tx):
+        return sum(block_loss(tx, i, *extra) for i in range(n_blocks))
+
+    v_ref, g_ref = jax.value_and_grad(fused)(x)
+    v_1dev, g_1dev = streamed_value_and_grad(
+        block_loss, n_blocks, blocks_per_dispatch=bpd)(x, *extra)
+    run = parallel_streamed_value_and_grad(
+        block_loss, n_blocks, mesh=mesh, blocks_per_dispatch=bpd)
+    v, g = run(x, *extra)
+    np.testing.assert_allclose(float(v), float(v_ref), rtol=1e-12)
+    np.testing.assert_allclose(float(g), float(g_ref), rtol=1e-10)
+    np.testing.assert_allclose(float(v), float(v_1dev), rtol=1e-12)
+    np.testing.assert_allclose(float(g), float(g_1dev), rtol=1e-10)
+
+
+def test_parallel_streamed_value_and_grad_rejects_zero_blocks():
+    from tensorflowraytrace_tpu.parallel.sharding import (
+        parallel_streamed_value_and_grad,
+    )
+
+    with pytest.raises(ValueError, match="n_blocks must be positive"):
+        parallel_streamed_value_and_grad(lambda p, i: p, 0)
+
+
 def test_parallel_streamed_histogram_with_fields():
     """The rendering composition: 8 devices x streaming x intensity-weighted
     landing image.  The psum'd sharded image equals the local one exactly."""
