@@ -211,9 +211,11 @@ def main():
         res = trace(rays, scene, s_materials, s_cfg)
         return jnp.sum(res.rays.p1) + jnp.sum(res.rays.state)
 
-    s_first, s_per = _measure(run_s, s_rays, s_scene)
+    s_first, s_stats = _measure(run_s, s_rays, s_scene)
+    s_per = s_stats["median_s"]
     s_rate = s_n * s_m * s_bounces / s_per
-    log(f"structured guide: first {s_first:.2f}s; {s_per * 1e3:.1f} ms per "
+    log(f"structured guide: first {s_first:.2f}s; {s_per * 1e3:.1f} ms "
+        f"(median of {s_stats['reps']}, spread {s_stats['spread_pct']}%) per "
         f"{s_bounces}-bounce trace of {s_n} rays x {s_m} tris -> "
         f"{s_rate / 1e9:.2f} G equiv intersections/s")
 
@@ -222,11 +224,13 @@ def main():
         "value": rate,
         "unit": "intersections/s (equivalent; exact-result AABB culling on)",
         "vs_baseline": rate / BASELINE,
+        "timing": stats,
         "structured_scene": {
             "metric": "guide_16k_tri_24_bounce_equiv_intersections_per_sec",
             "value": s_rate,
             "unit": "intersections/s (equivalent; grid culling + resort)",
             "vs_baseline": s_rate / BASELINE,
+            "timing": s_stats,
         },
     }))
 
