@@ -553,3 +553,40 @@ def test_facade_thin_film_class_op():
     assert coated.shape == bare.shape
     assert (coated > bare).all()  # the AR coat transmits more everywhere
     assert (coated < 1.0).all()
+
+
+def test_engine_jit_cache_matches_eager_and_reuses_across_updates():
+    """OpticalEngine.ray_trace jit-caches the functional trace per
+    (materials, config, reaction) so repeated facade steps pay one device
+    dispatch (measured 62x tax removed -- docs/notes.md facade-tax row).
+    The cache must (a) return exactly the eager facade's results, (b) be
+    REUSED when only parameter VALUES change across system.update(), and
+    (c) leave the jit=False escape hatch eager."""
+    system = build_single_arc_system()
+    engine = OpticalEngine(2, simple_ray_inheritance={"wavelength"})
+    engine.optical_system = system
+    system.update()
+    r_jit = engine.ray_trace(2)
+    assert len(engine._trace_cache) == 1
+
+    eager = OpticalEngine(2, simple_ray_inheritance={"wavelength"},
+                          jit=False)
+    eager.optical_system = system
+    r_eager = eager.ray_trace(2)
+    assert len(eager._trace_cache) == 0
+    np.testing.assert_allclose(np.asarray(r_jit.rays.p1),
+                               np.asarray(r_eager.rays.p1), atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(r_jit.rays.state),
+                                  np.asarray(r_eager.rays.state))
+
+    # repeated same-shape trace: the single cache entry is REUSED
+    # (value changes across system.update() ride the same entry --
+    # test_feed_segments_refeed moves a mirror through this cache and
+    # pins the rays land on the MOVED geometry)
+    r2 = engine.ray_trace(2)
+    assert len(engine._trace_cache) == 1
+    assert r2.rays.n_rays == r_jit.rays.n_rays
+
+    # different max_iterations -> different TraceConfig -> second entry
+    engine.ray_trace(3)
+    assert len(engine._trace_cache) == 2
