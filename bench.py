@@ -199,6 +199,15 @@ def main():
     log(f"{per_call * 1e3:.1f} ms (median of {stats['reps']}, spread "
         f"{stats['spread_pct']}%) per {BOUNCES}-bounce trace of "
         f"{N_RAYS} rays x {N_TRIS} tris -> {rate / 1e9:.2f} G intersections/s")
+    # Achieved vs the measured kernel ceiling (docs/notes.md "Kernel
+    # headroom -- CLOSED"): the brute intersection kernel runs 30.8 G
+    # pairs/s = 84% of its arithmetic-only ablation ceiling (36.6 G, same
+    # chip/shape); op-count reformulations measured no faster, so the
+    # remaining single-pass headroom is <= 1.19x and already priced.
+    log(f"vs measured kernel ceiling: single-pass brute kernel is at 84% of "
+        f"its 36.6 G pairs/s arithmetic-only bound; this full-trace metric "
+        f"({rate / 1e9:.1f} G) additionally includes culling + per-bounce "
+        f"overheads (see docs/notes.md kernel-headroom table)")
 
     # second metric: the structured light-guide scene where the grid-culling
     # acceleration pays (the headline random-soup scene is culling-neutral)
