@@ -12,6 +12,7 @@ Layer map (mirrors SURVEY.md section 1):
   models/     rays, surfaces, sources, distributions, boundaries, meshes
   engine      the multi-bounce trace loop
   sequential  analytic ordered-asphere tracer (classical lens design)
+  paraxial    first-order analysis: ABCD, cardinal points, Petzval
   operations  pluggable per-bounce reactions
   optim       gradient processing + training routines
   parallel/   multi-chip sharding (shard_map over a ray mesh)
@@ -34,6 +35,10 @@ from tensorflowraytrace_tpu.models.acceleration import (
 from tensorflowraytrace_tpu.models.rays import RaySet, concat_rays
 from tensorflowraytrace_tpu.models.surfaces import (
     ArcSet, Scene2D, Scene3D, SegmentSet, TriangleSet,
+)
+from tensorflowraytrace_tpu.paraxial import (
+    ParaxialSystem, axial_color, paraxial_system, paraxial_trace,
+    petzval_sum,
 )
 from tensorflowraytrace_tpu.sequential import (
     AsphereStack, SequentialResult, collimated_bundle, trace_sequential,

@@ -1,0 +1,260 @@
+"""Paraxial (first-order) analysis of sequential asphere stacks.
+
+Classical lens design starts from first-order quantities — focal length,
+cardinal points, image location, Petzval field curvature — computed by y-nu
+(ABCD) tracing rather than real rays.  The reference framework has no
+first-order layer at all (every question is answered by tracing real rays
+through `/root/reference/tfrt/engine.py` and inspecting landings); this
+module supplies the missing classical workflow on top of
+:class:`~tensorflowraytrace_tpu.sequential.AsphereStack`, sharing its
+prescription pytree so a design can be *simultaneously* optimized against
+real-ray criteria (spot, Strehl via :mod:`analysis`) and first-order
+constraints (hold EFL while aberrations are driven down) in one jitted,
+differentiated loss.
+
+Formulation: the state vector is ``(y, omega)`` with ``omega = n * u`` the
+*reduced* angle, so a transfer by axial distance ``t`` in index ``n`` is
+``[[1, t/n], [0, 1]]`` and refraction with surface power
+``phi = (n' - n) * c`` is ``[[1, 0], [-phi, 1]]``.  Mirrors use the
+signed-index convention ``n' = -n`` (so ``phi = -2 n c`` and subsequent
+transfers, with their negative axial deltas, stay consistent); an even
+number of mirrors returns the sign to +.  All outputs are differentiable in
+every prescription entry (the whole computation is a ``lax.scan`` of 2x2
+products), and everything is validated against the real sequential tracer
+in the small-aperture limit (tests/test_paraxial.py).
+
+Sign conventions match :mod:`sequential`: the axis is +z, a surface is
+``z = vertex_z + sag(r)``, curvature ``c = 1/R`` is positive when the
+center of curvature lies toward +z from the vertex.  All cardinal "points"
+returned here are absolute z coordinates in the stack's frame, not
+vertex-relative distances.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tensorflowraytrace_tpu.ops.materials import material_index_lookup
+from tensorflowraytrace_tpu.sequential import AsphereStack
+
+
+def _signed_indices(stack: AsphereStack, materials, wavelength, start_mat):
+    """Signed refractive index before and after each surface.
+
+    Returns ``(n_in, n_out)`` of shape (K,).  ``n_in[i]`` is the (signed)
+    index of the medium the ray travels through to REACH surface ``i``;
+    ``n_out[i]`` the index after it.  The sign is the mirror parity: after
+    each reflective surface the index flips sign, which makes the reduced
+    transfer ``t / n`` positive again for the backward-travelling segments
+    (standard signed-index bookkeeping, e.g. Greivenkamp, Field Guide to
+    Geometrical Optics).
+    """
+    dtype = stack.vertex_z.dtype
+    K = stack.n_surfaces
+    wl = jnp.broadcast_to(jnp.asarray(wavelength, dtype), (K,))
+    n_after_raw = material_index_lookup(materials, wl, stack.mat_after)
+    n_start = material_index_lookup(
+        materials, wl[:1], jnp.full((1,), start_mat, jnp.int32))[0]
+
+    # sign AFTER surface i = (-1)^(number of mirrors among surfaces 0..i)
+    flip = jnp.where(stack.mirror, -1.0, 1.0).astype(dtype)
+    sign_after = jnp.cumprod(flip)
+    sign_before = jnp.concatenate([jnp.ones((1,), dtype), sign_after[:-1]])
+
+    # unsigned index after surface i: mirror rows keep the incoming medium
+    # (they must not consult mat_after, which may be the n=0 reflective
+    # sentinel); refractive rows take the lookup.
+    def body(carry, x):
+        mirror, n_raw = x
+        n_next = jnp.where(mirror, carry, n_raw)
+        return n_next, n_next
+
+    _, n_unsigned = jax.lax.scan(body, n_start, (stack.mirror, n_after_raw))
+    n_unsigned_before = jnp.concatenate(
+        [jnp.full((1,), n_start, dtype), n_unsigned[:-1]])
+    return sign_before * n_unsigned_before, sign_after * n_unsigned
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["A", "B", "C", "D", "n_obj", "n_img", "z_front", "z_back"],
+    meta_fields=[],
+)
+@dataclass
+class ParaxialSystem:
+    """First-order description of a stack: the vertex-to-vertex ABCD matrix
+    acting on ``(y, n*u)``, plus the bracketing (signed) indices and vertex
+    coordinates needed to turn it into cardinal points.
+
+    All scalars are 0-d jax arrays; every property is differentiable."""
+
+    A: jax.Array
+    B: jax.Array
+    C: jax.Array
+    D: jax.Array
+    n_obj: jax.Array    # signed index of object space
+    n_img: jax.Array    # signed index of image space (negative after an
+                        # odd number of mirrors)
+    z_front: jax.Array  # first vertex z
+    z_back: jax.Array   # last vertex z
+
+    @property
+    def power(self):
+        """System power ``phi = -C``; EFL = 1/phi."""
+        return -self.C
+
+    @property
+    def efl(self):
+        """Effective focal length 1/power (the catalogue number)."""
+        return 1.0 / self.power
+
+    @property
+    def back_focal_point(self):
+        """z of the rear focal point F' (where an axis-parallel input ray
+        crosses the axis).  Offset from the back vertex is the back focal
+        distance; negative offsets mean in front of the stack (mirrors)."""
+        return self.z_back - self.n_img * self.A / self.C
+
+    @property
+    def front_focal_point(self):
+        """z of the front focal point F (rays from it exit axis-parallel)."""
+        return self.z_front + self.n_obj * self.D / self.C
+
+    @property
+    def back_principal_plane(self):
+        """z of the rear principal plane P' (F' minus the rear focal
+        length ``f' = n_img / power``)."""
+        return self.back_focal_point - self.n_img / self.power
+
+    @property
+    def front_principal_plane(self):
+        """z of the front principal plane P (F plus ``f = n_obj / power``)."""
+        return self.front_focal_point + self.n_obj / self.power
+
+    @property
+    def back_nodal_point(self):
+        """z of N' (unit angular magnification); equals P' when object and
+        image space share an index."""
+        return self.back_focal_point - self.n_obj / self.power
+
+    @property
+    def front_nodal_point(self):
+        return self.front_focal_point + self.n_img / self.power
+
+    def image_distance(self, z_obj):
+        """z of the paraxial image of an axial object point at ``z_obj``
+        (finite conjugates; for an object at infinity the image is at
+        :attr:`back_focal_point`).  Solves for the conjugate plane where the
+        object-to-image B element vanishes."""
+        z_obj = jnp.asarray(z_obj, self.A.dtype)
+        t1 = (self.z_front - z_obj) / self.n_obj
+        denom = self.C * t1 + self.D
+        t2 = -(self.A * t1 + self.B) / denom
+        return self.z_back + t2 * self.n_img
+
+    def magnification(self, z_obj):
+        """Transverse magnification at the conjugate of ``z_obj``: the A
+        element of the object-to-image matrix (its B element is zero at the
+        conjugate, so ``y_img = A_tot * y_obj``)."""
+        z_img = self.image_distance(z_obj)
+        t2 = (z_img - self.z_back) / self.n_img
+        return self.A + t2 * self.C
+
+
+def paraxial_system(stack: AsphereStack, materials, wavelength,
+                    start_mat=0) -> ParaxialSystem:
+    """Vertex-to-vertex ABCD matrix of the stack at one wavelength.
+
+    ``materials``/``start_mat`` as in
+    :func:`~tensorflowraytrace_tpu.sequential.trace_sequential`.  Fully
+    differentiable and jittable; vmap over ``wavelength`` for chromatic
+    curves (see :func:`axial_color`)."""
+    dtype = stack.vertex_z.dtype
+    n_in, n_out = _signed_indices(stack, materials, wavelength, start_mat)
+    phi = (n_out - n_in) * stack.c
+    # transfer BEFORE surface i (0 for the first surface)
+    t_gap = jnp.diff(stack.vertex_z, prepend=stack.vertex_z[:1])
+    tau = t_gap / n_in
+
+    def body(m, x):
+        tau_i, phi_i = x
+        a, b, c_, d_ = m
+        # refraction([[1,0],[-phi,1]]) @ transfer([[1,tau],[0,1]]) @ M
+        a2, b2 = a, b
+        c2, d2 = c_, d_
+        a3 = a2 + tau_i * c2
+        b3 = b2 + tau_i * d2
+        c3 = c2 - phi_i * a3
+        d3 = d2 - phi_i * b3
+        return (a3, b3, c3, d3), None
+
+    one = jnp.ones((), dtype)
+    zero = jnp.zeros((), dtype)
+    (A, B, C, D), _ = jax.lax.scan(body, (one, zero, zero, one), (tau, phi))
+    return ParaxialSystem(
+        A=A, B=B, C=C, D=D, n_obj=n_in[0], n_img=n_out[-1],
+        z_front=stack.vertex_z[0], z_back=stack.vertex_z[-1])
+
+
+def paraxial_trace(y0, u0, stack: AsphereStack, materials, wavelength,
+                   start_mat=0, z_start=None):
+    """y-nu trace: heights and (real, unreduced) angles AT each surface.
+
+    ``y0``/``u0``: scalar or (N,) initial height and angle at ``z_start``
+    (default: the first vertex plane).  Returns ``(y, u)`` of shape (K, N)
+    (or (K,) for scalar input): the height at each surface and the real ray
+    angle AFTER it — the table every lens-design text prints.  Used for
+    stop/pupil solves and as the marginal/chief ray of aberration theory."""
+    dtype = stack.vertex_z.dtype
+    y0 = jnp.asarray(y0, dtype)
+    u0 = jnp.asarray(u0, dtype)
+    scalar = y0.ndim == 0 and u0.ndim == 0
+    y0, u0 = jnp.atleast_1d(y0), jnp.atleast_1d(u0)
+    y0, u0 = jnp.broadcast_arrays(y0, u0)
+
+    n_in, n_out = _signed_indices(stack, materials, wavelength, start_mat)
+    phi = (n_out - n_in) * stack.c
+    start = stack.vertex_z[0] if z_start is None else jnp.asarray(
+        z_start, dtype)
+    t_gap = jnp.diff(stack.vertex_z, prepend=start[None])
+    tau = t_gap / n_in
+
+    omega0 = n_in[0] * u0
+
+    def body(carry, x):
+        y, w = carry
+        tau_i, phi_i, n_out_i = x
+        y = y + tau_i * w
+        w = w - phi_i * y
+        return (y, w), (y, w / n_out_i)
+
+    (_, _), (ys, us) = jax.lax.scan(body, (y0, omega0), (tau, phi, n_out))
+    if scalar:
+        return ys[:, 0], us[:, 0]
+    return ys, us
+
+
+def petzval_sum(stack: AsphereStack, materials, wavelength, start_mat=0):
+    """The Petzval sum ``sum_i c_i (n_i' - n_i) / (n_i' n_i)`` (signed
+    indices, so a mirror contributes ``2 c / n``).  The paraxial image
+    surface curvature in the absence of astigmatism is
+    ``-n_img * petzval_sum``; a flat-field design drives this toward 0.
+    First-order chapter of every design text; no reference counterpart."""
+    n_in, n_out = _signed_indices(stack, materials, wavelength, start_mat)
+    return jnp.sum(stack.c * (n_out - n_in) / (n_out * n_in))
+
+
+def axial_color(stack: AsphereStack, materials, wavelengths, start_mat=0):
+    """Back-focal-point z at each wavelength — the axial (longitudinal)
+    chromatic aberration curve.  One vmap'd first-order computation."""
+    wavelengths = jnp.asarray(wavelengths, stack.vertex_z.dtype)
+
+    def bfp(wl):
+        return paraxial_system(stack, materials, wl,
+                               start_mat=start_mat).back_focal_point
+
+    return jax.vmap(bfp)(wavelengths)

@@ -88,6 +88,7 @@ CASES = [
     ("asphere_singlet", {"steps": 300, "resolution": 64, "n_rays": 64,
                          "verbose": False}),
     ("cooke_triplet", {"steps": 250, "n_rays": 24, "verbose": False}),
+    ("paraxial_analysis", {"verbose": False}),
     ("tpu_physics_bench", {"tiny": True}),
 ]
 
