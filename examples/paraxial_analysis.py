@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tensorflowraytrace_tpu import (
-    AsphereStack, axial_color, paraxial_system, petzval_sum,
+    AsphereStack, axial_color, paraxial_system, petzval_sum, seidel_sums,
     trace_sequential,
 )
 from tensorflowraytrace_tpu.ops import materials as mats
@@ -95,6 +95,40 @@ def main(verbose=True):
     assert abs(z_cross - bfp) < 100 * tol * (1 + abs(bfp)), (z_cross, bfp)
     if verbose:
         print(f"real marginal-ray focus   {z_cross:10.4f}   (matches)")
+
+    # --- 2b. Seidel aberration table -------------------------------------
+    # marginal from the axial point through the aperture edge, chief at the
+    # full field through the front vertex (the stop here): the classical
+    # "which surface hurts" diagram, all third-order, all differentiable.
+    field = 0.05
+    z_pupil = VERTEX_Z[0]
+    z_start = -1.0
+
+    @jax.jit
+    def seidel(stack):
+        return seidel_sums(
+            stack, MATERIALS, D_LINE,
+            marginal=(HALF_AP, 0.0),
+            chief=(field * (z_start - z_pupil), field),
+            z_start=z_start, chromatic=(F_LINE, C_LINE))
+
+    S = seidel(stack)
+    per = np.asarray(S.per_surface)
+    # third-order sanity: S4 is H^2 x the Petzval sum by construction
+    s4_ref = float(S.H) ** 2 * pz
+    assert abs(float(S.S4) - s4_ref) < tol * (1e-3 + abs(s4_ref)), (
+        float(S.S4), s4_ref)
+    if verbose:
+        print("\nSeidel sums (Welford), d line, full field"
+              f" {field:.3f} rad:")
+        print("  surf        S1         S2         S3         S4"
+              "         S5         C1")
+        for i in range(per.shape[0]):
+            print(f"  {i + 1:4d} " + " ".join(
+                f"{per[i, j]:+.3e}" for j in (0, 1, 2, 3, 4, 5)))
+        print("   sum " + " ".join(
+            f"{float(v):+.3e}" for v in (S.S1, S.S2, S.S3, S.S4, S.S5,
+                                         S.C1)))
 
     # --- 3. EFL solve on the last curvature ------------------------------
     target_efl = 10.0

@@ -248,6 +248,143 @@ def petzval_sum(stack: AsphereStack, materials, wavelength, start_mat=0):
     return jnp.sum(stack.c * (n_out - n_in) / (n_out * n_in))
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["S1", "S2", "S3", "S4", "S5", "C1", "C2", "H",
+                 "per_surface"],
+    meta_fields=[],
+)
+@dataclass
+class SeidelSums:
+    """Third-order (Seidel) wavefront aberration sums, Welford's convention
+    (W. T. Welford, *Aberrations of Optical Systems*, 1986, ch. 8):
+
+    ``S1`` spherical, ``S2`` coma, ``S3`` astigmatism, ``S4`` Petzval,
+    ``S5`` distortion; ``C1``/``C2`` axial/lateral color (present when a
+    wavelength pair was given, else zeros); ``H`` the Lagrange invariant of
+    the two defining rays.  ``per_surface`` is the (K, 7) table of
+    per-surface contributions (columns S1..S5, C1, C2) — the classical
+    "Seidel diagram" showing which surface hurts.
+
+    The relations to REAL ray errors at the paraxial image plane, each
+    pinned at ratio 1.000 against
+    :func:`~tensorflowraytrace_tpu.sequential.trace_sequential` in
+    tests/test_paraxial.py (``n'``/``u'`` the SIGNED image-space index and
+    marginal slope, ``rho`` the relative pupil height of the meridional
+    fan at the defining full field; real rays must be launched with slope
+    exactly the paraxial slope, i.e. ``d ~ (0, u, 1)`` normalized, not
+    ``(0, sin u, cos u)`` — the tan/sin difference is itself third order):
+
+    * on-axis transverse aberration:  ``eps_y = S1 rho^3 / (2 n' u')``
+    * full-field meridional fan:      ``eps_y = [S1 rho^3 + 3 S2 rho^2
+      + (3 S3 + S4) rho + S5] / (2 n' u')``
+    * sagittal/tangential astigmatic focus shifts (to third order):
+      ``-(S3 + S4)/(2 n' u'^2)`` and ``-(3 S3 + S4)/(2 n' u'^2)``
+    * paraxial focus shift short-to-long wavelength: ``-C1 / (n' u'^2)``
+    """
+
+    S1: jax.Array
+    S2: jax.Array
+    S3: jax.Array
+    S4: jax.Array
+    S5: jax.Array
+    C1: jax.Array
+    C2: jax.Array
+    H: jax.Array
+    per_surface: jax.Array
+
+
+def seidel_sums(stack: AsphereStack, materials, wavelength,
+                marginal, chief, z_start, start_mat=0,
+                chromatic=None) -> SeidelSums:
+    """Seidel third-order aberration sums of a stack from its two defining
+    paraxial rays.
+
+    ``marginal``/``chief``: ``(y0, u0)`` height and slope of the paraxial
+    marginal and chief rays at the plane ``z_start`` (in the ``start_mat``
+    medium).  The classical choice: marginal from the axial object point
+    through the aperture edge, chief from the full field through the stop
+    center; the sums then predict the real ray errors per the table in
+    :class:`SeidelSums`.  ``chromatic``: optional ``(wl_short, wl_long)``
+    pair for the color sums C1/C2 (about the base ``wavelength``).
+
+    Per-surface refraction invariants ``A = n(u + y c)`` drive Welford's
+    sums; even-asphere fourth-order figure deviation
+    ``G = k c^3 / 8 + a4`` adds the standard aspheric terms
+    ``8 G y^{4-m} ybar^m (n'-n)``.  Signed indices (mirror rows flip
+    ``n``) keep catadioptric systems correct.  Differentiable in every
+    prescription entry — Seidel targets ("null the coma") are loss terms.
+    """
+    dtype = stack.vertex_z.dtype
+    n_in, n_out = _signed_indices(stack, materials, wavelength, start_mat)
+    if chromatic is not None:
+        wl_s, wl_l = chromatic
+        ns_in, ns_out = _signed_indices(stack, materials, wl_s, start_mat)
+        nl_in, nl_out = _signed_indices(stack, materials, wl_l, start_mat)
+        dn_in, dn_out = ns_in - nl_in, ns_out - nl_out
+    else:
+        dn_in = dn_out = jnp.zeros_like(n_in)
+
+    z_start = jnp.asarray(z_start, dtype)
+    t_gap = jnp.diff(stack.vertex_z, prepend=z_start[None])
+    tau = t_gap / n_in
+    phi = (n_out - n_in) * stack.c
+    # fourth-order figure deviation from the osculating sphere:
+    # sag = (c/2) r^2 + ((1+k) c^3/8 + a4) r^4 + ... vs sphere (c^3/8) r^4
+    a4 = stack.coeffs[:, 0] if stack.coeffs.shape[1] > 0 else jnp.zeros(
+        (stack.n_surfaces,), dtype)
+    G = stack.k * stack.c ** 3 / 8.0 + a4
+
+    y0, u0 = (jnp.asarray(v, dtype) for v in marginal)
+    yb0, ub0 = (jnp.asarray(v, dtype) for v in chief)
+    w0 = n_in[0] * u0
+    wb0 = n_in[0] * ub0
+    H = w0 * yb0 - wb0 * y0  # n(u ybar - ubar y) sign: Welford's H
+
+    def body(carry, x):
+        y, w, yb, wb = carry
+        tau_i, phi_i, c_i, G_i, n1, n2, dn1, dn2 = x
+        # transfer to the surface
+        y = y + tau_i * w
+        yb = yb + tau_i * wb
+        # refraction invariants A = n i = n u + n y c = w + n y c
+        A = w + n1 * y * c_i
+        Ab = wb + n1 * yb * c_i
+        w2 = w - phi_i * y
+        wb2 = wb - phi_i * yb
+        # Delta(u/n) = u'/n' - u/n with u = w/n
+        d_un = w2 / (n2 * n2) - w / (n1 * n1)
+        d_inv = 1.0 / n2 - 1.0 / n1
+        dn_term = dn2 / n2 - dn1 / n1
+
+        s1 = -(A * A) * y * d_un
+        s2 = -(A * Ab) * y * d_un
+        s3 = -(Ab * Ab) * y * d_un
+        s4 = -(H * H) * c_i * d_inv
+        safe_A = jnp.where(jnp.abs(A) > jnp.finfo(dtype).tiny * 1e4, A, 1.0)
+        ratio = jnp.where(jnp.abs(A) > jnp.finfo(dtype).tiny * 1e4,
+                          Ab / safe_A, 0.0)
+        s5 = ratio * (s3 + s4)
+        # aspheric fourth-order figure terms
+        dn_fig = n2 - n1
+        asph = 8.0 * G_i * dn_fig
+        s1 = s1 + asph * y ** 4
+        s2 = s2 + asph * y ** 3 * yb
+        s3 = s3 + asph * y ** 2 * yb ** 2
+        s5 = s5 + asph * y * yb ** 3
+        # chromatic (Welford 8.29): C1 = sum A y Delta(dn/n), likewise C2
+        c1 = A * y * dn_term
+        c2 = Ab * y * dn_term
+        return (y, w2, yb, wb2), jnp.stack([s1, s2, s3, s4, s5, c1, c2])
+
+    xs = (tau, phi, stack.c, G, n_in, n_out, dn_in, dn_out)
+    (_, _, _, _), rows = jax.lax.scan(body, (y0, w0, yb0, wb0), xs)
+    tot = jnp.sum(rows, axis=0)
+    return SeidelSums(S1=tot[0], S2=tot[1], S3=tot[2], S4=tot[3],
+                      S5=tot[4], C1=tot[5], C2=tot[6], H=H,
+                      per_surface=rows)
+
+
 def axial_color(stack: AsphereStack, materials, wavelengths, start_mat=0):
     """Back-focal-point z at each wavelength — the axial (longitudinal)
     chromatic aberration curve.  One vmap'd first-order computation."""

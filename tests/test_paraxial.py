@@ -14,7 +14,7 @@ import pytest
 
 from tensorflowraytrace_tpu.ops import materials as mats
 from tensorflowraytrace_tpu.paraxial import (
-    axial_color, paraxial_system, paraxial_trace, petzval_sum,
+    axial_color, paraxial_system, paraxial_trace, petzval_sum, seidel_sums,
 )
 from tensorflowraytrace_tpu.sequential import AsphereStack, trace_sequential
 
@@ -211,6 +211,192 @@ class TestSequentialAgreement:
 
 
 # ----------------------------------------------------------------------
+# Seidel sums: every coefficient pinned against real rays
+# ----------------------------------------------------------------------
+
+H_AP = 0.5      # marginal semi-aperture of the Seidel test lens
+THETA = 0.02    # full-field angle
+Z0 = -1.0
+RHOS = np.linspace(-1, 1, 21)[1:-1]
+
+
+def singlet(k=None, coeffs=None):
+    """Crown singlet, stop at the front vertex (z=0)."""
+    return AsphereStack.make(
+        vertex_z=jnp.array([0.0, 1.0], jnp.float64),
+        c=jnp.array([1 / 20.0, -1 / 30.0]), k=k, coeffs=coeffs,
+        mat_after=jnp.array([2, 0], jnp.int32), dtype=jnp.float64)
+
+
+def seidel_setup(stack, theta=THETA):
+    """Seidel sums + the quantities the real-ray relations need."""
+    sys = paraxial_system(stack, MATERIALS, WL)
+    bfp = float(sys.back_focal_point)
+    marg, chief = (H_AP, 0.0), (theta * Z0, theta)
+    S = seidel_sums(stack, MATERIALS, WL, marg, chief, z_start=Z0,
+                    chromatic=(486.1, 656.3))
+    _, us = paraxial_trace(H_AP, 0.0, stack, MATERIALS, WL, z_start=Z0)
+    u_img = float(us[-1])
+    n_img = float(sys.n_img)
+    ysb, usb = paraxial_trace(chief[0], chief[1], stack, MATERIALS, WL,
+                              z_start=Z0)
+    yb_img = float(ysb[-1]) + (bfp - float(stack.vertex_z[-1])) * float(
+        usb[-1])
+    return S, bfp, 2.0 * n_img * u_img, u_img, n_img, yb_img
+
+
+def meridional_fan(stack, bfp, theta=THETA):
+    """Real meridional fan at the full field, launched with slope EXACTLY
+    the paraxial slope (d ~ (0, u, 1)); returns landing y per rho."""
+    yl = RHOS * H_AP + theta * Z0
+    s = np.full(len(RHOS), theta)
+    nrm = np.sqrt(1 + s * s)
+    p = jnp.stack([np.zeros(len(RHOS)), yl, np.full(len(RHOS), Z0)], axis=1)
+    d = jnp.stack([np.zeros(len(RHOS)), s / nrm, 1 / nrm], axis=1)
+    res = trace_sequential(p, d, WL, stack, MATERIALS, image_z=bfp)
+    assert bool(jnp.all(res.alive))
+    return np.asarray(res.p[:, 1])
+
+
+class TestSeidelVsRealRays:
+    """Welford's five sums, the aspheric terms, mirrors, and both color
+    sums' relations, each checked against the analytic sequential tracer
+    (the calibration protocol is documented in SeidelSums's docstring)."""
+
+    def test_petzval_identity(self):
+        stack = singlet()
+        S, *_ = seidel_setup(stack)
+        np.testing.assert_allclose(
+            float(S.S4),
+            float(S.H) ** 2 * float(petzval_sum(stack, MATERIALS, WL)),
+            rtol=1e-12)
+
+    def test_on_axis_spherical_cubic(self):
+        stack = singlet()
+        S, bfp, den, *_ = seidel_setup(stack)
+        eps = meridional_fan(stack, bfp, theta=0.0)
+        a3 = np.polyfit(RHOS, eps, 5)[-4]
+        np.testing.assert_allclose(a3, float(S.S1) / den, rtol=1e-4)
+
+    def test_full_field_fan_pins_coma_fieldcurv_distortion(self):
+        stack = singlet()
+        S, bfp, den, _, _, yb_img = seidel_setup(stack)
+        eps = meridional_fan(stack, bfp) - yb_img
+        cf = np.polyfit(RHOS, eps, 5)
+        a0, a1, a2, a3 = cf[-1], cf[-2], cf[-3], cf[-4]
+        np.testing.assert_allclose(a3, float(S.S1) / den, rtol=5e-3)
+        np.testing.assert_allclose(a2, 3 * float(S.S2) / den, rtol=5e-3)
+        np.testing.assert_allclose(
+            a1, (3 * float(S.S3) + float(S.S4)) / den, rtol=5e-3)
+        np.testing.assert_allclose(a0, float(S.S5) / den, rtol=5e-3)
+
+    def test_distortion_scales_as_theta_cubed(self):
+        stack = singlet()
+        deltas = []
+        for th in (0.01, 0.02, 0.04):
+            S, bfp, den, _, _, yb_img = seidel_setup(stack, theta=th)
+            nr = np.sqrt(1 + th * th)
+            p = jnp.array([[0.0, th * Z0, Z0]], jnp.float64)
+            d = jnp.array([[0.0, th / nr, 1 / nr]], jnp.float64)
+            res = trace_sequential(p, d, WL, stack, MATERIALS, image_z=bfp)
+            real = float(res.p[0, 1]) - yb_img
+            np.testing.assert_allclose(real, float(S.S5) / den, rtol=2e-3)
+            deltas.append(real)
+        # theta-cubed scaling: x2 in field -> x8 in distortion
+        np.testing.assert_allclose(deltas[1] / deltas[0], 8.0, rtol=0.02)
+        np.testing.assert_allclose(deltas[2] / deltas[1], 8.0, rtol=0.05)
+
+    @pytest.mark.parametrize("k,a4", [(-2.0, None), (None, 3e-4),
+                                      (-2.0, 3e-4)])
+    def test_aspheric_figure_terms(self, k, a4):
+        kk = None if k is None else jnp.array([k, 0.0])
+        cc = None if a4 is None else jnp.array([[a4], [0.0]])
+        stack = singlet(k=kk, coeffs=cc)
+        S, bfp, den, *_ = seidel_setup(stack)
+        eps = meridional_fan(stack, bfp, theta=0.0)
+        a3 = np.polyfit(RHOS, eps, 5)[-4]
+        np.testing.assert_allclose(a3, float(S.S1) / den, rtol=1e-4)
+        # and the aspheric term really changed S1 vs the sphere
+        S_sph, *_ = seidel_setup(singlet())
+        assert abs(float(S.S1) - float(S_sph.S1)) > 0.2 * abs(
+            float(S_sph.S1))
+
+    def test_spherical_mirror_and_exact_parabola(self):
+        mir = AsphereStack.make(
+            vertex_z=jnp.array([0.0], jnp.float64), c=jnp.array([-0.05]),
+            mirror=jnp.array([True]), dtype=jnp.float64)
+        S, bfp, den, *_ = seidel_setup(mir)
+        eps = meridional_fan(mir, bfp, theta=0.0)
+        a3 = np.polyfit(RHOS, eps, 5)[-4]
+        np.testing.assert_allclose(a3, float(S.S1) / den, rtol=1e-4)
+        # textbook: sphere mirror S1 = (y c)^3 y / ... > 0 here; parabola
+        # (k = -1) has exactly zero spherical aberration
+        par = AsphereStack.make(
+            vertex_z=jnp.array([0.0], jnp.float64), c=jnp.array([-0.05]),
+            k=jnp.array([-1.0]), mirror=jnp.array([True]),
+            dtype=jnp.float64)
+        Sp, bfp_p, *_ = seidel_setup(par)
+        assert float(Sp.S1) == 0.0
+        eps_p = meridional_fan(par, bfp_p, theta=0.0)
+        assert np.max(np.abs(eps_p)) < 1e-12  # machine-exact focus
+
+    def test_axial_color_matches_c1(self):
+        stack = singlet()
+        S, _, _, u_img, n_img, _ = seidel_setup(stack)
+        curve = axial_color(stack, MATERIALS,
+                            jnp.array([486.1, 656.3], jnp.float64))
+        dz = float(curve[0] - curve[1])
+        np.testing.assert_allclose(
+            dz, -float(S.C1) / (n_img * u_img ** 2), rtol=1e-2)
+
+    def test_astigmatic_foci_thirdorder(self):
+        # algebraic tangential/sagittal focus from +-rho ray crossings
+        stack = singlet()
+        S, bfp, _, u_img, n_img, _ = seidel_setup(stack)
+        rho = 0.15
+        nr = np.sqrt(1 + THETA ** 2)
+        # tangential pair (y pupil)
+        ylt = np.array([rho, -rho]) * H_AP + THETA * Z0
+        p_t = jnp.stack([np.zeros(2), ylt, np.full(2, Z0)], axis=1)
+        d_ = jnp.broadcast_to(jnp.array([0.0, THETA / nr, 1 / nr]), (2, 3))
+        rt = trace_sequential(p_t, d_, WL, stack, MATERIALS)
+        y_, z_, sy = (np.asarray(rt.p[:, 1]), np.asarray(rt.p[:, 2]),
+                      np.asarray(rt.d[:, 1] / rt.d[:, 2]))
+        z_tan = (y_[1] - y_[0] - z_[1] * sy[1] + z_[0] * sy[0]) / (
+            sy[0] - sy[1])
+        # sagittal pair (x pupil)
+        p_s = jnp.stack([np.array([rho, -rho]) * H_AP,
+                         np.full(2, THETA * Z0), np.full(2, Z0)], axis=1)
+        rs = trace_sequential(p_s, d_, WL, stack, MATERIALS)
+        x_, zz_, sx = (np.asarray(rs.p[:, 0]), np.asarray(rs.p[:, 2]),
+                       np.asarray(rs.d[:, 0] / rs.d[:, 2]))
+        z_sag = (x_[1] - x_[0] - zz_[1] * sx[1] + zz_[0] * sx[0]) / (
+            sx[0] - sx[1])
+        dd = 2 * n_img * u_img ** 2
+        np.testing.assert_allclose(
+            z_tan - bfp, -(3 * float(S.S3) + float(S.S4)) / dd, rtol=0.05)
+        np.testing.assert_allclose(
+            z_sag - bfp, -(float(S.S3) + float(S.S4)) / dd, rtol=0.05)
+
+    def test_per_surface_table_sums_to_totals(self):
+        stack = doublet_stack()
+        S, *_ = seidel_setup(stack)
+        tot = np.asarray(jnp.sum(S.per_surface, axis=0))
+        np.testing.assert_allclose(
+            tot[:5], [float(x) for x in (S.S1, S.S2, S.S3, S.S4, S.S5)],
+            rtol=1e-12)
+
+    def test_jit_matches_eager(self):
+        stack = singlet()
+        args = (stack, MATERIALS, WL, (H_AP, 0.0), (THETA * Z0, THETA))
+        eager = seidel_sums(*args, z_start=Z0)
+        jitted = jax.jit(lambda st: seidel_sums(
+            st, MATERIALS, WL, (H_AP, 0.0), (THETA * Z0, THETA),
+            z_start=Z0).S1)(stack)
+        np.testing.assert_allclose(float(jitted), float(eager.S1))
+
+
+# ----------------------------------------------------------------------
 # differentiability / transforms
 # ----------------------------------------------------------------------
 
@@ -247,6 +433,21 @@ class TestTransforms:
                 float(curve[i]),
                 float(paraxial_system(stack, MATERIALS,
                                       float(wl)).back_focal_point))
+
+    def test_seidel_grad_finite_and_matches_fd(self):
+        def s1_of_c1(c1):
+            st = AsphereStack.make(
+                vertex_z=jnp.array([0.0, 1.0], jnp.float64),
+                c=jnp.stack([c1, jnp.asarray(-1 / 30.0, jnp.float64)]),
+                mat_after=jnp.array([2, 0], jnp.int32), dtype=jnp.float64)
+            return seidel_sums(st, MATERIALS, WL, (0.5, 0.0),
+                               (-0.02, 0.02), z_start=-1.0).S1
+
+        c1 = jnp.asarray(1 / 20.0, jnp.float64)
+        g = jax.grad(s1_of_c1)(c1)
+        eps = 1e-6
+        fd = (s1_of_c1(c1 + eps) - s1_of_c1(c1 - eps)) / (2 * eps)
+        np.testing.assert_allclose(float(g), float(fd), rtol=1e-5)
 
     def test_doublet_reduces_axial_color_vs_singlet(self):
         # sanity: the crown/flint doublet's C-F focal split is smaller than
