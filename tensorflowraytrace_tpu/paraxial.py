@@ -385,6 +385,85 @@ def seidel_sums(stack: AsphereStack, materials, wavelength,
                       per_surface=rows)
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["marginal", "chief", "entrance_pupil", "exit_pupil"],
+    meta_fields=[],
+)
+@dataclass
+class StopSolve:
+    """The two defining paraxial rays and pupil locations for a chosen
+    aperture stop (see :func:`solve_stop`)."""
+
+    marginal: tuple          # (y0, u0) at z_start
+    chief: tuple             # (y0, u0) at z_start
+    entrance_pupil: jax.Array  # z of the stop's image in object space
+    exit_pupil: jax.Array      # z of the stop's image in image space
+
+
+def solve_stop(stack: AsphereStack, materials, wavelength, stop_index,
+               aperture, field_angle=0.0, z_start=None, start_mat=0):
+    """Solve the classical stop problem: given WHICH surface is the
+    aperture stop, produce the marginal and chief rays (ready for
+    :func:`seidel_sums`) and the entrance/exit pupil positions.
+
+    ``stop_index``: index into the stack of the stop surface (static
+    Python int); ``aperture``: marginal ray height AT the stop;
+    ``field_angle``: object-space chief slope (object at infinity — the
+    overwhelmingly common lens-design case; for finite conjugates build
+    the rays directly).  ``z_start``: plane where the returned ray states
+    live (default: first vertex minus 1).
+
+    Uses the linearity of paraxial tracing: heights at the stop are
+    affine in the launch height, so two probe traces solve each ray —
+    no matrix surgery, and the whole solve stays differentiable in every
+    prescription entry.  The entrance (exit) pupil is the axis crossing
+    of the chief ray's object-space (image-space) straight-line extension
+    — infinite for telecentric spaces (the returned value is then huge or
+    inf; test the exit slope against 0 instead).
+    """
+    dtype = stack.vertex_z.dtype
+    if z_start is None:
+        z_start = stack.vertex_z[0] - 1.0
+    z_start = jnp.asarray(z_start, dtype)
+    field_angle = jnp.asarray(field_angle, dtype)
+    aperture = jnp.asarray(aperture, dtype)
+
+    def height_at_stop(y0, u0):
+        ys, _ = paraxial_trace(y0, u0, stack, materials, wavelength,
+                               start_mat=start_mat, z_start=z_start)
+        return ys[stop_index]
+
+    one = jnp.ones((), dtype)
+    zero = jnp.zeros((), dtype)
+    # marginal: collimated from the axial object point at infinity;
+    # y_stop is linear in y0 (no constant term at u0 = 0 from y0 = 0? no:
+    # y_stop(0, 0) = 0 exactly), so scale one probe.
+    h1 = height_at_stop(one, zero)
+    y0_marg = aperture / h1
+    # chief: slope fixed at the field angle; y_stop affine in y0
+    b = height_at_stop(zero, field_angle)
+    a = h1  # d(y_stop)/d(y0) is the same linear map as the marginal probe
+    y0_chief = -b / a
+
+    # pupils from the chief line: object-space crossing of (y0_chief,
+    # field_angle) at z_start; image-space crossing of the exit state
+    eps = jnp.finfo(dtype).tiny * 1e8
+    safe_u0 = jnp.where(jnp.abs(field_angle) > eps, field_angle, 1.0)
+    z_ep = jnp.where(jnp.abs(field_angle) > eps,
+                     z_start - y0_chief / safe_u0, jnp.inf)
+    ys_c, us_c = paraxial_trace(y0_chief, field_angle, stack, materials,
+                                wavelength, start_mat=start_mat,
+                                z_start=z_start)
+    y_exit, u_exit = ys_c[-1], us_c[-1]
+    safe_ue = jnp.where(jnp.abs(u_exit) > eps, u_exit, 1.0)
+    z_xp = jnp.where(jnp.abs(u_exit) > eps,
+                     stack.vertex_z[-1] - y_exit / safe_ue, jnp.inf)
+    return StopSolve(marginal=(y0_marg, zero),
+                     chief=(y0_chief, field_angle),
+                     entrance_pupil=z_ep, exit_pupil=z_xp)
+
+
 def axial_color(stack: AsphereStack, materials, wavelengths, start_mat=0):
     """Back-focal-point z at each wavelength — the axial (longitudinal)
     chromatic aberration curve.  One vmap'd first-order computation."""

@@ -29,6 +29,29 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Shard the suite by FILE across pytest-xdist workers.
+
+    Why sharding is load-bearing and not an optimization: a single pytest
+    process accumulates one XLA:CPU compile per jitted test and this
+    image's jaxlib segfaults nondeterministically inside
+    ``backend_compile_and_load`` after ~400+ heavyweight compiles in one
+    process (observed three times at tests ~410/420/488 of a serial run,
+    each time in a different file; every file passes alone).  ``-n 4
+    --dist loadgroup`` (pyproject addopts) caps each worker at ~a quarter
+    of the compiles, far below the crash regime.  Grouping is per-file so
+    module-scoped state stays together; the two real-TPU suites share ONE
+    group so they never contend for the single tunnel-attached chip.
+    """
+    if not config.pluginmanager.hasplugin("xdist"):
+        return
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        group = "tpu-serial" if fname in (
+            "test_tpu_agreement.py", "test_tpu_kernels.py") else fname
+        item.add_marker(pytest.mark.xdist_group(name=group))
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

@@ -15,6 +15,7 @@ import pytest
 from tensorflowraytrace_tpu.ops import materials as mats
 from tensorflowraytrace_tpu.paraxial import (
     axial_color, paraxial_system, paraxial_trace, petzval_sum, seidel_sums,
+    solve_stop,
 )
 from tensorflowraytrace_tpu.sequential import AsphereStack, trace_sequential
 
@@ -394,6 +395,81 @@ class TestSeidelVsRealRays:
             st, MATERIALS, WL, (H_AP, 0.0), (THETA * Z0, THETA),
             z_start=Z0).S1)(stack)
         np.testing.assert_allclose(float(jitted), float(eager.S1))
+
+
+# ----------------------------------------------------------------------
+# stop / pupil solves
+# ----------------------------------------------------------------------
+
+class TestSolveStop:
+    def test_stop_at_front_surface_reproduces_hand_rays(self):
+        stack = singlet()
+        sol = solve_stop(stack, MATERIALS, WL, stop_index=0,
+                         aperture=H_AP, field_angle=THETA, z_start=Z0)
+        np.testing.assert_allclose(float(sol.marginal[0]), H_AP)
+        np.testing.assert_allclose(float(sol.chief[0]), THETA * Z0,
+                                   rtol=1e-12)
+        # pupils of a front-surface stop: EP is the stop plane itself
+        np.testing.assert_allclose(float(sol.entrance_pupil), 0.0,
+                                   atol=1e-12)
+        # and the Seidel sums match the hand-built protocol exactly
+        S_auto = seidel_sums(stack, MATERIALS, WL, sol.marginal,
+                             sol.chief, z_start=Z0)
+        S_hand = seidel_sums(stack, MATERIALS, WL, (H_AP, 0.0),
+                             (THETA * Z0, THETA), z_start=Z0)
+        for f in ("S1", "S2", "S3", "S4", "S5"):
+            np.testing.assert_allclose(float(getattr(S_auto, f)),
+                                       float(getattr(S_hand, f)),
+                                       rtol=1e-12)
+
+    def test_internal_stop_entrance_pupil_is_stop_conjugate(self):
+        # stop at the SECOND surface of a thick lens: the entrance pupil
+        # must be the plane whose image through the front subsystem is the
+        # stop plane.
+        stack = lens_stack(10.0, -15.0, 2.0)
+        sol = solve_stop(stack, MATERIALS, WL, stop_index=1,
+                         aperture=0.3, field_angle=0.01, z_start=-1.0)
+        front = jax.tree.map(lambda a: a[:1], stack)
+        sub = paraxial_system(front, MATERIALS, WL)
+        z_stop_img = float(sub.image_distance(sol.entrance_pupil))
+        np.testing.assert_allclose(z_stop_img, float(stack.vertex_z[1]),
+                                   rtol=1e-9)
+        # chief really crosses the stop center (real paraxial trace)
+        ys, _ = paraxial_trace(sol.chief[0], sol.chief[1], stack,
+                               MATERIALS, WL, z_start=-1.0)
+        assert abs(float(ys[1])) < 1e-14
+
+    def test_front_focal_stop_is_image_telecentric(self):
+        # a stop (plane dummy surface) at the front focal plane of a thin
+        # lens makes image space telecentric: exit chief parallel to axis,
+        # exit pupil at infinity.
+        r1, r2 = 12.0, -12.0
+        lens_z = 5.0
+        thin = lens_stack(r1, r2, 1e-9, z0=lens_z)
+        f = float(paraxial_system(thin, MATERIALS, WL).efl)
+        stop_z = lens_z - f
+        stack = AsphereStack.make(
+            vertex_z=jnp.array([stop_z, lens_z, lens_z + 1e-9],
+                               jnp.float64),
+            c=jnp.array([0.0, 1.0 / r1, 1.0 / r2]),
+            mat_after=jnp.array([0, 1, 0], jnp.int32), dtype=jnp.float64)
+        sol = solve_stop(stack, MATERIALS, WL, stop_index=0,
+                         aperture=0.3, field_angle=0.02,
+                         z_start=stop_z - 1.0)
+        ys, us = paraxial_trace(sol.chief[0], sol.chief[1], stack,
+                                MATERIALS, WL, z_start=stop_z - 1.0)
+        assert abs(float(us[-1])) < 1e-10   # telecentric exit
+        # pupil at (numerical) infinity: inf if the slope rounded to zero,
+        # else astronomically far compared to the system scale
+        xp = float(sol.exit_pupil)
+        assert (not np.isfinite(xp)) or abs(xp) > 1e6
+
+    def test_solve_stop_jits(self):
+        stack = singlet()
+        z_ep = jax.jit(lambda st: solve_stop(
+            st, MATERIALS, WL, stop_index=0, aperture=H_AP,
+            field_angle=THETA, z_start=Z0).entrance_pupil)(stack)
+        np.testing.assert_allclose(float(z_ep), 0.0, atol=1e-12)
 
 
 # ----------------------------------------------------------------------
