@@ -603,3 +603,79 @@ def encircled_energy(psf, grid, center, radii):
     radii = jnp.asarray(radii, grid.dtype)
     inside = dist[None, :] <= radii[:, None]
     return jnp.sum(jnp.where(inside, psf[None, :], 0.0), axis=1) / total
+
+
+# ======================================================================
+# MTF (modulation transfer function)
+# ======================================================================
+
+def _per_axis_spacing(spacing, ndim):
+    try:
+        spacings = tuple(spacing)
+    except TypeError:
+        spacings = (spacing,) * ndim
+    if len(spacings) != ndim:
+        raise ValueError(
+            f"spacing has {len(spacings)} entries for a {ndim}-D PSF")
+    return spacings
+
+
+def mtf_from_psf(psf, spacing):
+    """Modulation transfer function of a PSF sampled on a regular grid.
+
+    The incoherent OTF is the Fourier transform of the PSF; the MTF is its
+    modulus normalized to 1 at DC.  ``psf`` is an intensity array of any
+    rank (1-D line-spread or 2-D point-spread, e.g. a :func:`huygens_psf`
+    result reshaped to its grid), ``spacing`` the grid pitch per axis
+    (scalar or one per axis, same length units as the wavelength used to
+    build the PSF).
+
+    Returns ``(mtf, freqs)``: the fftshift'd MTF array (DC at the center)
+    and a tuple of per-axis spatial-frequency vectors (cycles per length
+    unit, ascending).  Differentiable and jittable, so an MTF spec can be
+    a merit-function term directly (for single frequencies prefer
+    :func:`mtf_at`).
+
+    Sampling caveats (standard, but easy to trip over): the PSF window
+    must be wide enough that the pattern has decayed at its edges
+    (truncation rings the MTF), and the pitch must Nyquist-sample the
+    diffraction cutoff ``2 NA / lambda`` (aliasing folds back as a raised
+    high-frequency tail).  Beyond the reference, which has only geometric
+    spot/histogram measures (/root/reference/tfrt/analyze.py).
+    """
+    psf = jnp.asarray(psf)
+    spacings = _per_axis_spacing(spacing, psf.ndim)
+    otf = jnp.abs(jnp.fft.fftn(psf))
+    dc = jnp.maximum(otf[(0,) * psf.ndim], jnp.finfo(otf.dtype).tiny)
+    mtf = jnp.fft.fftshift(otf / dc)
+    freqs = tuple(
+        jnp.fft.fftshift(jnp.fft.fftfreq(n, d=d).astype(psf.dtype))
+        for n, d in zip(psf.shape, spacings))
+    return mtf, freqs
+
+
+def mtf_at(psf, spacing, freqs, axis=-1):
+    """MTF sampled at chosen spatial frequencies along one axis.
+
+    Evaluates the through-DC cut of the MTF along ``axis`` (the OTF at
+    zero frequency in every other axis is the transform of the PSF
+    *projected* onto that axis -- the line-spread reduction, so no full
+    N-D FFT is needed) and linearly interpolates it at ``freqs``
+    (cycles per length unit; negatives fold onto their mirror since the
+    MTF of a real PSF is even).
+
+    This is THE standard lens-design spec form ("MTF >= 0.4 at 50 lp/mm")
+    as a scalar, differentiable function of the traced rays -- compose
+    with :func:`psf_from_result` to drive a prescription directly.
+    """
+    psf = jnp.asarray(psf)
+    spacings = _per_axis_spacing(spacing, psf.ndim)
+    axis = axis % psf.ndim
+    proj = psf
+    for ax in reversed(range(psf.ndim)):
+        if ax != axis:
+            proj = jnp.sum(proj, axis=ax)
+    otf = jnp.abs(jnp.fft.rfft(proj))
+    mtf = otf / jnp.maximum(otf[0], jnp.finfo(otf.dtype).tiny)
+    fr = jnp.fft.rfftfreq(proj.shape[0], d=spacings[axis]).astype(psf.dtype)
+    return jnp.interp(jnp.abs(jnp.asarray(freqs, psf.dtype)), fr, mtf)
