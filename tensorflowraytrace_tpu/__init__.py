@@ -37,8 +37,9 @@ from tensorflowraytrace_tpu.models.surfaces import (
     ArcSet, Scene2D, Scene3D, SegmentSet, TriangleSet,
 )
 from tensorflowraytrace_tpu.paraxial import (
-    ParaxialSystem, SeidelSums, StopSolve, axial_color, paraxial_system,
-    paraxial_trace, petzval_sum, seidel_sums, solve_stop,
+    FieldCurves, ParaxialSystem, SeidelSums, StopSolve, axial_color,
+    field_curves, lateral_color, paraxial_system, paraxial_trace,
+    petzval_sum, seidel_sums, solve_stop,
 )
 from tensorflowraytrace_tpu.sequential import (
     AsphereStack, SequentialResult, collimated_bundle, trace_sequential,

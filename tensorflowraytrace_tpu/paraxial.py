@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from tensorflowraytrace_tpu.ops.materials import material_index_lookup
-from tensorflowraytrace_tpu.sequential import AsphereStack
+from tensorflowraytrace_tpu.sequential import AsphereStack, trace_sequential
 
 
 def _signed_indices(stack: AsphereStack, materials, wavelength, start_mat):
@@ -474,3 +474,145 @@ def axial_color(stack: AsphereStack, materials, wavelengths, start_mat=0):
                                start_mat=start_mat).back_focal_point
 
     return jax.vmap(bfp)(wavelengths)
+
+
+def lateral_color(stack: AsphereStack, materials, wavelengths, chief,
+                  z_start, z_image, start_mat=0):
+    """Chief-ray image height at each wavelength — the lateral
+    (transverse) chromatic aberration curve.
+
+    ``chief``: ``(y0, u0)`` of the chief ray at ``z_start`` (e.g. from
+    :func:`solve_stop` at the full field); ``z_image``: the image plane
+    (fixed across wavelengths — that is what makes the effect *lateral*).
+    The short-minus-long height difference agrees with the Seidel ``C2``
+    sum as ``C2 / (n' u')`` to first order in the dispersion
+    (tests/test_paraxial.py).  One vmap'd first-order computation.
+    """
+    dtype = stack.vertex_z.dtype
+    wavelengths = jnp.asarray(wavelengths, dtype)
+    y0 = jnp.asarray(chief[0], dtype)
+    u0 = jnp.asarray(chief[1], dtype)
+    z_image = jnp.asarray(z_image, dtype)
+
+    def h(wl):
+        ys, us = paraxial_trace(y0, u0, stack, materials, wl,
+                                start_mat=start_mat, z_start=z_start)
+        return ys[-1] + us[-1] * (z_image - stack.vertex_z[-1])
+
+    return jax.vmap(h)(wavelengths)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["field_angles", "z_image", "tangential", "sagittal",
+                 "chief_height", "paraxial_height", "distortion"],
+    meta_fields=[],
+)
+@dataclass
+class FieldCurves:
+    """Real-ray field curves from :func:`field_curves`: the classical
+    astigmatic field plot (tangential/sagittal focus z per field) plus
+    the distortion curve.  All arrays are (F,) over the field angles."""
+
+    field_angles: jax.Array
+    z_image: jax.Array         # paraxial image plane used as the baseline
+    tangential: jax.Array      # z of the tangential (meridional) focus
+    sagittal: jax.Array        # z of the sagittal (skew) focus
+    chief_height: jax.Array    # REAL chief-ray height at z_image
+    paraxial_height: jax.Array  # first-order chief height at z_image
+    distortion: jax.Array      # (real - paraxial) / paraxial (0 on axis)
+
+
+def field_curves(stack: AsphereStack, materials, wavelength, stop_index,
+                 aperture, field_angles, z_start=None, rho=0.1,
+                 start_mat=0) -> FieldCurves:
+    """The classical field-curve analysis — REAL tangential/sagittal foci
+    and distortion vs field angle — in one batched sequential trace.
+
+    For each field angle (object at infinity): the chief ray through the
+    center of the stop surface ``stop_index`` (paraxial linearity solve,
+    as in :func:`solve_stop`); a close meridional pair at pupil heights
+    ``+-rho * aperture`` whose crossing is the tangential focus; a close
+    skew pair offset in x whose return to the meridional plane is the
+    sagittal focus.  Distortion compares the real chief-ray height at the
+    paraxial image plane against the first-order height.  To third order
+    the focus shifts reproduce ``-(3 S3 + S4) / (2 n' u'^2)`` and
+    ``-(S3 + S4) / (2 n' u'^2)`` and the distortion the ``S5`` term of
+    :func:`seidel_sums` (pinned in tests/test_paraxial.py); at real
+    apertures and fields they include ALL orders, which is the point.
+
+    Differentiable in every prescription entry and in ``field_angles``,
+    so "flatten the tangential field" is a loss term.  ``rho`` sets the
+    pupil fraction of the focus-finding pairs (small = closer to the
+    axial-limit definition, larger = includes aperture dependence).
+    """
+    dtype = stack.vertex_z.dtype
+    if z_start is None:
+        z_start = stack.vertex_z[0] - 1.0
+    z_start = jnp.asarray(z_start, dtype)
+    thetas = jnp.atleast_1d(jnp.asarray(field_angles, dtype))
+    f_count = thetas.shape[0]
+
+    z_img = paraxial_system(stack, materials, wavelength,
+                            start_mat=start_mat).back_focal_point
+
+    # paraxial linear map to the stop: y_stop = a * y0 + b(theta)
+    ys_a, _ = paraxial_trace(jnp.ones((), dtype), jnp.zeros((), dtype),
+                             stack, materials, wavelength,
+                             start_mat=start_mat, z_start=z_start)
+    a = ys_a[stop_index]
+    ys_b, _ = paraxial_trace(jnp.zeros_like(thetas), thetas, stack,
+                             materials, wavelength, start_mat=start_mat,
+                             z_start=z_start)
+    b = ys_b[stop_index]                      # (F,)
+    y0_chief = -b / a                          # (F,)
+    h = rho * jnp.asarray(aperture, dtype)
+    y0_tan = (jnp.stack([h, -h])[None, :] - b[:, None]) / a   # (F, 2)
+    x0_sag = jnp.stack([h / a, -h / a])                        # (2,)
+
+    # 5 rays per field: chief, tangential +-, sagittal +- (one flat trace)
+    nr = jnp.sqrt(1.0 + thetas ** 2)
+    d_one = jnp.stack([jnp.zeros_like(thetas), thetas / nr, 1.0 / nr],
+                      axis=1)                                  # (F, 3)
+    zeros = jnp.zeros_like(thetas)
+    px = jnp.stack([zeros, zeros, zeros,
+                    jnp.broadcast_to(x0_sag[0], thetas.shape),
+                    jnp.broadcast_to(x0_sag[1], thetas.shape)], axis=1)
+    py = jnp.stack([y0_chief, y0_tan[:, 0], y0_tan[:, 1],
+                    y0_chief, y0_chief], axis=1)
+    p = jnp.stack([px, py, jnp.full_like(px, z_start)], axis=2)  # (F,5,3)
+    d = jnp.broadcast_to(d_one[:, None, :], (f_count, 5, 3))
+    res = trace_sequential(p.reshape(-1, 3), d.reshape(-1, 3), wavelength,
+                           stack, materials, start_mat=start_mat)
+    pf = res.p.reshape(f_count, 5, 3)
+    df = res.d.reshape(f_count, 5, 3)
+
+    tiny = jnp.finfo(dtype).tiny * 1e8
+
+    def safe_div(num, den):
+        ok = jnp.abs(den) > tiny
+        return jnp.where(ok, num / jnp.where(ok, den, 1.0), 0.0)
+
+    # chief height at the image plane
+    s_chief = safe_div(df[:, 0, 1], df[:, 0, 2])
+    y_real = pf[:, 0, 1] + (z_img - pf[:, 0, 2]) * s_chief
+    ys_c, us_c = paraxial_trace(y0_chief, thetas, stack, materials,
+                                wavelength, start_mat=start_mat,
+                                z_start=z_start)
+    y_par = ys_c[-1] + us_c[-1] * (z_img - stack.vertex_z[-1])
+    distortion = safe_div(y_real - y_par, y_par)
+
+    # tangential focus: meridional crossing of the +-rho pair
+    s1 = safe_div(df[:, 1, 1], df[:, 1, 2])
+    s2 = safe_div(df[:, 2, 1], df[:, 2, 2])
+    z_tan = safe_div(
+        pf[:, 2, 1] - pf[:, 1, 1] - pf[:, 2, 2] * s2 + pf[:, 1, 2] * s1,
+        s1 - s2)
+    # sagittal focus: each skew ray re-crosses x = 0 at the same z
+    sx = safe_div(df[:, 3, 0], df[:, 3, 2])
+    z_sag = pf[:, 3, 2] - safe_div(pf[:, 3, 0], sx)
+
+    return FieldCurves(field_angles=thetas, z_image=z_img,
+                       tangential=z_tan, sagittal=z_sag,
+                       chief_height=y_real, paraxial_height=y_par,
+                       distortion=distortion)

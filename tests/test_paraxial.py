@@ -14,8 +14,8 @@ import pytest
 
 from tensorflowraytrace_tpu.ops import materials as mats
 from tensorflowraytrace_tpu.paraxial import (
-    axial_color, paraxial_system, paraxial_trace, petzval_sum, seidel_sums,
-    solve_stop,
+    axial_color, field_curves, lateral_color, paraxial_system,
+    paraxial_trace, petzval_sum, seidel_sums, solve_stop,
 )
 from tensorflowraytrace_tpu.sequential import AsphereStack, trace_sequential
 
@@ -543,3 +543,116 @@ class TestTransforms:
         split_singlet = float(jnp.abs(jnp.diff(
             axial_color(singlet, MATERIALS, wls))[0]))
         assert split_doublet < 0.5 * split_singlet
+
+
+# ----------------------------------------------------------------------
+# lateral color + real-ray field curves
+# ----------------------------------------------------------------------
+
+class TestLateralColor:
+    def test_matches_seidel_c2(self):
+        # crown/flint doublet with real dispersion: the short-minus-long
+        # chief height difference is C2 / (n' u') to first order in dn
+        stack = doublet_stack()
+        sol = solve_stop(stack, MATERIALS, WL, stop_index=0, aperture=1.0,
+                         field_angle=0.05, z_start=Z0)
+        S, bfp, _, u_img, n_img, _ = seidel_setup(stack, theta=0.05)
+        wls = jnp.array([486.1, 656.3], jnp.float64)
+        lc = lateral_color(stack, MATERIALS, wls, sol.chief, Z0, bfp)
+        dy = float(lc[0] - lc[1])
+        np.testing.assert_allclose(dy, float(S.C2) / (n_img * u_img),
+                                   rtol=1e-2)
+
+    def test_zero_for_constant_index_glass(self):
+        stack = singlet()  # crown glass -- replace with dispersion-free
+        flat = AsphereStack.make(
+            vertex_z=stack.vertex_z, c=stack.c,
+            mat_after=jnp.array([1, 0], jnp.int32), dtype=jnp.float64)
+        sys = paraxial_system(flat, MATERIALS, WL)
+        wls = jnp.array([486.1, 550.0, 656.3], jnp.float64)
+        lc = lateral_color(flat, MATERIALS, wls, (THETA * Z0, THETA), Z0,
+                           sys.back_focal_point)
+        np.testing.assert_allclose(np.diff(np.asarray(lc)), 0.0, atol=1e-15)
+
+
+class TestFieldCurves:
+    def test_astigmatic_foci_match_seidel(self):
+        stack = singlet()
+        S, bfp, dd, u_img, n_img, _ = seidel_setup(stack)
+        fc = field_curves(stack, MATERIALS, WL, stop_index=0,
+                          aperture=H_AP, field_angles=THETA,
+                          z_start=Z0, rho=0.15)
+        np.testing.assert_allclose(float(fc.z_image), bfp, rtol=1e-12)
+        np.testing.assert_allclose(
+            float(fc.tangential[0]) - bfp,
+            -(3 * float(S.S3) + float(S.S4)) / (dd * u_img), rtol=0.05)
+        np.testing.assert_allclose(
+            float(fc.sagittal[0]) - bfp,
+            -(float(S.S3) + float(S.S4)) / (dd * u_img), rtol=0.05)
+
+    def test_field_curves_scale_quadratically(self):
+        stack = singlet()
+        fc = field_curves(stack, MATERIALS, WL, stop_index=0,
+                          aperture=H_AP,
+                          field_angles=jnp.array([0.0, THETA / 2, THETA]),
+                          z_start=Z0, rho=0.15)
+        # shifts measured from the SAME-rho axial focus (removes the
+        # spherical-aberration offset of the finite-rho pair)
+        t = np.asarray(fc.tangential)
+        s = np.asarray(fc.sagittal)
+        np.testing.assert_allclose((t[2] - t[0]) / (t[1] - t[0]), 4.0,
+                                   rtol=0.07)
+        np.testing.assert_allclose((s[2] - s[0]) / (s[1] - s[0]), 4.0,
+                                   rtol=0.07)
+        # on axis the tangential and sagittal pairs focus together
+        np.testing.assert_allclose(t[0], s[0], rtol=1e-9)
+
+    def test_distortion_matches_s5_and_theta_cubed(self):
+        stack = singlet()
+        S, bfp, dd, *_ = seidel_setup(stack)
+        fc = field_curves(stack, MATERIALS, WL, stop_index=0,
+                          aperture=H_AP,
+                          field_angles=jnp.array([0.0, THETA / 2, THETA]),
+                          z_start=Z0, rho=0.05)
+        d_abs = np.asarray(fc.chief_height - fc.paraxial_height)
+        np.testing.assert_allclose(d_abs[2], float(S.S5) / dd, rtol=5e-3)
+        # absolute distortion ~ theta^3: x8 per field doubling
+        np.testing.assert_allclose(d_abs[2] / d_abs[1], 8.0, rtol=0.02)
+        assert float(fc.distortion[0]) == 0.0
+
+    def test_internal_stop_chief_passes_stop_center(self):
+        stack = doublet_stack()
+        fc = field_curves(stack, MATERIALS, WL, stop_index=1,
+                          aperture=0.3, field_angles=0.03, z_start=Z0,
+                          rho=0.1)
+        # re-derive the chief launch height the function used and confirm
+        # the PARAXIAL chief crosses the stop surface center
+        ys_a, _ = paraxial_trace(1.0, 0.0, stack, MATERIALS, WL,
+                                 z_start=Z0)
+        ys_b, _ = paraxial_trace(0.0, 0.03, stack, MATERIALS, WL,
+                                 z_start=Z0)
+        y0_chief = -float(ys_b[1]) / float(ys_a[1])
+        ys, _ = paraxial_trace(y0_chief, 0.03, stack, MATERIALS, WL,
+                               z_start=Z0)
+        assert abs(float(ys[1])) < 1e-14
+        assert np.all(np.isfinite(np.asarray(fc.tangential)))
+
+    def test_field_curves_jit_and_grad(self):
+        stack = singlet()
+
+        def tan_shift(c0):
+            st = AsphereStack.make(
+                vertex_z=stack.vertex_z,
+                c=stack.c.at[0].set(c0),
+                mat_after=jnp.array([2, 0], jnp.int32), dtype=jnp.float64)
+            fc = field_curves(st, MATERIALS, WL, stop_index=0,
+                              aperture=H_AP, field_angles=THETA,
+                              z_start=Z0, rho=0.1)
+            return fc.tangential[0] - fc.z_image
+
+        eager = float(tan_shift(jnp.asarray(1 / 20.0, jnp.float64)))
+        jitted = float(jax.jit(tan_shift)(jnp.asarray(1 / 20.0,
+                                                      jnp.float64)))
+        np.testing.assert_allclose(jitted, eager, rtol=1e-12)
+        g = float(jax.grad(tan_shift)(jnp.asarray(1 / 20.0, jnp.float64)))
+        assert np.isfinite(g) and g != 0.0
