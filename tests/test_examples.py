@@ -89,6 +89,8 @@ CASES = [
                          "verbose": False}),
     ("cooke_triplet", {"steps": 250, "n_rays": 24, "verbose": False}),
     ("paraxial_analysis", {"verbose": False}),
+    ("lens_report", {"n_rays": 400, "psf_rays": 512, "grid_pts": 41,
+                     "n_fields": 3, "verbose": False}),
     ("tpu_physics_bench", {"tiny": True}),
 ]
 
