@@ -37,9 +37,9 @@ from tensorflowraytrace_tpu.models.surfaces import (
     ArcSet, Scene2D, Scene3D, SegmentSet, TriangleSet,
 )
 from tensorflowraytrace_tpu.paraxial import (
-    FieldCurves, ParaxialSystem, SeidelSums, StopSolve, axial_color,
-    field_curves, lateral_color, paraxial_system, paraxial_trace,
-    petzval_sum, seidel_sums, solve_stop,
+    FieldCurves, GaussianBeamResult, ParaxialSystem, SeidelSums, StopSolve,
+    axial_color, field_curves, gaussian_beam, lateral_color,
+    paraxial_system, paraxial_trace, petzval_sum, seidel_sums, solve_stop,
 )
 from tensorflowraytrace_tpu.sequential import (
     AsphereStack, SequentialResult, collimated_bundle, trace_sequential,

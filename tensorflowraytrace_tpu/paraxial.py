@@ -504,6 +504,78 @@ def lateral_color(stack: AsphereStack, materials, wavelengths, chief,
 
 @partial(
     jax.tree_util.register_dataclass,
+    data_fields=["waist", "z_waist", "rayleigh", "divergence", "n_img"],
+    meta_fields=[],
+)
+@dataclass
+class GaussianBeamResult:
+    """Image-space TEM00 beam from :func:`gaussian_beam`: waist radius,
+    absolute waist z, (physical, in-medium) Rayleigh range, far-field
+    half-angle divergence, and the signed image-space index."""
+
+    waist: jax.Array
+    z_waist: jax.Array
+    rayleigh: jax.Array
+    divergence: jax.Array
+    n_img: jax.Array
+
+    def width(self, z):
+        """1/e^2 beam radius at plane ``z`` in image space:
+        ``w(z) = w0 sqrt(1 + ((z - z_waist)/zR)^2)``."""
+        dz = (jnp.asarray(z, self.waist.dtype) - self.z_waist)
+        return self.waist * jnp.sqrt(1.0 + (dz / self.rayleigh) ** 2)
+
+
+def gaussian_beam(stack: AsphereStack, materials, wavelength, waist,
+                  z_waist, unit_scale=1e-6, start_mat=0
+                  ) -> GaussianBeamResult:
+    """Propagate a TEM00 Gaussian beam through the stack by the complex
+    beam parameter (laser-optics ABCD; Siegman ch. 20).
+
+    ``waist``/``z_waist``: 1/e^2 waist radius and its absolute z in object
+    space; ``wavelength`` in nm (the materials' argument),
+    ``unit_scale`` converting nm to the stack's length units (default
+    1e-6: mm scenes, matching :func:`analysis.polychromatic_psf`).
+
+    Uses the REDUCED beam parameter ``q^ = q / n``, which transforms under
+    this module's reduced-angle ABCD exactly as rays do:
+    ``q^' = (A q^ + B) / (C q^ + D)``.  Its imaginary part
+    ``pi w0^2 / lambda0`` is index-independent, so refraction bookkeeping
+    is automatic, including signed-index mirror spaces.  Differentiable in
+    every prescription entry and in the input beam — mode-matching
+    ("place the output waist HERE with THIS size") is a loss term.
+
+    Geometric consistency: as ``w0 -> 0`` the output waist approaches the
+    paraxial image of ``z_waist`` with ``|magnification| * w0`` size
+    (pinned in tests/test_paraxial.py along with the textbook f-to-f
+    transform ``w0' = lambda f / (pi w0)`` and the apparent-depth shift at
+    a plane interface).
+    """
+    dtype = stack.vertex_z.dtype
+    lam0 = jnp.asarray(wavelength, dtype) * jnp.asarray(unit_scale, dtype)
+    w0 = jnp.asarray(waist, dtype)
+    z_w = jnp.asarray(z_waist, dtype)
+    sys = paraxial_system(stack, materials, wavelength, start_mat=start_mat)
+
+    # reduced q at the front vertex
+    q_re = (sys.z_front - z_w) / sys.n_obj
+    q_im = jnp.pi * w0 ** 2 / lam0
+    q = jax.lax.complex(q_re, q_im)
+    q2 = (sys.A * q + sys.B) / (sys.C * q + sys.D)
+
+    # back out the image-space beam: transfer q^ -> q^ + (z - z_back)/n'
+    z_waist_out = sys.z_back - sys.n_img * jnp.real(q2)
+    im = jnp.imag(q2)          # = pi w0'^2 / lambda0, positive
+    w0_out = jnp.sqrt(lam0 * im / jnp.pi)
+    zr_out = jnp.abs(sys.n_img) * im
+    div_out = lam0 / (jnp.pi * w0_out * jnp.abs(sys.n_img))
+    return GaussianBeamResult(waist=w0_out, z_waist=z_waist_out,
+                              rayleigh=zr_out, divergence=div_out,
+                              n_img=sys.n_img)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
     data_fields=["field_angles", "z_image", "tangential", "sagittal",
                  "chief_height", "paraxial_height", "distortion"],
     meta_fields=[],

@@ -14,8 +14,8 @@ import pytest
 
 from tensorflowraytrace_tpu.ops import materials as mats
 from tensorflowraytrace_tpu.paraxial import (
-    axial_color, field_curves, lateral_color, paraxial_system,
-    paraxial_trace, petzval_sum, seidel_sums, solve_stop,
+    axial_color, field_curves, gaussian_beam, lateral_color,
+    paraxial_system, paraxial_trace, petzval_sum, seidel_sums, solve_stop,
 )
 from tensorflowraytrace_tpu.sequential import AsphereStack, trace_sequential
 
@@ -656,3 +656,109 @@ class TestFieldCurves:
         np.testing.assert_allclose(jitted, eager, rtol=1e-12)
         g = float(jax.grad(tan_shift)(jnp.asarray(1 / 20.0, jnp.float64)))
         assert np.isfinite(g) and g != 0.0
+
+
+# ----------------------------------------------------------------------
+# Gaussian (TEM00) beam propagation
+# ----------------------------------------------------------------------
+
+LAM_MM = WL * 1e-6
+
+
+class TestGaussianBeam:
+    def thin_lens(self, f=10.0, z0=5.0):
+        r = 2.0 * (N_GLASS - 1.0) * f
+        return AsphereStack.make(
+            vertex_z=jnp.array([z0, z0 + 1e-9], jnp.float64),
+            c=jnp.array([1.0 / r, -1.0 / r]),
+            mat_after=jnp.array([1, 0], jnp.int32), dtype=jnp.float64)
+
+    def test_focal_plane_to_focal_plane_transform(self):
+        # waist at F -> waist at F' with w0' = lambda f / (pi w0)
+        stack = self.thin_lens()
+        sys = paraxial_system(stack, MATERIALS, WL)
+        w0 = 0.05
+        b = gaussian_beam(stack, MATERIALS, WL, w0,
+                          sys.front_focal_point)
+        np.testing.assert_allclose(float(b.z_waist),
+                                   float(sys.back_focal_point), rtol=1e-12)
+        np.testing.assert_allclose(
+            float(b.waist), LAM_MM * float(sys.efl) / (np.pi * w0),
+            rtol=1e-12)
+
+    def test_geometric_limit_is_paraxial_imaging(self):
+        # as w0 -> 0 the output waist sits at the paraxial image with
+        # |magnification| * w0 size
+        stack = self.thin_lens()
+        sys = paraxial_system(stack, MATERIALS, WL)
+        z_obj = -20.0
+        w0 = 1e-5
+        b = gaussian_beam(stack, MATERIALS, WL, w0, z_obj)
+        np.testing.assert_allclose(float(b.z_waist),
+                                   float(sys.image_distance(z_obj)),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(b.waist) / w0,
+                                   abs(float(sys.magnification(z_obj))),
+                                   rtol=1e-6)
+
+    def test_plane_interface_apparent_depth(self):
+        # a beam converging toward a waist depth d past a plane interface
+        # into glass forms it at n*d instead (and zR scales by n)
+        plane = AsphereStack.make(
+            vertex_z=jnp.array([0.0], jnp.float64), c=jnp.array([0.0]),
+            mat_after=jnp.array([1], jnp.int32), dtype=jnp.float64)
+        b = gaussian_beam(plane, MATERIALS, WL, 1e-4, 2.0)
+        np.testing.assert_allclose(float(b.z_waist), N_GLASS * 2.0,
+                                   rtol=1e-9)
+        free = np.pi * 1e-4 ** 2 / LAM_MM
+        np.testing.assert_allclose(float(b.rayleigh), N_GLASS * free,
+                                   rtol=1e-9)
+        np.testing.assert_allclose(float(b.waist), 1e-4, rtol=1e-12)
+
+    def test_mirror_beam_focus(self):
+        # collimated-ish beam (huge zR) onto a concave mirror: the waist
+        # forms at the mirror focus, traveling backward
+        mirror = AsphereStack.make(
+            vertex_z=jnp.array([10.0], jnp.float64),
+            c=jnp.array([-1 / 30.0]),
+            mat_after=jnp.array([0], jnp.int32),
+            mirror=jnp.array([True]), dtype=jnp.float64)
+        sys = paraxial_system(mirror, MATERIALS, WL)
+        b = gaussian_beam(mirror, MATERIALS, WL, 5.0, 0.0)
+        np.testing.assert_allclose(float(b.z_waist),
+                                   float(sys.back_focal_point), rtol=1e-4)
+        assert float(b.z_waist) < 10.0  # really in front of the mirror
+
+    def test_width_hyperbola_and_divergence(self):
+        stack = self.thin_lens()
+        b = gaussian_beam(stack, MATERIALS, WL, 0.05, -5.0)
+        np.testing.assert_allclose(
+            float(b.width(b.z_waist + b.rayleigh)) / float(b.waist),
+            np.sqrt(2.0), rtol=1e-12)
+        np.testing.assert_allclose(
+            float(b.divergence),
+            LAM_MM / (np.pi * float(b.waist)), rtol=1e-12)
+        # far field: w(z) -> divergence * (z - z_waist)
+        zfar = float(b.z_waist) + 1e5
+        np.testing.assert_allclose(
+            float(b.width(zfar)),
+            float(b.divergence) * (zfar - float(b.z_waist)), rtol=1e-6)
+
+    def test_jit_grad_mode_matching(self):
+        # mode matching as a differentiable objective: d(waist z)/d(c1)
+        stack = self.thin_lens()
+
+        def out_waist_z(c0):
+            st = AsphereStack.make(
+                vertex_z=stack.vertex_z, c=stack.c.at[0].set(c0),
+                mat_after=jnp.array([1, 0], jnp.int32), dtype=jnp.float64)
+            return gaussian_beam(st, MATERIALS, WL, 0.05, -5.0).z_waist
+
+        c0 = stack.c[0]
+        eager = float(out_waist_z(c0))
+        np.testing.assert_allclose(float(jax.jit(out_waist_z)(c0)), eager,
+                                   rtol=1e-12)
+        g = float(jax.grad(out_waist_z)(c0))
+        fd = (float(out_waist_z(c0 + 1e-7)) -
+              float(out_waist_z(c0 - 1e-7))) / 2e-7
+        np.testing.assert_allclose(g, fd, rtol=1e-5)
