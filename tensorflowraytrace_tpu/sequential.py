@@ -232,7 +232,8 @@ def _surface_normal(x, y, u, c, k, coeffs):
 # ======================================================================
 
 def trace_sequential(p, d, wavelength, stack: AsphereStack, materials,
-                     image_z=None, start_mat=0, t_min=1e-9):
+                     image_z=None, start_mat=0, t_min=1e-9,
+                     decenter=None, tilt=None, dn=None):
     """Trace N rays through K analytic surfaces in order.
 
     ``p``/``d``: (N, 3) origins and directions (``d`` is normalized here);
@@ -241,10 +242,25 @@ def trace_sequential(p, d, wavelength, stack: AsphereStack, materials,
     medium before the first surface; ``image_z``: optional plane to
     transfer to after the last surface.
 
+    Tolerance/alignment perturbations (all optional, all differentiable —
+    the hooks the :mod:`tolerance` module drives; every production
+    tolerancing run is built on exactly these three knobs):
+
+    * ``decenter``: (K, 2) transverse (dx, dy) offset of each surface's
+      vertex off the optical axis;
+    * ``tilt``: (K, 2) rotation (radians) of each surface about the x then
+      the y axis through its (decentered) vertex — EXACT rigid-frame
+      transforms (rotate the ray into the surface frame, intersect/refract
+      there, rotate back), not small-angle approximations, so wedge and
+      fold-mirror setups are representable too;
+    * ``dn``: (K,) refractive-index offset of the medium AFTER each
+      surface (melt-data tolerance); ignored on mirror rows.
+
     Returns a :class:`SequentialResult`.  Rays that miss a surface,
     vignette (``r > aperture``), or TIR at a refraction are marked dead and
     frozen; the trace is one ``lax.scan`` over the stacked surfaces, fully
-    differentiable in every stack field, the ray inputs, and ``image_z``.
+    differentiable in every stack field, the ray inputs, ``image_z``, and
+    the perturbations.
     """
     dtype = p.dtype
     n_rays = p.shape[0]
